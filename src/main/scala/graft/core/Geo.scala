@@ -1,0 +1,299 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch geometry kernel: minimal WKB codec, ray-cast point-in-polygon,
+  * tile-cover rasterization, haversine and proximity scoring.
+  *
+  * Mirrors the reference semantics (SURVEY.md §2.C4, §2.H2, §2.H5, §2.H6 —
+  * upstream carmen `lib/context.js` PIP over decoded MVT geometry, tile-cover
+  * via the tile-cover lib, `lib/util/proximity.js`) but is written from
+  * scratch per the north rule; JTS on the classpath is a TEST ORACLE only.
+  */
+object Geo {
+
+  /** Decoded geometry: a list of rings (polygons: exterior+holes flattened,
+    * even-odd rule makes hole handling implicit), or a line/point path.
+    * Coordinates are packed [lon0, lat0, lon1, lat1, ...].
+    */
+  final case class Geom(kind: Int, rings: Array[Array[Double]]) {
+    def isPoint: Boolean = kind == Geom.Point
+    def isLine: Boolean = kind == Geom.Line
+    def isPoly: Boolean = kind == Geom.Poly
+    def firstLon: Double = rings(0)(0)
+    def firstLat: Double = rings(0)(1)
+  }
+  object Geom {
+    val Point = 1; val Line = 2; val Poly = 3
+  }
+
+  // ------------------------------------------------------------------
+  // WKB codec (ISO WKB, little- or big-endian; geometry types 1..6)
+  // ------------------------------------------------------------------
+
+  def writeWkbPoint(lon: Double, lat: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(1); bb.putDouble(lon); bb.putDouble(lat)
+    bb.array()
+  }
+
+  /** Polygon WKB from rings of packed [lon,lat,...] (first = exterior). */
+  def writeWkbPolygon(rings: Array[Array[Double]]): Array[Byte] = {
+    val size = 9 + rings.map(r => 4 + r.length * 8).sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(3); bb.putInt(rings.length)
+    rings.foreach { r =>
+      bb.putInt(r.length / 2)
+      var i = 0
+      while (i < r.length) { bb.putDouble(r(i)); i += 1 }
+    }
+    bb.array()
+  }
+
+  def writeWkbLineString(path: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(9 + path.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(2); bb.putInt(path.length / 2)
+    var i = 0
+    while (i < path.length) { bb.putDouble(path(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Parse WKB -> Geom. Supports Point(1) LineString(2) Polygon(3)
+    * MultiPoint(4) MultiLineString(5) MultiPolygon(6). Multi* flatten into
+    * one Geom (even-odd PIP stays correct for disjoint parts). */
+  def parseWkb(wkb: Array[Byte]): Geom = {
+    val out = new ArrayBuffer[Array[Double]](4)
+    var kind = Geom.Point
+    def rd(bb: ByteBuffer): Unit = {
+      val order = if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+      bb.order(order)
+      val typ = bb.getInt() % 1000 // tolerate EWKB Z-flags by modulo
+      typ match {
+        case 1 =>
+          kind = Geom.Point
+          out += Array(bb.getDouble(), bb.getDouble())
+        case 2 =>
+          kind = Geom.Line
+          out += readCoords(bb)
+        case 3 =>
+          kind = Geom.Poly
+          val nRings = bb.getInt()
+          var i = 0
+          while (i < nRings) { out += readCoords(bb); i += 1 }
+        case 4 | 5 | 6 =>
+          val nParts = bb.getInt()
+          var i = 0
+          while (i < nParts) { rd(bb); i += 1 }
+        case 7 =>
+          val nParts = bb.getInt()
+          var i = 0
+          while (i < nParts) { rd(bb); i += 1 }
+        case other =>
+          throw new IllegalArgumentException(s"unsupported WKB type $other")
+      }
+    }
+    rd(ByteBuffer.wrap(wkb))
+    Geom(kind, out.toArray)
+  }
+
+  private def readCoords(bb: ByteBuffer): Array[Double] = {
+    val nPts = bb.getInt()
+    val a = new Array[Double](nPts * 2)
+    var i = 0
+    while (i < a.length) { a(i) = bb.getDouble(); i += 1 }
+    a
+  }
+
+  // ------------------------------------------------------------------
+  // Point-in-polygon: even-odd ray cast (C4)
+  // ------------------------------------------------------------------
+
+  /** Even-odd crossing test over all rings. Points exactly on an edge are
+    * treated per the half-open convention of the crossing rule (stable,
+    * deterministic; fixtures avoid exact-edge points by construction). */
+  def pointInRings(rings: Array[Array[Double]], lon: Double, lat: Double): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val nPts = ring.length / 2
+      var i = 0
+      var j = nPts - 1
+      while (i < nPts) {
+        val xi = ring(2 * i); val yi = ring(2 * i + 1)
+        val xj = ring(2 * j); val yj = ring(2 * j + 1)
+        if (((yi > lat) != (yj > lat)) &&
+            (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) {
+          inside = !inside
+        }
+        j = i
+        i += 1
+      }
+      r += 1
+    }
+    inside
+  }
+
+  /** PIP over raw WKB (Expression-friendly single call). Points/lines never
+    * contain. */
+  def pipWkb(wkb: Array[Byte], lon: Double, lat: Double): Boolean = {
+    val g = parseWkb(wkb)
+    g.kind == Geom.Poly && pointInRings(g.rings, lon, lat)
+  }
+
+  // ------------------------------------------------------------------
+  // Tile cover (H2): geometry -> covering cell set at zoom z
+  // ------------------------------------------------------------------
+
+  /** Cells at zoom z that a geometry touches: edge rasterization (grid
+    * traversal of every segment) + scanline interior fill at tile-row
+    * centers. Deterministic, sorted ascending, distinct. */
+  def tileCover(geom: Geom, z: Int): Array[Long] = {
+    geom.kind match {
+      case Geom.Point =>
+        Array(CellMath.lonLatToCell(z, geom.firstLon, geom.firstLat))
+      case Geom.Line =>
+        val set = new java.util.TreeSet[Long]()
+        geom.rings.foreach(path => rasterizePath(path, z, set, closed = false))
+        toArray(set)
+      case _ =>
+        val set = new java.util.TreeSet[Long]()
+        geom.rings.foreach(ring => rasterizePath(ring, z, set, closed = true))
+        fillInterior(geom.rings, z, set)
+        toArray(set)
+    }
+  }
+
+  private def toArray(set: java.util.TreeSet[Long]): Array[Long] = {
+    val out = new Array[Long](set.size())
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Add every tile a polyline passes through. Conservative supercover:
+    * walks each segment in tile space stepping one axis at a time. */
+  private def rasterizePath(path: Array[Double], z: Int, set: java.util.TreeSet[Long],
+                            closed: Boolean): Unit = {
+    val nPts = path.length / 2
+    var i = 0
+    val last = if (closed) nPts else nPts - 1
+    while (i < last) {
+      val j = (i + 1) % nPts
+      rasterizeSegment(path(2 * i), path(2 * i + 1), path(2 * j), path(2 * j + 1), z, set)
+      i += 1
+    }
+    if (nPts == 1) set.add(CellMath.lonLatToCell(z, path(0), path(1)))
+  }
+
+  /** Grid traversal of one segment in continuous tile coordinates
+    * (Amanatides–Woo style supercover). */
+  private def rasterizeSegment(lon0: Double, lat0: Double, lon1: Double, lat1: Double,
+                               z: Int, set: java.util.TreeSet[Long]): Unit = {
+    val max = (1L << z) - 1
+    // continuous tile coords
+    def tx(lon: Double): Double = (lon + 180.0) / 360.0 * (1L << z).toDouble
+    def ty(lat: Double): Double = {
+      val latRad = lat * math.Pi / 180.0
+      (1L << z).toDouble * (1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0
+    }
+    var x0 = tx(lon0); var y0 = ty(lat0)
+    val x1 = tx(lon1); val y1 = ty(lat1)
+    var cx = math.floor(x0).toLong
+    var cy = math.floor(y0).toLong
+    val ex = math.floor(x1).toLong
+    val ey = math.floor(y1).toLong
+    val sx = java.lang.Long.signum(ex - cx)
+    val sy = java.lang.Long.signum(ey - cy)
+    val dx = x1 - x0; val dy = y1 - y0
+    def put(x: Long, y: Long): Unit =
+      set.add(CellMath.pack(z, math.min(math.max(x, 0L), max), math.min(math.max(y, 0L), max)))
+    put(cx, cy)
+    var guard = 0
+    val guardMax = (math.abs(ex - cx) + math.abs(ey - cy) + 2).toInt * 2
+    while ((cx != ex || cy != ey) && guard < guardMax) {
+      // param t to next vertical / horizontal grid line
+      val txNext = if (sx > 0) (cx + 1 - x0) / dx else if (sx < 0) (cx - x0) / dx else Double.MaxValue
+      val tyNext = if (sy > 0) (cy + 1 - y0) / dy else if (sy < 0) (cy - y0) / dy else Double.MaxValue
+      if (txNext <= tyNext) cx += sx else cy += sy
+      put(cx, cy)
+      guard += 1
+    }
+    put(ex, ey)
+  }
+
+  /** Scanline fill: for each tile row in the bbox, cast a horizontal ray at
+    * the row's center latitude; fill tiles between crossing pairs. */
+  private def fillInterior(rings: Array[Array[Double]], z: Int,
+                           set: java.util.TreeSet[Long]): Unit = {
+    val max = (1L << z) - 1
+    // bbox in tile y
+    var minLat = 90.0; var maxLat = -90.0
+    rings.foreach { r =>
+      var i = 1
+      while (i < r.length) { val la = r(i); if (la < minLat) minLat = la; if (la > maxLat) maxLat = la; i += 2 }
+    }
+    val yTop = CellMath.latToY(z, maxLat)
+    val yBot = CellMath.latToY(z, minLat)
+    var y = yTop
+    while (y <= yBot && y <= max) {
+      // center latitude of row y
+      val latC = {
+        val nn = (1L << z).toDouble
+        val yy = math.Pi * (1.0 - 2.0 * (y.toDouble + 0.5) / nn)
+        math.atan(math.sinh(yy)) * 180.0 / math.Pi
+      }
+      // collect lon crossings
+      val xs = new ArrayBuffer[Double](8)
+      rings.foreach { ring =>
+        val nPts = ring.length / 2
+        var i = 0
+        var j = nPts - 1
+        while (i < nPts) {
+          val xi = ring(2 * i); val yi = ring(2 * i + 1)
+          val xj = ring(2 * j); val yj = ring(2 * j + 1)
+          if ((yi > latC) != (yj > latC)) {
+            xs += (xj - xi) * (latC - yi) / (yj - yi) + xi
+          }
+          j = i; i += 1
+        }
+      }
+      val sorted = xs.sorted
+      var k = 0
+      while (k + 1 < sorted.length) {
+        val xa = CellMath.lonToX(z, sorted(k))
+        val xb = CellMath.lonToX(z, sorted(k + 1))
+        var x = xa
+        while (x <= xb) { set.add(CellMath.pack(z, x, y)); x += 1 }
+        k += 2
+      }
+      y += 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Distance & proximity scoring (H5/H6)
+  // ------------------------------------------------------------------
+
+  final val EarthRadiusKm = 6371.0088
+
+  def haversineKm(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val p = math.Pi / 180.0
+    val dLat = (lat2 - lat1) * p
+    val dLon = (lon2 - lon1) * p
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(lat1 * p) * math.cos(lat2 * p) * math.sin(dLon / 2) * math.sin(dLon / 2)
+    2.0 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Frozen proximity decay (FIXTURES.md; reference constants live in
+    * upstream `lib/util/proximity.js` [U~] and are re-derived when the
+    * reference tree appears). Pure rational arithmetic — no transcendentals —
+    * so the DuckDB oracle reproduces it bit-for-bit given the same distance:
+    *   scoredist = score / (1 + distKm / 40.0)
+    */
+  final val ProximityScaleKm = 40.0
+  def scoredist(score: Double, distKm: Double): Double =
+    score / (1.0 + distKm / ProximityScaleKm)
+}

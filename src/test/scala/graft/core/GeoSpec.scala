@@ -1,0 +1,151 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import org.locationtech.jts.geom.{GeometryFactory, Coordinate, Polygon => JtsPolygon}
+
+/** Geometry kernel tests. JTS (on the Spark classpath) is used ONLY as a
+  * test oracle for PIP correctness (SURVEY.md §1.2) — never in main code. */
+class GeoSpec extends AnyFunSuite {
+  import Geo._
+
+  private val gf = new GeometryFactory()
+
+  /** Deterministic random simple polygon: star-shaped around a center
+    * (vertices at sorted angles, varying radii) — always simple. */
+  private def randomPolygon(r: Random, nV: Int): Array[Double] = {
+    val cx = r.nextDouble() * 300 - 150
+    val cy = r.nextDouble() * 140 - 70
+    val angles = Array.fill(nV)(r.nextDouble() * 2 * math.Pi).sorted
+    val radii = Array.fill(nV)(0.5 + r.nextDouble() * 4.0)
+    val pts = angles.zip(radii).map { case (a, rad) =>
+      (cx + rad * math.cos(a), cy + rad * math.sin(a))
+    }
+    val closed = pts :+ pts.head
+    closed.flatMap { case (x, y) => Array(x, y) }
+  }
+
+  private def toJts(ring: Array[Double]): JtsPolygon = {
+    val coords = ring.grouped(2).map(p => new Coordinate(p(0), p(1))).toArray
+    gf.createPolygon(coords)
+  }
+
+  test("WKB point roundtrip") {
+    val wkb = writeWkbPoint(12.34, -56.78)
+    val g = parseWkb(wkb)
+    assert(g.isPoint && g.firstLon == 12.34 && g.firstLat == -56.78)
+  }
+
+  test("WKB polygon roundtrip, little and big endian") {
+    val ring = Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 0.0, 0.0)
+    val wkb = writeWkbPolygon(Array(ring))
+    val g = parseWkb(wkb)
+    assert(g.isPoly && g.rings.length == 1 && g.rings(0).sameElements(ring))
+    // big-endian variant
+    val bb = java.nio.ByteBuffer.allocate(wkb.length)
+    bb.put(0.toByte).putInt(3).putInt(1).putInt(5)
+    ring.foreach(bb.putDouble)
+    val g2 = parseWkb(bb.array())
+    assert(g2.isPoly && g2.rings(0).sameElements(ring))
+  }
+
+  test("PIP basic square with hole") {
+    val outer = Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0)
+    val hole = Array(4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0, 4.0, 4.0)
+    val rings = Array(outer, hole)
+    assert(pointInRings(rings, 2.0, 2.0))
+    assert(!pointInRings(rings, 5.0, 5.0)) // inside hole
+    assert(!pointInRings(rings, 11.0, 5.0))
+    assert(pointInRings(rings, 6.5, 6.5))
+  }
+
+  test("PIP matches JTS on random star polygons and random points") {
+    val r = new Random(7)
+    var checked = 0
+    for (_ <- 1 to 300) {
+      val ring = randomPolygon(r, 5 + r.nextInt(40))
+      val jts = toJts(ring)
+      val wkb = writeWkbPolygon(Array(ring))
+      for (_ <- 1 to 40) {
+        val px = ring(0) + (r.nextDouble() - 0.5) * 12
+        val py = ring(1) + (r.nextDouble() - 0.5) * 12
+        val pt = gf.createPoint(new Coordinate(px, py))
+        // skip points within epsilon of the boundary (edge convention differs)
+        if (jts.getBoundary.distance(pt) > 1e-9) {
+          assert(pipWkb(wkb, px, py) == jts.contains(pt),
+            s"PIP mismatch at ($px,$py) ring=${ring.mkString(",")}")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 10000)
+  }
+
+  test("multipolygon PIP: either part contains") {
+    val a = Array(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0, 0.0, 0.0)
+    val b = Array(10.0, 10.0, 12.0, 10.0, 12.0, 12.0, 10.0, 12.0, 10.0, 10.0)
+    val bb = java.nio.ByteBuffer.allocate(9 + 2 * (9 + 4 + 5 * 16))
+    bb.put(1.toByte).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(6).putInt(2)
+    for (ring <- Seq(a, b)) {
+      bb.put(1.toByte).putInt(3).putInt(1).putInt(5)
+      ring.foreach(bb.putDouble)
+    }
+    val wkb = bb.array()
+    assert(pipWkb(wkb, 1.0, 1.0))
+    assert(pipWkb(wkb, 11.0, 11.0))
+    assert(!pipWkb(wkb, 5.0, 5.0))
+  }
+
+  test("tileCover of a point is its cell") {
+    val g = parseWkb(writeWkbPoint(10.0, 20.0))
+    assert(tileCover(g, 12).sameElements(Array(CellMath.lonLatToCell(12, 10.0, 20.0))))
+  }
+
+  test("tileCover contains the cell of every interior point") {
+    val r = new Random(13)
+    for (_ <- 1 to 150) {
+      val ring = randomPolygon(r, 6 + r.nextInt(20))
+      val jts = toJts(ring)
+      val g = parseWkb(writeWkbPolygon(Array(ring)))
+      val z = 6 + r.nextInt(6)
+      val cover = tileCover(g, z).toSet
+      assert(cover.nonEmpty)
+      // sample interior points via JTS
+      var found = 0
+      var tries = 0
+      while (found < 15 && tries < 300) {
+        val env = jts.getEnvelopeInternal
+        val px = env.getMinX + r.nextDouble() * env.getWidth
+        val py = env.getMinY + r.nextDouble() * env.getHeight
+        if (jts.contains(gf.createPoint(new Coordinate(px, py)))) {
+          val cell = CellMath.lonLatToCell(z, px, py)
+          assert(cover.contains(cell),
+            s"z=$z interior point ($px,$py) cell not covered")
+          found += 1
+        }
+        tries += 1
+      }
+    }
+  }
+
+  test("tileCover of a segment covers both endpoints' cells and is connected-ish") {
+    val path = Array(-10.0, -10.0, 15.0, 22.0)
+    val g = Geom(Geom.Line, Array(path))
+    val cover = tileCover(g, 8).toSet
+    assert(cover.contains(CellMath.lonLatToCell(8, -10.0, -10.0)))
+    assert(cover.contains(CellMath.lonLatToCell(8, 15.0, 22.0)))
+  }
+
+  test("haversine known values") {
+    // London (−0.1278, 51.5074) to Paris (2.3522, 48.8566) ≈ 343.5 km
+    val d = haversineKm(-0.1278, 51.5074, 2.3522, 48.8566)
+    assert(math.abs(d - 343.5) < 1.5, s"got $d")
+    assert(haversineKm(10, 20, 10, 20) == 0.0)
+  }
+
+  test("scoredist is monotone decreasing in distance") {
+    assert(scoredist(100.0, 0.0) == 100.0)
+    assert(scoredist(100.0, 40.0) == 50.0)
+    assert(scoredist(100.0, 10.0) > scoredist(100.0, 20.0))
+  }
+}
