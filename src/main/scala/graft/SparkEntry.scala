@@ -1,13 +1,99 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.queries.Queries
+import graft.ops.{TextOps, Ann, Multimodal}
+import graft.synth.Synth
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §7
+  * (build plan). Every SQL-expressible operator has a DuckDB oracle mirror;
+  * non-SQL-expressible ops (sketch hashing, LSH) get rows-only checks here
+  * and golden/property coverage in the test suite.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full forward geocode (mentions → coalesce → rank) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.fwdGeocode(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- geocoding core (SURVEY.md §2.B/C/D/E/F/H) ---
+    "fwd_geocode" -> ((s, d) => Queries.fwdGeocode(s, d)),
+    "cell_assign" -> ((s, d) => Queries.cellAssign(s, d)),
+    "parent_cells" -> ((s, d) => Queries.parentCells(s, d)),
+    "tile_cover_rect" -> ((s, d) => Queries.tileCoverRect(s, d)),
+    "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
+    "knn_disk" -> ((s, d) => Queries.knnDisk(s, d)),
+    "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
+    "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
+    "grid_index" -> ((s, d) => Queries.gridIndex(s, d)),
+    "freq_index" -> ((s, d) => Queries.freqIndex(s, d)),
+    "hot_cells" -> ((s, d) => Queries.hotCells(s, d)),
+    "phrase_prefix" -> ((s, d) => Queries.phrasePrefix(s, d)),
+    "fuzzy_match" -> ((s, d) => Queries.fuzzyMatch(s, d)),
+    // --- training-data pipeline ops ---
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(s.read.parquet(s"$d/documents.parquet"))),
+    "dedup_minhash" -> ((s, d) =>
+      TextOps.dedupMinHash(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
+    "dedup_simhash" -> ((s, d) =>
+      TextOps.dedupSimHash(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
+    "ngram_jaccard" -> ((s, d) =>
+      TextOps.ngramJaccard(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
+    "lang_id" -> ((s, d) => TextOps.langId(s.read.parquet(s"$d/documents.parquet"))),
+    "quality_score" -> ((s, d) => TextOps.qualityScore(s.read.parquet(s"$d/documents.parquet"))),
+    "token_count" -> ((s, d) => TextOps.tokenCount(s.read.parquet(s"$d/documents.parquet"))),
+    "doc_fingerprint" -> ((s, d) =>
+      TextOps.docFingerprints(s.read.parquet(s"$d/documents.parquet"))),
+    "ann_cosine" -> ((s, d) =>
+      Ann.bruteForceTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
+    "ann_lsh" -> ((s, d) =>
+      Ann.lshTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
+    "mm_decode" -> ((s, d) => Multimodal.decodeMeta(s, s.read.parquet(s"$d/documents.parquet"))),
+    // --- generic window/agg coverage (F2/F3 shape) ---
+    "window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      s.read.parquet(s"$d/events.parquet")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rank"))
+    }),
+  )
+
+  /** DuckDB mirrors over the bare table names (driver registers views).
+    * Omitted: dedup_minhash / dedup_simhash / doc_fingerprint / ann_lsh
+    * (sketch hashing is not SQL-expressible — rows-only check + ScalaTest
+    * goldens instead). */
+  def oracleSql: Map[String, String] = Map(
+    "fwd_geocode" -> Queries.fwdGeocodeSql,
+    "cell_assign" -> Queries.cellAssignSql,
+    "parent_cells" -> Queries.parentCellsSql,
+    "tile_cover_rect" -> Queries.tileCoverRectSql,
+    "reverse_pip" -> Queries.reversePipSql,
+    "knn_disk" -> Queries.knnDiskSql,
+    "context_chain" -> Queries.contextChainSql,
+    "bbox_filter" -> Queries.bboxFilterSql,
+    "grid_index" -> Queries.gridIndexSql,
+    "freq_index" -> Queries.freqIndexSql,
+    "hot_cells" -> Queries.hotCellsSql,
+    "phrase_prefix" -> Queries.phrasePrefixSql,
+    "fuzzy_match" -> Queries.fuzzyMatchSql,
+    "dedup_exact" ->
+      """SELECT doc_id, CAST(cnt AS BIGINT) AS group_n FROM (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY text) AS cnt,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "ngram_jaccard" -> TextOps.ngramJaccardSql,
+    "lang_id" -> TextOps.langIdSql,
+    "quality_score" -> TextOps.qualityScoreSql,
+    "token_count" -> TextOps.tokenCountSql,
+    "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
+    "mm_decode" -> Multimodal.decodeMetaSql,
+    "window_topk" ->
+      """SELECT user_id, event_id, value, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events) WHERE rank <= 3""".stripMargin,
+  )
 }

@@ -1,0 +1,272 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{CellMath, Geo, Text, Fingerprint}
+
+/** Native Catalyst expressions over the pure graft.core kernel.
+  *
+  * Design (SURVEY.md §2.K, §4): cell/bit math gets `doGenCode` emitting a
+  * static call into [[graft.core.CellMath]] so it stays inside whole-stage
+  * codegen; geometry (PIP, tile cover) is CodegenFallback (complex control
+  * flow, still columnar-batched by the surrounding codegen'd stage); text
+  * kernels are CodegenFallback UnaryExpressions (single virtual call per row
+  * dominated by the scan itself).
+  *
+  * All are registered on demand via [[F]] which wraps them as Columns using
+  * the classic-mode ExpressionUtils bridge (Spark 4 removed the public
+  * Column(expr) constructor).
+  */
+object Exprs {
+
+  // ---------------------------------------------------------------
+  // Cell math (H1/H3/H4/H7) — codegen'd static calls
+  // ---------------------------------------------------------------
+
+  case class CellAt(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "cell_at"
+    override def nullSafeEval(z: Any, lon: Any, lat: Any): Any =
+      CellMath.lonLatToCell(z.asInstanceOf[Int], lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (z, lon, lat) => s"graft.core.CellMath.lonLatToCell($z, $lon, $lat)")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): CellAt =
+      copy(first = f, second = s, third = t)
+  }
+
+  case class ParentCell(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "parent_cell"
+    override def nullSafeEval(cell: Any, zp: Any): Any =
+      CellMath.parentCell(cell.asInstanceOf[Long], zp.asInstanceOf[Int])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (c, z) => s"graft.core.CellMath.parentCell($c, $z)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ParentCell =
+      copy(left = l, right = r)
+  }
+
+  case class HilbertOfCell(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hilbert_cell"
+    override def nullSafeEval(cell: Any): Any =
+      CellMath.hilbertOfCell(cell.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.core.CellMath.hilbertOfCell($c)")
+    override protected def withNewChildInternal(c: Expression): HilbertOfCell = copy(child = c)
+  }
+
+  /** ring_cells(cell, r): cells at Chebyshev distance exactly r (kNN D6). */
+  case class RingCells(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "ring_cells"
+    override def nullSafeEval(cell: Any, r: Any): Any =
+      new GenericArrayData(CellMath.ringCells(cell.asInstanceOf[Long], r.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): RingCells =
+      copy(left = l, right = r)
+  }
+
+  /** disk_cells(cell, r): all cells within Chebyshev distance r. */
+  case class DiskCells(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "disk_cells"
+    override def nullSafeEval(cell: Any, r: Any): Any =
+      new GenericArrayData(CellMath.diskCells(cell.asInstanceOf[Long], r.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DiskCells =
+      copy(left = l, right = r)
+  }
+
+  // ---------------------------------------------------------------
+  // Geometry (C4 PIP, H2 tile cover) — CodegenFallback
+  // ---------------------------------------------------------------
+
+  /** pip_wkb(geom_wkb, lon, lat): even-odd ray-cast point-in-polygon. */
+  case class PipWkb(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pip_wkb"
+    override def nullSafeEval(wkb: Any, lon: Any, lat: Any): Any =
+      Geo.pipWkb(wkb.asInstanceOf[Array[Byte]], lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): PipWkb =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** tile_cover(geom_wkb, z): packed cells covering the geometry. */
+  case class TileCoverExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "tile_cover"
+    override def nullSafeEval(wkb: Any, z: Any): Any =
+      new GenericArrayData(
+        Geo.tileCover(Geo.parseWkb(wkb.asInstanceOf[Array[Byte]]), z.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): TileCoverExpr =
+      copy(left = l, right = r)
+  }
+
+  /** rect_wkb(west, south, east, north): axis-aligned polygon WKB (closed
+    * CCW ring). Used by the deterministic fixture synthesis; real data
+    * carries arbitrary WKB through the same downstream operators. */
+  case class RectWkb(first: Expression, second: Expression, third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "rect_wkb"
+    override def nullSafeEval(w: Any, s: Any, e: Any, n: Any): Any = {
+      val (ww, ss, ee, nn) = (w.asInstanceOf[Double], s.asInstanceOf[Double],
+        e.asInstanceOf[Double], n.asInstanceOf[Double])
+      Geo.writeWkbPolygon(Array(Array(ww, ss, ee, ss, ee, nn, ww, nn, ww, ss)))
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): RectWkb =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  // ---------------------------------------------------------------
+  // Text kernel (B1/B2/B7) — CodegenFallback unary
+  // ---------------------------------------------------------------
+
+  case class ExtractText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "extract_text"
+    override def nullSafeEval(html: Any): Any =
+      UTF8String.fromString(Text.extractText(html.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildInternal(c: Expression): ExtractText = copy(child = c)
+  }
+
+  case class TokenizeExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "tokenize"
+    override def nullSafeEval(s: Any): Any =
+      new GenericArrayData(Text.tokenize(s.toString).map(UTF8String.fromString): Array[Any])
+    override protected def withNewChildInternal(c: Expression): TokenizeExpr = copy(child = c)
+  }
+
+  case class PhraseFormExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "phrase_form"
+    override def nullSafeEval(s: Any): Any =
+      UTF8String.fromString(Text.phraseForm(s.toString))
+    override protected def withNewChildInternal(c: Expression): PhraseFormExpr = copy(child = c)
+  }
+
+  // ---------------------------------------------------------------
+  // Fingerprints / sketches — CodegenFallback
+  // ---------------------------------------------------------------
+
+  case class DocFingerprint(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "doc_fingerprint"
+    override def nullSafeEval(s: Any): Any = Fingerprint.docFingerprint(s.toString)
+    override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(child = c)
+  }
+
+  case class SimHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "simhash64"
+    override def nullSafeEval(s: Any): Any = Fingerprint.simhash64(Text.tokenize(s.toString))
+    override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
+  }
+
+  /** minhash_bands(text, k, numHashes, rowsPerBand): LSH band keys of the
+    * MinHash signature of the text's k-shingles. */
+  case class MinHashBands(first: Expression, second: Expression, third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "minhash_bands"
+    override def nullSafeEval(s: Any, k: Any, nh: Any, rpb: Any): Any = {
+      val toks = Text.tokenize(s.toString)
+      val sig = Fingerprint.minhash(
+        Fingerprint.shingles(toks, k.asInstanceOf[Int]), nh.asInstanceOf[Int])
+      new GenericArrayData(Fingerprint.lshBands(sig, rpb.asInstanceOf[Int]))
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): MinHashBands =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  /** minhash_sig(text, k, numHashes): full MinHash signature (for verify-stage
+    * estimated-Jaccard between candidate pairs). */
+  case class MinHashSig(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "minhash_sig"
+    override def nullSafeEval(s: Any, k: Any, nh: Any): Any = {
+      val toks = Text.tokenize(s.toString)
+      new GenericArrayData(Fingerprint.minhash(
+        Fingerprint.shingles(toks, k.asInstanceOf[Int]), nh.asInstanceOf[Int]))
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MinHashSig =
+      copy(first = f, second = s, third = t)
+  }
+}
+
+/** Column-level API over [[Exprs]] (+ a few composed built-in helpers). */
+object F {
+  import Exprs._
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def x(col: Column): Expression = ColumnBridge.expression(col)
+
+  def cellAt(z: Column, lon: Column, lat: Column): Column = c(CellAt(x(z), x(lon), x(lat)))
+  def parentCell(cell: Column, zp: Column): Column = c(ParentCell(x(cell), x(zp)))
+  def hilbertCell(cell: Column): Column = c(HilbertOfCell(x(cell)))
+  def ringCells(cell: Column, r: Column): Column = c(RingCells(x(cell), x(r)))
+  def diskCells(cell: Column, r: Column): Column = c(DiskCells(x(cell), x(r)))
+  def pipWkb(wkb: Column, lon: Column, lat: Column): Column = c(PipWkb(x(wkb), x(lon), x(lat)))
+  def tileCover(wkb: Column, z: Column): Column = c(TileCoverExpr(x(wkb), x(z)))
+  def rectWkb(w: Column, s: Column, e: Column, n: Column): Column =
+    c(RectWkb(x(w), x(s), x(e), x(n)))
+  def extractText(html: Column): Column = c(ExtractText(x(html)))
+  def tokenize(s: Column): Column = c(TokenizeExpr(x(s)))
+  def phraseForm(s: Column): Column = c(PhraseFormExpr(x(s)))
+  def docFingerprint(s: Column): Column = c(DocFingerprint(x(s)))
+  def simhash64(s: Column): Column = c(SimHash(x(s)))
+  def minhashBands(s: Column, k: Column, numHashes: Column, rowsPerBand: Column): Column =
+    c(MinHashBands(x(s), x(k), x(numHashes), x(rowsPerBand)))
+  def minhashSig(s: Column, k: Column, numHashes: Column): Column =
+    c(MinHashSig(x(s), x(k), x(numHashes)))
+
+  import org.apache.spark.sql.functions._
+
+  /** Haversine distance in km, written with built-ins so it stays inside
+    * whole-stage codegen AND mirrors token-for-token into the DuckDB oracle
+    * (see Synth.sqlHaversine). */
+  def haversineKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val p = lit(math.Pi / 180.0)
+    val a = pow(sin((lat2 - lat1) * p / 2), 2) +
+      cos(lat1 * p) * cos(lat2 * p) * pow(sin((lon2 - lon1) * p / 2), 2)
+    lit(2.0 * Geo.EarthRadiusKm) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** Proximity-decayed score (H6): score / (1 + distKm / 40). */
+  def scoredist(score: Column, distKm: Column): Column =
+    score / (lit(1.0) + distKm / lit(Geo.ProximityScaleKm))
+}

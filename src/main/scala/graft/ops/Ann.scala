@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Fingerprint
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Similarity = integer dot product of deterministically quantized vectors
+  * (floor(x*1000 + 0.5), the int-quantization used by real ANN systems) —
+  * exact in both Spark and the DuckDB oracle (64 integer terms < 2^53, so
+  * the sum is order-independent even through double accumulation).
+  *
+  * Scale path: random-hyperplane LSH bucketing (Charikar '02) — each vector
+  * hashes to a sign-bit bucket; candidates only meet inside a bucket
+  * (equi-join), turning the O(n^2) cross join into a shuffle on bucket key.
+  */
+object Ann {
+
+  /** Quantized embedding column: array<long> floor(x*1000 + 0.5). */
+  private def quant(c: org.apache.spark.sql.Column) =
+    transform(c, x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force top-k: queries = vec_id < nQueries vs the whole table.
+    * The query side is broadcast (small), so no shuffle on the corpus. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), quant(col("embedding")).as("q"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), dot(col("qv"), col("q")).as("dp"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("dp").cast("double").as("dp"), col("rank"))
+  }
+
+  def bruteForceTopKSql(nQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
+       |           FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, q AS qv FROM e WHERE vec_id < $nQueries),
+       |pairs AS (
+       |  SELECT qs.qid, e.vec_id AS nid, list_inner_product(qs.qv, e.q) AS dp
+       |  FROM e, qs WHERE e.vec_id <> qs.qid),
+       |ranked AS (
+       |  SELECT qid, nid, dp,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dp DESC, nid ASC) AS rank
+       |  FROM pairs)
+       |SELECT qid, nid, CAST(dp AS DOUBLE) AS dp, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane component h(p, i) in [-1, 1). */
+  private val dimLit = 64
+
+  /** LSH-bucketed ANN: 12 sign bits from fixed pseudo-random hyperplanes →
+    * bucket id; top-k within bucket. Trades recall for a pure equi-join
+    * (measured against brute force in the test suite). */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 12): DataFrame = {
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dimLit) { (p, i) =>
+      (Fingerprint.mix64(p.toLong * 131 + i) % 1000000L).toDouble / 1000000.0
+    }
+    val bucketCol = (0 until nPlanes).map { p =>
+      val planeCol = array(planes(p).map(lit(_)): _*)
+      when(aggregate(zip_with(planeCol, col("q"), (h, x) => h * x),
+        lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = emb.select(col("vec_id"), quant(col("embedding")).as("q"))
+      .withColumn("bucket", bucketCol)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
+    e.join(queries, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), dot(col("qv"), col("q")).as("dp"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("dp").cast("double").as("dp"), col("rank"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** The geocoding operator set (SURVEY.md §2.B4/B8, §2.D1–D6, §2.E2, §2.F2–F4):
+  * forward geocode = mention extraction → phrase/grid match → zoom-aligned
+  * coalesce → proximity scoring → per-doc top-k; reverse geocode = cell join
+  * → batched PIP → kNN ring expansion → context assembly.
+  *
+  * All operators are plain DataFrame→DataFrame functions built from
+  * broadcast-able equi-joins on packed cell keys (SURVEY.md §2.D2: the
+  * ancestor-cell transformation is what makes carmen's spatial intersect an
+  * equi-join). Reference behavior: upstream carmen `lib/phrasematch.js`,
+  * `lib/spatialmatch.js` + carmen-cache `coalesce`, `lib/verifymatch.js`,
+  * `lib/context.js` [U] (tree empty at survey time, SURVEY.md §0).
+  */
+object Geocode {
+
+  final val ZRegion = 8   // coarse index zoom (regions)
+  final val ZPlace = 12   // fine index zoom (places)
+
+  /** B4+B8+D1: mention extraction via token windows (lengths 1..2) matched
+    * against a broadcast gazetteer. Map-side only: the window set is built
+    * with array higher-order functions (no shuffle), deduped per doc with
+    * array_distinct, then broadcast-hash-joined against the phrase dict.
+    *
+    * Semantics: a gazetteer name matches iff its token sequence is a
+    * contiguous subsequence of the document's token sequence (equivalently,
+    * for single-space text, `' '||text||' '` contains `' '||name||' '`).
+    */
+  def mentions(docs: DataFrame, gaz: DataFrame): DataFrame = {
+    val toks = docs.withColumn("toks", F.tokenize(col("text")))
+    val withWins = toks.withColumn("wins",
+      array_distinct(concat(
+        col("toks"),
+        zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))))
+    withWins
+      .select(col("doc_id"), col("qlon"), col("qlat"), explode(col("wins")).as("phrase"))
+      .join(broadcast(gaz), col("phrase") === col("name"))
+      .withColumn("w", size(split(col("name"), " ")) / lit(3.0))
+  }
+
+  /** D2+E2: zoom-aligned coalesce — place candidates stack with mentioned
+    * region candidates whose z8 cell contains the place's z8 ancestor cell;
+    * relev = sum of subquery weights; best region per place resolved by
+    * (weight desc, id asc). Region-only candidates survive standalone. */
+  def coalesce2(m: DataFrame): DataFrame = {
+    val placeCands = m.filter(col("typ") === "place")
+      .withColumn("cell", F.cellAt(lit(ZPlace), col("glon"), col("glat")))
+      .withColumn("cell8p", F.parentCell(col("cell"), lit(ZRegion)))
+    val regionCands = m.filter(col("typ") === "region")
+      .withColumn("cell", F.cellAt(lit(ZRegion), col("glon"), col("glat")))
+
+    val regionSide = regionCands.select(
+      col("doc_id").as("r_doc_id"), col("cell").as("r_cell"),
+      col("gid").as("rid"), col("w").as("wr"))
+
+    val stacked = placeCands.join(regionSide,
+        placeCands("doc_id") === regionSide("r_doc_id") &&
+          placeCands("cell8p") === regionSide("r_cell"),
+        "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("gid"))
+          .orderBy(col("wr").desc_nulls_last, col("rid").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("gid").as("feature_id"), col("typ"),
+        (col("w") + coalesce(col("wr"), lit(0.0))).as("relev"),
+        col("cell"), coalesce(col("rid"), lit(-1L)).as("ctx"),
+        col("score"), col("glon"), col("glat"), col("qlon"), col("qlat"))
+
+    val regionsAsCands = regionCands.select(col("doc_id"), col("gid").as("feature_id"),
+      col("typ"), col("w").as("relev"), col("cell"), lit(-1L).as("ctx"),
+      col("score"), col("glon"), col("glat"), col("qlon"), col("qlat"))
+
+    stacked.unionByName(regionsAsCands)
+  }
+
+  /** H5/H6 + F2/F3: proximity-decayed score and per-doc top-k ranking. */
+  def rank(cands: DataFrame, k: Int = 5): DataFrame = {
+    val scored = cands
+      .withColumn("dist", F.haversineKm(col("qlon"), col("qlat"), col("glon"), col("glat")))
+      .withColumn("sd", F.scoredist(col("score"), col("dist")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("relev").desc, col("sd").desc, col("feature_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("feature_id"), col("typ"), col("relev"),
+        col("cell"), col("ctx"), round(col("sd"), 4).as("sd"), col("rank"))
+  }
+
+  /** Full forward geocode (the flagship / headline benchmark pipeline). */
+  def forward(docs: DataFrame, gaz: DataFrame, k: Int = 5): DataFrame =
+    rank(coalesce2(mentions(docs, gaz)), k)
+
+  /** D5+C4: reverse geocode join — probe points equi-joined on the z-cell to
+    * cover-exploded polygon features, then exact ray-cast PIP over WKB.
+    * The cover explode happens on the (smaller) feature side; the probe side
+    * computes a single cell per point. Broadcast when the exploded index
+    * fits; salting hook for hot cells is in [[graft.ops.Skew]]. */
+  def reversePip(points: DataFrame, features: DataFrame, z: Int): DataFrame = {
+    val cover = features
+      .withColumn("cell", explode(F.tileCover(col("geom_wkb"), lit(z))))
+    val probes = points.withColumn("cell", F.cellAt(lit(z), col("elon"), col("elat")))
+    probes.join(cover, "cell")
+      .filter(F.pipWkb(col("geom_wkb"), col("elon"), col("elat")))
+  }
+
+  /** D6: kNN nearest feature within a Chebyshev disk of radius r at zoom z —
+    * carmen's nearest-within-tile/radius semantics. Join keys are the point's
+    * disk cells vs the feature's single cell; ranked by (haversine, id). */
+  def knnDisk(points: DataFrame, featurePoints: DataFrame, z: Int, r: Int): DataFrame = {
+    val probes = points
+      .withColumn("cell0", F.cellAt(lit(z), col("elon"), col("elat")))
+      .withColumn("cell", explode(F.diskCells(col("cell0"), lit(r))))
+    val feats = featurePoints
+      .withColumn("cell", F.cellAt(lit(z), col("flon"), col("flat")))
+    probes.join(feats, "cell")
+      .withColumn("dist", F.haversineKm(col("elon"), col("elat"), col("flon"), col("flat")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_id")).orderBy(col("dist").asc, col("feature_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("feature_id"), round(col("dist"), 3).as("dist_km"))
+  }
+
+  /** D5+F4: context chain — for each point, the containing feature per index
+    * type (min id per type, carmen picks the first hit), exploded as
+    * (event_id, typ, feature_id) rows ordered coarse→fine. */
+  def contextChain(points: DataFrame,
+                   typed: Seq[(String, DataFrame, Int)]): DataFrame = {
+    val parts = typed.map { case (typ, feats, z) =>
+      reversePip(points, feats, z)
+        .groupBy(col("event_id"))
+        .agg(min(col("feature_id")).as("feature_id"))
+        .withColumn("typ", lit(typ))
+    }
+    parts.reduce(_ unionByName _)
+      .select(col("event_id"), col("typ"), col("feature_id"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata,
+  * decoded in partition-sized batches.
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container) with a deterministic fake keyed on payload bytes — the
+  * Spark-side plumbing (schema, batched mapPartitions, partitioning) is
+  * real and tested. Swap [[decodeStub]] for a real decoder (e.g. JNI into
+  * libjpeg / ffmpeg) without touching the pipeline shape.
+  */
+object Multimodal {
+
+  final case class MediaPayload(doc_id: Long, payload: Array[Byte])
+  final case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
+                             height: Long, channels: Long, est_frames: Long)
+
+  /** STUB decoder: deterministic fake metadata from payload length. A real
+    * decoder would parse the container header here; per-partition batching
+    * (one decoder init per partition, not per row) is the part that matters
+    * for the pipeline shape. */
+  def decodeStub(p: MediaPayload): MediaMeta = {
+    val n = p.payload.length.toLong
+    MediaMeta(p.doc_id, n, n % 640 + 16, (n * 7) % 480 + 16, 3, n / 1024 + 1)
+  }
+
+  /** documents.text → fake binary payload → batched decode → typed metadata.
+    * mapPartitions keeps the (stubbed) decoder initialization per-partition,
+    * mirroring how a Pandas-UDF/Arrow batch decoder would run. */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads: Dataset[MediaPayload] = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaPayload]
+    payloads.mapPartitions { it =>
+      // real decoder: init native context once per partition here
+      it.map(decodeStub)
+    }.toDF()
+  }
+
+  def decodeMetaSql: String =
+    s"""SELECT doc_id,
+       |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       |       CAST(octet_length(CAST(text AS BLOB)) % 640 + 16 AS BIGINT) AS width,
+       |       CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 16 AS BIGINT) AS height,
+       |       CAST(3 AS BIGINT) AS channels,
+       |       CAST(octet_length(CAST(text AS BLOB)) // 1024 + 1 AS BIGINT) AS est_frames
+       |FROM documents""".stripMargin
+}

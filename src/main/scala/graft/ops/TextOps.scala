@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Training-data pipeline operators over the documents table: exact and
+  * near dedup (MinHash-LSH, SimHash, n-gram Jaccard), language ID, quality
+  * scoring, token counting, document fingerprinting. Standard public
+  * constructions (Broder '97 MinHash; Charikar '02 SimHash); all
+  * deterministic so results are oracle/golden-checkable.
+  */
+object TextOps {
+
+  /** Exact dedup: keep the lowest doc_id per identical text (hash-groupBy
+    * at scale: the shuffle key is the text hash, not the text itself). */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col("doc_id").asc)))
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("text"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("group_n"))
+
+  /** Deterministic "mutated copy" used to exercise near-dup detection at any
+    * scale: every 10th doc gets a clone (id + 10_000_000) with the last
+    * token dropped. Near-dup pairs exist by construction. */
+  def withMutatedCopies(docs: DataFrame): DataFrame = {
+    val clones = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("text", expr("array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 1)), ' ')"))
+    docs.unionByName(clones)
+  }
+
+  /** MinHash + LSH near-dup pairs: shingle(k=3) → 64-perm signature → 8
+    * bands of 8 rows → band-key equi-join (the scale path: candidates only
+    * ever meet inside a band bucket, a shuffle on band_key), then verify by
+    * estimated Jaccard from the full signatures. */
+  def dedupMinHash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      F.minhashSig(col("text"), lit(3), lit(64)).as("sig"),
+      F.minhashBands(col("text"), lit(3), lit(64), lit(8)).as("bands"))
+    val banded = sigs.select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
+    val a = banded.select(col("band"), col("doc_id").as("a"), col("sig").as("siga"))
+    val b = banded.select(col("band"), col("doc_id").as("b"), col("sig").as("sigb"))
+    a.join(b, "band").filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        aggregate(zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).as("n_eq"))
+      .distinct()
+      .withColumn("est_jaccard", col("n_eq") / lit(64.0))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint, blocked on 4×16-bit bands
+    * (any pair at Hamming ≤ 3 shares at least one exact band), verified by
+    * exact Hamming distance. */
+  def dedupSimHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col("doc_id"), F.simhash64(col("text")).as("sh"))
+    val banded = hashed.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)) + lit(i.toLong << 16)): _*))
+        .as("band"))
+    val a = banded.select(col("band"), col("doc_id").as("a"), col("sh").as("sha"))
+    val b = banded.select(col("band"), col("doc_id").as("b"), col("sh").as("shb"))
+    a.join(b, "band").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Token-set Jaccard near-dup among candidate pairs blocked by
+    * (lang, length bucket) — the exact-verify stage of the dedup family. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 100).cast("long").as("bucket"),
+      array_distinct(F.tokenize(col("text"))).as("toks"))
+    val a = t.select(col("lang"), col("bucket"), col("doc_id").as("a"), col("toks").as("ta"))
+    val b = t.select(col("lang"), col("bucket"), col("doc_id").as("b"), col("toks").as("tb"))
+    a.join(b, Seq("lang", "bucket")).filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"))
+  }
+
+  /** Oracle mirror of [[ngramJaccard]] ∘ [[withMutatedCopies]]. */
+  def ngramJaccardSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text, lang, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |         array_to_string(list_slice(string_split(text, ' '), 1,
+       |           greatest(len(string_split(text, ' ')) - 1, 1)), ' '),
+       |         lang, n_chars
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |t AS (SELECT doc_id, lang, n_chars // 100 AS bucket,
+       |             list_distinct(string_split(text, ' ')) AS toks FROM aug),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |         len(list_intersect(a.toks, b.toks)) AS inter,
+       |         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT a, b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+       |FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.5""".stripMargin
+
+  /** Stopword-profile language ID (n-gram heuristic over the fixed profiles;
+    * deterministic argmax with alphabetical tie-break). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "das", "und", "slow"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("el", "la", "y", "big"),
+    "fr" -> Seq("le", "la", "et", "fast"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
+    val scored = langProfiles.foldLeft(toks) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("toks"), t => t.isin(words.map(lit(_)): _*))))
+    }
+    val best = langProfiles.map(_._1).foldLeft((lit(""), lit(-1))) {
+      case ((bl, bs), lang) =>
+        val better = col(s"s_$lang") > bs
+        (when(better, lit(lang)).otherwise(bl), when(better, col(s"s_$lang")).otherwise(bs))
+    }
+    scored.select(col("doc_id"), best._1.as("pred_lang"), best._2.cast("long").as("score"))
+  }
+
+  def langIdSql: String = {
+    def s(words: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val cols = langProfiles.map { case (l, ws) => s"${s(ws)} AS s_$l" }.mkString(", ")
+    // fold in the same order as the Scala side: strictly-greater replaces
+    val (predExpr, scoreExpr) = langProfiles.map(_._1).foldLeft(("''", "-1")) {
+      case ((bl, bs), lang) =>
+        (s"CASE WHEN s_$lang > ($bs) THEN '$lang' ELSE ($bl) END",
+          s"CASE WHEN s_$lang > ($bs) THEN s_$lang ELSE ($bs) END")
+    }
+    s"""WITH sc AS (SELECT doc_id, $cols FROM documents)
+       |SELECT doc_id, $predExpr AS pred_lang, CAST($scoreExpr AS BIGINT) AS score
+       |FROM sc""".stripMargin
+  }
+
+  /** Quality scoring: token count, type-token ratio, stopword ratio, and a
+    * composite score — exact rational arithmetic (oracle-identical). */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(lit("the"), lit("a")))).cast("long"))
+      .withColumn("quality", round(
+        (col("n_uniq").cast("double") / col("n_tok")) * 0.5 +
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) * 0.5, 6))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_stop"), col("quality"))
+
+  def qualityScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_tok,
+       |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+       |       CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+       |       round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5 +
+       |             (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)) * 0.5,
+       |             6) AS quality
+       |FROM t""".stripMargin
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (ceil(chars/4) per token, summed). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
+      .withColumn("n_ws", size(col("toks")).cast("long"))
+      .withColumn("n_bpe_est",
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")))
+      .select(col("doc_id"), col("n_ws"), col("n_bpe_est"))
+
+  def tokenCountSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
+       |       CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
+       |FROM t""".stripMargin
+
+  /** Rolling-hash document fingerprint + simhash (rows-only check; the
+    * integer math is frozen by ScalaTest goldens). */
+  def docFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), F.docFingerprint(col("text")).as("fp"),
+      F.simhash64(col("text")).as("sh"))
+}

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.ops.Geocode
+import graft.synth.Synth
+
+/** Driver-facing operator queries (SparkEntry.queries) with their DuckDB
+  * oracle mirrors (SparkEntry.oracleSql). Column names are aligned on both
+  * sides (the driver sorts columns by name before hashing). Every derived
+  * input comes from graft.synth.Synth so Spark and SQL stay in lock-step.
+  */
+object Queries {
+
+  import Synth._
+
+  // =================================================================
+  // Forward geocode (flagship): B4/B8 → D1 → D2/E2 → H5/H6 → F2/F3
+  // =================================================================
+
+  def fwdGeocode(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.forward(docPages(spark, sfDir), gazDf(spark))
+
+  def fwdGeocodeSql: String = {
+    val cell12 = cellSql(12, "glon", "glat")
+    val cell8 = cellSql(8, "glon", "glat")
+    val cell8p = cellSql(8, "glon", "glat") // parent of z12 == direct z8 of same point
+    s"""WITH $gazCte,
+       |docs AS (${docPagesSql}),
+       |mention AS (
+       |  SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score, g.glon, g.glat,
+       |         len(string_split(g.name, ' ')) / 3.0 AS w
+       |  FROM docs d JOIN gaz g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')),
+       |placecand AS (
+       |  SELECT *, $cell12 AS cell, $cell8p AS cell8p FROM mention WHERE typ = 'place'),
+       |regioncand AS (
+       |  SELECT *, $cell8 AS cell FROM mention WHERE typ = 'region'),
+       |stacked AS (
+       |  SELECT p.*, r.gid AS rid, r.w AS wr,
+       |         row_number() OVER (PARTITION BY p.doc_id, p.gid
+       |                            ORDER BY r.w DESC NULLS LAST, r.gid ASC NULLS LAST) AS rn
+       |  FROM placecand p
+       |  LEFT JOIN regioncand r ON r.doc_id = p.doc_id AND r.cell = p.cell8p),
+       |cands AS (
+       |  SELECT doc_id, gid AS feature_id, typ, w + COALESCE(wr, 0.0) AS relev,
+       |         cell, COALESCE(rid, -1) AS ctx, score, glon, glat, qlon, qlat
+       |  FROM stacked WHERE rn = 1
+       |  UNION ALL
+       |  SELECT doc_id, gid, typ, w, cell, -1, score, glon, glat, qlon, qlat
+       |  FROM regioncand),
+       |scored AS (
+       |  SELECT *, score / (1.0 + ${haversineSql("qlon", "qlat", "glon", "glat")} / 40.0) AS sd
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY relev DESC, sd DESC, feature_id ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, feature_id, typ, relev, cell, ctx, round(sd, 4) AS sd, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  // =================================================================
+  // H1: cell assignment + count per cell (E1-style agg)
+  // =================================================================
+
+  def cellAssign(spark: SparkSession, sfDir: String): DataFrame =
+    eventPoints(spark, sfDir)
+      .withColumn("cell", F.cellAt(lit(12), col("elon"), col("elat")))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+
+  def cellAssignSql: String =
+    s"""WITH pts AS (${eventPointsSql})
+       |SELECT ${cellSql(12, "elon", "elat")} AS cell, count(*) AS cnt
+       |FROM pts GROUP BY 1""".stripMargin
+
+  // =================================================================
+  // H3: parent-cell bit math (zoom alignment) — pure packed-key arithmetic
+  // =================================================================
+
+  def parentCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = eventPoints(spark, sfDir)
+      .withColumn("cell12", F.cellAt(lit(12), col("elon"), col("elat")))
+    pts.select(col("event_id"), col("cell12"),
+      F.parentCell(col("cell12"), lit(8)).as("cell8"),
+      F.parentCell(col("cell12"), lit(6)).as("cell6"))
+  }
+
+  def parentCellsSql: String = {
+    // unpack z:5|x:28|y:28 with integer arithmetic, reshift at target zoom
+    def parent(zp: Int, dz: Int) =
+      s"(${zp}::BIGINT * 72057594037927936 + ((cell12 // 268435456) % 268435456 // ${1L << dz}) * 268435456 + (cell12 % 268435456) // ${1L << dz})"
+    s"""WITH pts AS (${eventPointsSql}),
+       |c AS (SELECT event_id, ${cellSql(12, "elon", "elat")} AS cell12 FROM pts)
+       |SELECT event_id, cell12, ${parent(8, 4)} AS cell8, ${parent(6, 6)} AS cell6
+       |FROM c""".stripMargin
+  }
+
+  // =================================================================
+  // H2: tile cover of polygon features (rect WKB → packed cells)
+  // =================================================================
+
+  def tileCoverRect(spark: SparkSession, sfDir: String): DataFrame =
+    custFeatures(spark, sfDir)
+      .select(col("feature_id"), explode(F.tileCover(col("geom_wkb"), lit(8))).as("cell"))
+
+  def tileCoverRectSql: String =
+    s"""WITH cf AS (${custFeaturesSql})
+       |SELECT f.feature_id,
+       |       (8::BIGINT * 72057594037927936 + xs.x * 268435456 + ys.y) AS cell
+       |FROM cf f,
+       |LATERAL (SELECT unnest(generate_series(${tileXSql(8, "f.west")}, ${tileXSql(8, "f.east")})) AS x) xs,
+       |LATERAL (SELECT unnest(generate_series(${tileYSql(8, "f.north")}, ${tileYSql(8, "f.south")})) AS y) ys""".stripMargin
+
+  // =================================================================
+  // D5+C4: reverse geocode join (cell equi-join + ray-cast PIP)
+  // =================================================================
+
+  def reversePip(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.reversePip(eventPoints(spark, sfDir), custFeatures(spark, sfDir), 8)
+      .select(col("event_id"), col("feature_id"))
+
+  def reversePipSql: String =
+    s"""WITH cf AS (${custFeaturesSql}), pts AS (${eventPointsSql})
+       |SELECT p.event_id, f.feature_id
+       |FROM pts p JOIN cf f
+       |  ON p.elon >= f.west AND p.elon < f.east
+       | AND p.elat >= f.south AND p.elat < f.north""".stripMargin
+
+  // =================================================================
+  // D6: kNN nearest feature within Chebyshev disk r=2 at z8
+  // =================================================================
+
+  def knnDisk(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = custFeatures(spark, sfDir)
+      .select(col("feature_id"), col("flon"), col("flat"))
+    Geocode.knnDisk(eventPoints(spark, sfDir), feats, 8, 2)
+  }
+
+  def knnDiskSql: String =
+    s"""WITH cf AS (${custFeaturesSql}), pts AS (${eventPointsSql}),
+       |pc AS (SELECT event_id, elon, elat,
+       |              ${tileXSql(8, "elon")} AS ex, ${tileYSql(8, "elat")} AS ey FROM pts),
+       |fc AS (SELECT feature_id, flon, flat,
+       |              ${tileXSql(8, "flon")} AS fx, ${tileYSql(8, "flat")} AS fy FROM cf),
+       |cand AS (
+       |  SELECT p.event_id, f.feature_id,
+       |         ${haversineSql("p.elon", "p.elat", "f.flon", "f.flat")} AS dist
+       |  FROM pc p, LATERAL (SELECT unnest(generate_series(-2, 2)) AS dx) dxs,
+       |       LATERAL (SELECT unnest(generate_series(-2, 2)) AS dy) dys
+       |  JOIN fc f ON f.fx = p.ex + dxs.dx AND f.fy = p.ey + dys.dy),
+       |ranked AS (
+       |  SELECT event_id, feature_id, dist,
+       |         row_number() OVER (PARTITION BY event_id ORDER BY dist ASC, feature_id ASC) AS rn
+       |  FROM cand)
+       |SELECT event_id, feature_id, round(dist, 3) AS dist_km FROM ranked WHERE rn = 1""".stripMargin
+
+  // =================================================================
+  // F4: context chain (country rect ⊃ place rect per point)
+  // =================================================================
+
+  def contextChain(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.contextChain(eventPoints(spark, sfDir), Seq(
+      ("country", nationFeatures(spark, sfDir), 6),
+      ("place", custFeatures(spark, sfDir), 8)))
+
+  def contextChainSql: String =
+    s"""WITH nf AS (${nationFeaturesSql}), cf AS (${custFeaturesSql}),
+       |pts AS (${eventPointsSql})
+       |SELECT p.event_id, 'country' AS typ, min(f.feature_id) AS feature_id
+       |FROM pts p JOIN nf f ON p.elon >= f.west AND p.elon < f.east
+       |                    AND p.elat >= f.south AND p.elat < f.north
+       |GROUP BY 1
+       |UNION ALL
+       |SELECT p.event_id, 'place' AS typ, min(f.feature_id) AS feature_id
+       |FROM pts p JOIN cf f ON p.elon >= f.west AND p.elon < f.east
+       |                    AND p.elat >= f.south AND p.elat < f.north
+       |GROUP BY 1""".stripMargin
+
+  // =================================================================
+  // C3: bbox filter (z10 cells emitted for the matching points)
+  // =================================================================
+
+  private val bbox = (-30.0, -20.0, 40.0, 35.0) // w, s, e, n
+
+  def bboxFilter(spark: SparkSession, sfDir: String): DataFrame =
+    eventPoints(spark, sfDir)
+      .filter(col("elon") >= bbox._1 && col("elon") < bbox._3 &&
+        col("elat") >= bbox._2 && col("elat") < bbox._4)
+      .select(col("event_id"), F.cellAt(lit(10), col("elon"), col("elat")).as("cell"))
+
+  def bboxFilterSql: String =
+    s"""WITH pts AS (${eventPointsSql})
+       |SELECT event_id, ${cellSql(10, "elon", "elat")} AS cell
+       |FROM pts
+       |WHERE elon >= ${bbox._1} AND elon < ${bbox._3}
+       |  AND elat >= ${bbox._2} AND elat < ${bbox._4}""".stripMargin
+
+  // =================================================================
+  // A4/E3: grid index content (phrase → cover cells of its feature)
+  // =================================================================
+
+  def gridIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("feature_id"), F.phraseForm(col("c_name")).as("phrase"))
+    custFeatures(spark, sfDir)
+      .join(cust, "feature_id")
+      .select(col("phrase"), explode(F.tileCover(col("geom_wkb"), lit(8))).as("cell"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_cells"), min("cell").as("min_cell"), max("cell").as("max_cell"))
+  }
+
+  def gridIndexSql: String =
+    s"""WITH cf AS (${custFeaturesSql}),
+       |nm AS (SELECT c_custkey AS feature_id, lower(replace(c_name, '#', ' ')) AS phrase
+       |       FROM customer),
+       |cover AS (
+       |  SELECT n.phrase,
+       |         (8::BIGINT * 72057594037927936 + xs.x * 268435456 + ys.y) AS cell
+       |  FROM cf f JOIN nm n ON n.feature_id = f.feature_id,
+       |  LATERAL (SELECT unnest(generate_series(${tileXSql(8, "f.west")}, ${tileXSql(8, "f.east")})) AS x) xs,
+       |  LATERAL (SELECT unnest(generate_series(${tileYSql(8, "f.north")}, ${tileYSql(8, "f.south")})) AS y) ys)
+       |SELECT phrase, count(*) AS n_cells, min(cell) AS min_cell, max(cell) AS max_cell
+       |FROM cover GROUP BY 1""".stripMargin
+
+  // =================================================================
+  // E1/B6: term → document frequency
+  // =================================================================
+
+  def freqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(array_distinct(F.tokenize(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  def freqIndexSql: String =
+    s"""SELECT t AS term, count(*) AS df FROM (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents)
+       |GROUP BY 1""".stripMargin
+
+  // =================================================================
+  // E5: hot cells (salting input — top-20 heavy z6 cells)
+  // =================================================================
+
+  def hotCells(spark: SparkSession, sfDir: String): DataFrame =
+    eventPoints(spark, sfDir)
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("cell").asc)
+      .limit(20)
+
+  def hotCellsSql: String =
+    s"""WITH pts AS (${eventPointsSql})
+       |SELECT ${cellSql(6, "elon", "elat")} AS cell, count(*) AS cnt
+       |FROM pts GROUP BY 1
+       |ORDER BY cnt DESC, cell ASC LIMIT 20""".stripMargin
+
+  // =================================================================
+  // B5: prefix (autocomplete) and fuzzy phrase match
+  // =================================================================
+
+  private val prefixes = Seq("ha", "so", "table s", "qu", "fa", "merge")
+
+  def phrasePrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = prefixes.toDF("prefix")
+    p.crossJoin(broadcast(gazDf(spark)))
+      .filter(col("name").startsWith(col("prefix")))
+      .select(col("prefix"), col("gid"), col("name"))
+  }
+
+  def phrasePrefixSql: String = {
+    val pvals = prefixes.map(p => s"('$p')").mkString(", ")
+    s"""WITH $gazCte, p(prefix) AS (VALUES $pvals)
+       |SELECT p.prefix, g.gid, g.name
+       |FROM p JOIN gaz g ON starts_with(g.name, p.prefix)""".stripMargin
+  }
+
+  def fuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = freqIndex(spark, sfDir).select(col("term"))
+    val singles = gazDf(spark).filter(!col("name").contains(" "))
+      .select(col("name"), col("gid"))
+    terms.crossJoin(broadcast(singles))
+      .withColumn("dist", levenshtein(col("term"), col("name")))
+      .filter(col("dist") <= 1)
+      .select(col("term"), col("name"), col("dist"))
+  }
+
+  def fuzzyMatchSql: String =
+    s"""WITH $gazCte,
+       |terms AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+       |          FROM documents)
+       |SELECT t.term, g.name, levenshtein(t.term, g.name) AS dist
+       |FROM terms t JOIN gaz g ON NOT contains(g.name, ' ')
+       |WHERE levenshtein(t.term, g.name) <= 1""".stripMargin
+}
