@@ -1,0 +1,54 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Grid-index build (SURVEY.md §3.3: features → phrases × covers → packed
+  * grid entries → Hilbert-range-partitioned sorted table + freq table).
+  *
+  * Carmen's gridstore holds, per phrase, a sorted packed list of
+  * (x, y, feature id, quantized relev, quantized score) at the index zoom
+  * (upstream `lib/util/grid.js` / carmen-cache [U]). Here the same content
+  * is one flat Dataset `(phrase_id, cell, feature_id, relev_q, score_q,
+  * hkey)` kept globally sorted by Hilbert key — the "broadcastable sorted
+  * cell->feature-id array" of the north star: a range predicate on `hkey`
+  * replaces the per-phrase pointer chase, and parquet min/max pruning
+  * replaces shard lookup.
+  */
+object IndexBuild {
+
+  /** Stable 64-bit phrase id (FNV-1a): avoids a global dictionary sort at
+    * build time; collisions at 10^12 phrases are ~1e-4 (birthday) and only
+    * cost a false candidate that text-verify (D4) then drops. */
+  def phraseId(phrase: org.apache.spark.sql.Column) = xxhash64(phrase)
+
+  /** relev quantized to 2 bits over {0.4, 0.6, 0.8, 1.0} (carmen's grid
+    * encoding [U~]); score log-quantized to 3 bits. */
+  def relevQ(relev: org.apache.spark.sql.Column) =
+    least(lit(3), greatest(lit(0), round(relev * 5, 0).cast("int") - 2))
+  def scoreQ(score: org.apache.spark.sql.Column) =
+    least(lit(7), floor(log(2.0, greatest(score, lit(1.0)))).cast("int"))
+
+  /** features(feature_id, phrase, score, geom_wkb) → grid index rows. */
+  def gridEntries(features: DataFrame, z: Int): DataFrame =
+    features
+      .withColumn("phrase_id", phraseId(col("phrase")))
+      .withColumn("cell", explode(F.tileCover(col("geom_wkb"), lit(z))))
+      .withColumn("relev_q", relevQ(lit(1.0)))
+      .withColumn("score_q", scoreQ(col("score")))
+      .withColumn("hkey", F.hilbertCell(col("cell")))
+      .select("phrase_id", "cell", "feature_id", "relev_q", "score_q", "hkey")
+
+  /** Build + persist the sorted grid index and the freq table. */
+  def build(spark: SparkSession, features: DataFrame, docs: DataFrame,
+            z: Int, outDir: String, numRanges: Int): Unit = {
+    TableIO.writeSorted(gridEntries(features, z), s"$outDir/grid_index",
+      rangeKey = "hkey", sortCols = Seq("hkey", "phrase_id", "feature_id"),
+      numRanges = numRanges)
+    val freq = docs
+      .select(explode(array_distinct(F.tokenize(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    freq.coalesce(1).write.mode("overwrite").parquet(s"$outDir/freq")
+  }
+}

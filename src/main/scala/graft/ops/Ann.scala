@@ -55,24 +55,30 @@ object Ann {
   /** Deterministic pseudo-random hyperplane component h(p, i) in [-1, 1). */
   private val dimLit = 64
 
-  /** LSH-bucketed ANN: 12 sign bits from fixed pseudo-random hyperplanes →
-    * bucket id; top-k within bucket. Trades recall for a pure equi-join
-    * (measured against brute force in the test suite). */
-  def lshTopK(emb: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 12): DataFrame = {
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dimLit) { (p, i) =>
+  /** Multi-table LSH-bucketed ANN: `nTables` independent hash tables, each
+    * bucketing on `planesPerTable` sign bits of fixed pseudo-random
+    * hyperplanes; candidates = union across tables (distinct), then exact
+    * top-k within candidates. Standard recall/efficiency trade: per-table
+    * collision ~(1-θ/π)^b, union over tables recovers recall while every
+    * table remains a pure equi-join on (table, bucket). */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+    val planes: Array[Array[Double]] = Array.tabulate(nTables * planesPerTable, dimLit) { (p, i) =>
       (Fingerprint.mix64(p.toLong * 131 + i) % 1000000L).toDouble / 1000000.0
     }
-    val bucketCol = (0 until nPlanes).map { p =>
-      val planeCol = array(planes(p).map(lit(_)): _*)
+    def tableBucket(t: Int) = (0 until planesPerTable).map { b =>
+      val planeCol = array(planes(t * planesPerTable + b).map(lit(_)): _*)
       when(aggregate(zip_with(planeCol, col("q"), (h, x) => h * x),
-        lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+        lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _) + lit(t.toLong << 32)
     val e = emb.select(col("vec_id"), quant(col("embedding")).as("q"))
-      .withColumn("bucket", bucketCol)
+      .withColumn("bucket", explode(array((0 until nTables).map(tableBucket): _*)))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
     e.join(queries, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), dot(col("qv"), col("q")).as("dp"))
+      .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("q"))
+      .distinct()
+      .select(col("qid"), col("nid"), dot(col("qv"), col("q")).as("dp"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dp").desc, col("nid").asc)))
       .filter(col("rank") <= k)

@@ -1,0 +1,85 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import graft.core.{CellMath, Geo, Text}
+import graft.functions.F
+
+/** Catalyst expressions agree with the pure core (eval + codegen paths). */
+class ExprsSpec extends SparkTestBase {
+
+  test("cell_at / parent_cell / hilbert expressions match core") {
+    import spark.implicits._
+    val pts = Seq((2.3522, 48.8566), (-74.006, 40.7128), (151.2, -33.86), (0.0, 0.0))
+    val df = pts.toDF("lon", "lat")
+      .withColumn("c14", F.cellAt(lit(14), col("lon"), col("lat")))
+      .withColumn("p8", F.parentCell(col("c14"), lit(8)))
+      .withColumn("h", F.hilbertCell(col("c14")))
+      .collect()
+    pts.zip(df).foreach { case ((lon, lat), row) =>
+      val c = CellMath.lonLatToCell(14, lon, lat)
+      assert(row.getLong(2) == c)
+      assert(row.getLong(3) == CellMath.parentCell(c, 8))
+      assert(row.getLong(4) == CellMath.hilbertOfCell(c))
+    }
+    // known-good spot check: Paris z14
+    val paris = CellMath.lonLatToCell(14, 2.3522, 48.8566)
+    assert(CellMath.xOf(paris) == 8299 && CellMath.yOf(paris) == 5636)
+  }
+
+  test("ring/disk cells expressions match core") {
+    import spark.implicits._
+    val c = CellMath.lonLatToCell(8, 10.0, 50.0)
+    val r = Seq(c).toDF("cell")
+      .select(F.ringCells(col("cell"), lit(2)).as("ring"),
+        F.diskCells(col("cell"), lit(2)).as("disk"))
+      .head()
+    assert(r.getSeq[Long](0).toArray.sorted.sameElements(CellMath.ringCells(c, 2).sorted))
+    assert(r.getSeq[Long](1).length == 25)
+  }
+
+  test("rect_wkb + pip_wkb: half-open [w,e) x [s,n) semantics") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0, 10.0, 10.0)).toDF("w", "s", "e", "n")
+      .withColumn("g", F.rectWkb(col("w"), col("s"), col("e"), col("n")))
+    val cases = Seq(
+      (5.0, 5.0, true), (0.0, 5.0, true), (10.0, 5.0, false),
+      (5.0, 0.0, true), (5.0, 10.0, false), (0.0, 0.0, true),
+      (-1.0, 5.0, false), (11.0, 5.0, false))
+    cases.foreach { case (lon, lat, want) =>
+      val got = df.select(F.pipWkb(col("g"), lit(lon), lit(lat))).head().getBoolean(0)
+      assert(got == want, s"pip($lon,$lat) want=$want got=$got")
+    }
+  }
+
+  test("tile_cover of a rect equals the tile-range cross product") {
+    import spark.implicits._
+    val (w, s, e, n) = (8.3, 47.2, 11.7, 49.9)
+    val cover = Seq(1).toDF("i")
+      .select(F.tileCover(F.rectWkb(lit(w), lit(s), lit(e), lit(n)), lit(8)).as("c"))
+      .head().getSeq[Long](0).toSet
+    val xs = CellMath.lonToX(8, w) to CellMath.lonToX(8, e)
+    val ys = CellMath.latToY(8, n) to CellMath.latToY(8, s)
+    val expect = (for { x <- xs; y <- ys } yield CellMath.pack(8, x, y)).toSet
+    assert(cover == expect)
+  }
+
+  test("tokenize / extract_text expressions match core") {
+    import spark.implicits._
+    val html = "<html><title>T&amp;t</title><body><p>Hello  <b>World</b></p><script>no()</script></body></html>"
+    val r = Seq((html.getBytes("UTF-8"), "Hash JOIN, fast!")).toDF("h", "t")
+      .select(F.extractText(col("h")).as("x"), F.tokenize(col("t")).as("k"),
+        F.phraseForm(col("t")).as("p"))
+      .head()
+    assert(r.getString(0) == Text.extractText(html.getBytes("UTF-8")))
+    assert(r.getSeq[String](1) == Text.tokenize("Hash JOIN, fast!").toSeq)
+    assert(r.getString(2) == Text.phraseForm("Hash JOIN, fast!"))
+  }
+
+  test("haversine column mirrors core within 1e-9 (London-Paris ~343.5km)") {
+    import spark.implicits._
+    val d = Seq((-0.1276, 51.5072, 2.3522, 48.8566)).toDF("a", "b", "c", "d")
+      .select(F.haversineKm(col("a"), col("b"), col("c"), col("d"))).head().getDouble(0)
+    assert(math.abs(d - Geo.haversineKm(-0.1276, 51.5072, 2.3522, 48.8566)) < 1e-9)
+    assert(math.abs(d - 343.5) < 1.0)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import graft.core.{CellMath, Geo}
+import graft.functions.F
+import graft.ops.Geocode
+import graft.synth.Synth
+import graft.pipeline.{Checkpoint, Skew}
+import graft.index.{IndexBuild, TableIO}
+import java.nio.file.Files
+
+/** End-to-end pipeline contracts: forward geocode semantics, reverse PIP
+  * equivalence, kNN-vs-brute-force, salted-join equivalence, index build
+  * layout, and the kill-and-resume checkpoint guarantee. */
+class PipelineSpec extends SparkTestBase {
+
+  import Synth._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("forward geocode: hand-checked doc produces the expected stack") {
+    import spark.implicits._
+    // doc mentions place "hash join" (gid 101, region idx 101%... i=0 -> region 0 "data")
+    // and region "data" (gid 1): they stack since place 0 sits inside region 0's z8 cell.
+    val docs = Seq((1L, "the hash join data pipeline", 10.0, 20.0))
+      .toDF("doc_id", "text", "qlon", "qlat")
+    val out = Geocode.forward(docs, gazDf(spark)).orderBy("rank").collect()
+    val byId = out.map(r => r.getLong(1) -> r).toMap
+    // candidates: "hash join"(101), "hash"(112+?) - check names list: places singles start at idx 12 ("hash" -> gid 113)
+    val hashJoin = places.find(_.name == "hash join").get
+    val hashF = places.find(_.name == "hash").get
+    val joinF = places.find(_.name == "join").get
+    val dataR = regions.find(_.name == "data").get
+    assert(byId.contains(hashJoin.id) && byId.contains(dataR.id))
+    // "hash join" is 2 tokens -> w=2/3; stacked with region "data" (i=0 -> region 0) if containment holds
+    val hj = byId(hashJoin.id)
+    assert(hj.getDouble(3) == 2.0 / 3.0 + 1.0 / 3.0) // relev = w_p + w_r
+    assert(hj.getLong(5) == dataR.id) // ctx
+    assert(hj.getInt(7) == 1) // top rank: highest relev
+    // single-word places "hash" and "join": relev 1/3 (+1/3 if inside a mentioned region)
+    assert(byId.contains(hashF.id) || byId.contains(joinF.id))
+    // cell column: z12 cell of the place
+    assert(hj.getLong(4) == CellMath.lonLatToCell(12, hashJoin.lon, hashJoin.lat))
+  }
+
+  test("reverse PIP join equals brute-force rectangle containment") {
+    val pts = eventPoints(spark, "/root/testdata/sf0.001")
+    val feats = custFeatures(spark, "/root/testdata/sf0.001")
+    val viaIndex = Geocode.reversePip(pts, feats, 8)
+      .select("event_id", "feature_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.crossJoin(feats)
+      .filter(col("elon") >= col("west") && col("elon") < col("east") &&
+        col("elat") >= col("south") && col("elat") < col("north"))
+      .select("event_id", "feature_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == brute)
+  }
+
+  test("kNN disk join equals brute-force argmin within the Chebyshev disk") {
+    val pts = eventPoints(spark, "/root/testdata/sf0.001").limit(200)
+    val feats = custFeatures(spark, "/root/testdata/sf0.001")
+      .select(col("feature_id"), col("flon"), col("flat"))
+    val got = Geocode.knnDisk(pts, feats, 8, 2)
+      .select("event_id", "feature_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force in Scala
+    val p = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val f = feats.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    p.foreach { case (eid, elon, elat) =>
+      val ec = CellMath.lonLatToCell(8, elon, elat)
+      val cands = f.filter { case (_, flon, flat) =>
+        val fc = CellMath.lonLatToCell(8, flon, flat)
+        math.max(math.abs(CellMath.xOf(fc) - CellMath.xOf(ec)),
+          math.abs(CellMath.yOf(fc) - CellMath.yOf(ec))) <= 2
+      }
+      if (cands.isEmpty) assert(!got.contains(eid))
+      else {
+        val best = cands.minBy { case (fid, flon, flat) =>
+          (Geo.haversineKm(elon, elat, flon, flat), fid)
+        }
+        assert(got.get(eid).contains(best._1), s"event $eid")
+      }
+    }
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // 5000 probes on one hot key + uniform tail; index has all keys
+    val probe = spark.range(6000)
+      .select(col("id").as("pid"), when(col("id") < 5000, 7L).otherwise(col("id") % 50).as("key"))
+    val index = spark.range(50).select(col("id").as("key"), (col("id") * 10).as("v"))
+    val hot = Skew.hotKeys(probe, "key", k = 4, threshold = 100)
+    assert(hot.contains(7L))
+    val salted = Skew.saltedJoin(probe, index, "key", "pid", hot, s = 8)
+      .select("pid", "key", "v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = probe.join(index, "key")
+      .select("pid", "key", "v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("grid index build: sorted by hilbert key, manifest ranges consistent") {
+    val out = tmp("gridindex")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").as("feature_id"), F.phraseForm(col("c_name")).as("phrase"))
+    val feats = custFeatures(spark, "/root/testdata/sf0.001")
+      .join(cust, "feature_id")
+      .select(col("feature_id"), col("phrase"), col("fscore").as("score"), col("geom_wkb"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    IndexBuild.build(spark, feats, docs, z = 8, outDir = out, numRanges = 4)
+
+    val idx = spark.read.parquet(s"$out/grid_index")
+    assert(idx.count() > 0)
+    // per-file sortedness on hkey
+    val perFile = idx.select(input_file_name().as("f"), col("hkey"))
+      .collect().groupBy(_.getString(0)).values
+    perFile.foreach { rows =>
+      val ks = rows.map(_.getLong(1))
+      assert(ks.sameElements(ks.sorted), "hkey not sorted within file")
+    }
+    // manifest exists with non-overlapping file ranges
+    val man = TableIO.manifestJson(s"$out/grid_index")
+    assert(man.exists(_.contains("\"range_key\": \"hkey\"")))
+    val los = "\"lo\": (-?\\d+)".r.findAllMatchIn(man.get).map(_.group(1).toLong).toList
+    val his = "\"hi\": (-?\\d+)".r.findAllMatchIn(man.get).map(_.group(1).toLong).toList
+    los.zip(his).sliding(2).foreach {
+      case List((_, h1), (l2, _)) => assert(h1 <= l2, "file ranges overlap")
+      case _ =>
+    }
+    // freq table written
+    assert(spark.read.parquet(s"$out/freq").count() == 31)
+  }
+
+  test("checkpoint: kill-and-resume recomputes nothing, result identical") {
+    val out1 = tmp("ckpt_resume")
+    val out2 = tmp("ckpt_clean")
+    val pts = eventPoints(spark, "/root/testdata/sf0.001")
+      .withColumn("cell", F.cellAt(lit(8), col("elon"), col("elat")))
+      .withColumn("hkey", F.hilbertCell(col("cell")))
+    val ranges = Checkpoint.uniformRanges(8, 6)
+    def slice(lo: Long, hi: Long) =
+      pts.filter(col("hkey") >= lo && col("hkey") < hi)
+        .select("event_id", "cell", "hkey")
+
+    // clean run
+    val doneClean = Checkpoint.runResumable(spark, slice, ranges, out2)
+    assert(doneClean.size == 6)
+    // killed run: crash after 2 ranges
+    val crashed = intercept[RuntimeException] {
+      Checkpoint.runResumable(spark, slice, ranges, out1, failAfter = Some(2))
+    }
+    assert(crashed.getMessage.contains("injected"))
+    assert(Checkpoint.completedRanges(out1).size == 2)
+    // resume: only the remaining 4 run
+    val resumed = Checkpoint.runResumable(spark, slice, ranges, out1)
+    assert(resumed.size == 4)
+    assert(resumed.toSet.intersect(Checkpoint.completedRanges(out1) -- resumed).isEmpty)
+    // identical union
+    val a = Checkpoint.readAll(spark, out1).select("event_id").collect().map(_.getLong(0)).sorted
+    val b = Checkpoint.readAll(spark, out2).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    assert(a.length == pts.count())
+  }
+}
