@@ -32,6 +32,12 @@ object SparkEntry {
     "hot_cells" -> ((s, d) => Queries.hotCells(s, d)),
     "phrase_prefix" -> ((s, d) => Queries.phrasePrefix(s, d)),
     "fuzzy_match" -> ((s, d) => Queries.fuzzyMatch(s, d)),
+    "extract_text" -> ((s, d) => Queries.extractTextQ(s, d)),
+    "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
+    "place_name_fmt" -> ((s, d) => Queries.placeNameFmt(s, d)),
+    "raster_mask" -> ((s, d) =>
+      ops.Raster.rasterTiles(s, Synth.custFeatures(s, d), 8)
+        .select(col("cell"), col("n_features"), col("pop"))),
     // --- training-data pipeline ops ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s.read.parquet(s"$d/documents.parquet"))),
     "dedup_minhash" -> ((s, d) =>
@@ -79,6 +85,9 @@ object SparkEntry {
     "hot_cells" -> Queries.hotCellsSql,
     "phrase_prefix" -> Queries.phrasePrefixSql,
     "fuzzy_match" -> Queries.fuzzyMatchSql,
+    "extract_text" -> Queries.extractTextQSql,
+    "addr_interp" -> ops.Address.interpolateSql,
+    "place_name_fmt" -> Queries.placeNameFmtSql,
     "dedup_exact" ->
       """SELECT doc_id, CAST(cnt AS BIGINT) AS group_n FROM (
         |  SELECT doc_id, count(*) OVER (PARTITION BY text) AS cnt,

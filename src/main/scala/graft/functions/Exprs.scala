@@ -212,6 +212,21 @@ object Exprs {
       copy(first = f, second = s, third = t, fourth = q)
   }
 
+  /** lsh_bands(sig, rowsPerBand): LSH band keys derived from an existing
+    * MinHash signature — avoids re-hashing the document when both the
+    * signature and its bands are needed. */
+  case class LshBandsFromSig(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "lsh_bands"
+    override def nullSafeEval(sig: Any, rpb: Any): Any =
+      new GenericArrayData(Fingerprint.lshBands(
+        sig.asInstanceOf[ArrayData].toLongArray(), rpb.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): LshBandsFromSig =
+      copy(left = l, right = r)
+  }
+
   /** minhash_sig(text, k, numHashes): full MinHash signature (for verify-stage
     * estimated-Jaccard between candidate pairs). */
   case class MinHashSig(first: Expression, second: Expression, third: Expression)
@@ -253,6 +268,8 @@ object F {
     c(MinHashBands(x(s), x(k), x(numHashes), x(rowsPerBand)))
   def minhashSig(s: Column, k: Column, numHashes: Column): Column =
     c(MinHashSig(x(s), x(k), x(numHashes)))
+  def lshBandsFromSig(sig: Column, rowsPerBand: Column): Column =
+    c(LshBandsFromSig(x(sig), x(rowsPerBand)))
 
   import org.apache.spark.sql.functions._
 

@@ -28,7 +28,10 @@ object Ann {
   /** Brute-force top-k: queries = vec_id < nQueries vs the whole table.
     * The query side is broadcast (small), so no shuffle on the corpus. */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    // corpus side re-spread over all cores (testdata ships as one small
+    // parquet file = one input split; a real corpus arrives pre-split)
     val e = emb.select(col("vec_id"), quant(col("embedding")).as("q"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
     e.join(broadcast(queries), col("vec_id") =!= col("qid"))
@@ -72,6 +75,7 @@ object Ann {
         lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _) + lit(t.toLong << 32)
     val e = emb.select(col("vec_id"), quant(col("embedding")).as("q"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .withColumn("bucket", explode(array((0 until nTables).map(tableBucket): _*)))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))

@@ -61,7 +61,12 @@ object Geocode {
       col("doc_id").as("r_doc_id"), col("cell").as("r_cell"),
       col("gid").as("rid"), col("w").as("wr"))
 
-    val stacked = placeCands.join(regionSide,
+    // The region side is per-doc data (grows with the corpus, 10^12-row
+    // design point) — never broadcastable. Force a shuffle-hash join so the
+    // stack intersect stays an equi-shuffle on (doc_id, cell): Catalyst's
+    // size estimate under the cached mention relation would otherwise pick
+    // a driver-built broadcast here.
+    val stacked = placeCands.join(regionSide.hint("shuffle_hash"),
         placeCands("doc_id") === regionSide("r_doc_id") &&
           placeCands("cell8p") === regionSide("r_cell"),
         "left")
@@ -95,9 +100,18 @@ object Geocode {
         col("cell"), col("ctx"), round(col("sd"), 4).as("sd"), col("rank"))
   }
 
-  /** Full forward geocode (the flagship / headline benchmark pipeline). */
-  def forward(docs: DataFrame, gaz: DataFrame, k: Int = 5): DataFrame =
-    rank(coalesce2(mentions(docs, gaz)), k)
+  /** Full forward geocode (the flagship / headline benchmark pipeline).
+    *
+    * The mention stage feeds three consumers (place candidates, the region
+    * build side of the stack join, and standalone region candidates); without
+    * materialization Catalyst re-derives all three from the source scan —
+    * 3 full passes over the pages table, untenable at 10^12 rows. Locally we
+    * persist() the mention frame; at cluster scale the same cut point is the
+    * checkpointed mentions table (SURVEY.md §2.A6) written once per run. */
+  def forward(docs: DataFrame, gaz: DataFrame, k: Int = 5): DataFrame = {
+    val m = mentions(docs, gaz).persist()
+    rank(coalesce2(m), k)
+  }
 
   /** D5+C4: reverse geocode join — probe points equi-joined on the z-cell to
     * cover-exploded polygon features, then exact ray-cast PIP over WKB.

@@ -38,10 +38,15 @@ object TextOps {
     * ever meet inside a band bucket, a shuffle on band_key), then verify by
     * estimated Jaccard from the full signatures. */
   def dedupMinHash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // signature computed once per doc, bands derived from it; persisted so
+    // the self-join's two sides don't re-hash the corpus (at cluster scale
+    // this cut is a written sketch table, not a RAM cache)
     val sigs = docs.select(col("doc_id"),
-      F.minhashSig(col("text"), lit(3), lit(64)).as("sig"),
-      F.minhashBands(col("text"), lit(3), lit(64), lit(8)).as("bands"))
+      F.minhashSig(col("text"), lit(3), lit(64)).as("sig"))
+      .withColumn("bands", F.lshBandsFromSig(col("sig"), lit(8)))
     val banded = sigs.select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .persist()
     val a = banded.select(col("band"), col("doc_id").as("a"), col("sig").as("siga"))
     val b = banded.select(col("band"), col("doc_id").as("b"), col("sig").as("sigb"))
     a.join(b, "band").filter(col("a") < col("b"))
@@ -59,6 +64,8 @@ object TextOps {
     * exact Hamming distance. */
   def dedupSimHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val hashed = docs.select(col("doc_id"), F.simhash64(col("text")).as("sh"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .persist()
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)) + lit(i.toLong << 16)): _*))
@@ -77,6 +84,8 @@ object TextOps {
     val t = docs.select(col("doc_id"), col("lang"),
       (col("n_chars") / 100).cast("long").as("bucket"),
       array_distinct(F.tokenize(col("text"))).as("toks"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .persist()
     val a = t.select(col("lang"), col("bucket"), col("doc_id").as("a"), col("toks").as("ta"))
     val b = t.select(col("lang"), col("bucket"), col("doc_id").as("b"), col("toks").as("tb"))
     a.join(b, Seq("lang", "bucket")).filter(col("a") < col("b"))

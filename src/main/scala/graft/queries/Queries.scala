@@ -277,6 +277,53 @@ object Queries {
        |FROM p JOIN gaz g ON starts_with(g.name, p.prefix)""".stripMargin
   }
 
+  // =================================================================
+  // B7: HTML → text extraction (byte-identical contract). The testdata has
+  // no html column, so pages are templated from `text` deterministically;
+  // the extractor must invert the template byte-for-byte. Full entity /
+  // script / nesting behavior is frozen by the golden tests in TextSpec.
+  // =================================================================
+
+  def extractTextQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val html = concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><p>"), col("text"), lit("</p></body></html>"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), F.extractText(encode(html, "UTF-8")).as("extracted"))
+  }
+
+  def extractTextQSql: String =
+    s"SELECT doc_id, 'Doc ' || doc_id || chr(10) || text AS extracted FROM documents"
+
+  // =================================================================
+  // ops.js-style result formatting: place_name = "<place>, <region>" for
+  // every gazetteer place stacked under its containing region (F4 ordering
+  // finest→coarsest, carmen's geocoder_format default).
+  // =================================================================
+
+  def placeNameFmt(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gazDf(spark)
+    val p = g.filter(col("typ") === "place")
+      .select(col("gid"), col("name"),
+        F.cellAt(lit(12), col("glon"), col("glat")).as("cell"),
+        F.parentCell(F.cellAt(lit(12), col("glon"), col("glat")), lit(8)).as("p8"))
+    val r = g.filter(col("typ") === "region")
+      .select(col("gid").as("rid"), col("name").as("rname"),
+        F.cellAt(lit(8), col("glon"), col("glat")).as("cell8"))
+    p.join(broadcast(r), p("p8") === r("cell8"))
+      .select(col("gid"), concat(col("name"), lit(", "), col("rname")).as("place_name"),
+        col("cell"))
+  }
+
+  def placeNameFmtSql: String =
+    s"""WITH $gazCte,
+       |p AS (SELECT gid, name, ${cellSql(12, "glon", "glat")} AS cell,
+       |             ${cellSql(8, "glon", "glat")} AS p8
+       |      FROM gaz WHERE typ = 'place'),
+       |r AS (SELECT gid AS rid, name AS rname, ${cellSql(8, "glon", "glat")} AS cell8
+       |      FROM gaz WHERE typ = 'region')
+       |SELECT p.gid, p.name || ', ' || r.rname AS place_name, p.cell
+       |FROM p JOIN r ON p.p8 = r.cell8""".stripMargin
+
   def fuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
     val terms = freqIndex(spark, sfDir).select(col("term"))
     val singles = gazDf(spark).filter(!col("name").contains(" "))
