@@ -24,6 +24,12 @@ object SparkEntry {
     "parent_cells" -> ((s, d) => Queries.parentCells(s, d)),
     "tile_cover_rect" -> ((s, d) => Queries.tileCoverRect(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
+    "reverse_bcast" -> ((s, d) =>
+      ops.Geocode.reverseBcast(s, Synth.eventPoints(s, d), Synth.custFeatures(s, d), 8)
+        .select(col("event_id"), col("feature_id"))),
+    "knn_expand" -> ((s, d) =>
+      ops.Geocode.knnExpanding(Synth.eventPoints(s, d),
+        Synth.custFeatures(s, d).select(col("feature_id"), col("flon"), col("flat")), 8)),
     "knn_disk" -> ((s, d) => Queries.knnDisk(s, d)),
     "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
     "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
@@ -77,6 +83,7 @@ object SparkEntry {
     "parent_cells" -> Queries.parentCellsSql,
     "tile_cover_rect" -> Queries.tileCoverRectSql,
     "reverse_pip" -> Queries.reversePipSql,
+    "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan
     "knn_disk" -> Queries.knnDiskSql,
     "context_chain" -> Queries.contextChainSql,
     "bbox_filter" -> Queries.bboxFilterSql,

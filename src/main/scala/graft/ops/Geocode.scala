@@ -143,6 +143,40 @@ object Geocode {
       .select(col("event_id"), col("feature_id"), round(col("dist"), 3).as("dist_km"))
   }
 
+  /** D5 over the broadcast sorted cell→feature-id array (the north-star
+    * index structure): the probe side binary-searches the broadcast index
+    * inside the map stage — NO shuffle, no exploded cover frame. Equivalent
+    * results to [[reversePip]]; this is the path that wins when the cover
+    * index fits the broadcast ceiling (~10^8 entries). */
+  def reverseBcast(spark: org.apache.spark.sql.SparkSession, points: DataFrame,
+                   features: DataFrame, z: Int): DataFrame = {
+    import graft.index.CellIndex
+    val bc = spark.sparkContext.broadcast(CellIndex.buildFromFeatures(features, z))
+    val probes = points
+      .withColumn("cell", F.cellAt(lit(z), col("elon"), col("elat")))
+      .withColumn("feature_id", explode(CellIndex.lookupCol(col("cell"), bc)))
+    probes.join(broadcast(features), "feature_id")
+      .filter(F.pipWkb(col("geom_wkb"), col("elon"), col("elat")))
+  }
+
+  /** D6+G4: expanding-ring kNN — carmen's nearest-within-radius escalation.
+    * Each round probes only the residual (left_anti of matched points) with
+    * a doubled Chebyshev radius; a point's answer is the haversine-nearest
+    * feature within the first disk that hits. Bounded driver loop over a
+    * shrinking Dataset (the reference iterates tiles the same way). */
+  def knnExpanding(points: DataFrame, featurePoints: DataFrame, z: Int,
+                   radii: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    var residual = points
+    var acc: Option[DataFrame] = None
+    radii.foreach { r =>
+      val matched = knnDisk(residual, featurePoints, z, r)
+        .withColumn("radius", lit(r))
+      acc = Some(acc.map(_.unionByName(matched)).getOrElse(matched))
+      residual = residual.join(matched.select("event_id"), Seq("event_id"), "left_anti")
+    }
+    acc.get
+  }
+
   /** D5+F4: context chain — for each point, the containing feature per index
     * type (min id per type, carmen picks the first hit), exploded as
     * (event_id, typ, feature_id) rows ordered coarse→fine. */

@@ -264,9 +264,14 @@ object Queries {
 
   def phrasePrefix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val p = prefixes.toDF("prefix")
-    p.crossJoin(broadcast(gazDf(spark)))
-      .filter(col("name").startsWith(col("prefix")))
+    import graft.index.PhraseDict
+    // scale path: broadcast sorted dictionary + binary-search range scan
+    // (carmen's dictcache autocomplete), then re-join ids by exact name
+    val bc = spark.sparkContext.broadcast(PhraseDict.build(gazetteer.map(_.name)))
+    prefixes.toDF("prefix")
+      .select(col("prefix"),
+        explode(PhraseDict.prefixMatchesCol(col("prefix"), bc)).as("name"))
+      .join(broadcast(gazDf(spark)), "name")
       .select(col("prefix"), col("gid"), col("name"))
   }
 

@@ -1,0 +1,88 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.core.{CellMath, Geo}
+import graft.index.{CellIndex, PhraseDict}
+import graft.ops.Geocode
+import graft.synth.Synth
+import java.nio.file.Files
+
+/** Broadcast index structures + streaming incremental index. */
+class IndexSpec extends SparkTestBase {
+
+  test("CellIndexData: binary-search lookup equals brute scan") {
+    val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
+    val data = CellIndex.buildFromFeatures(feats, 8)
+    assert(data.size > 0)
+    // sortedness
+    (1 until data.size).foreach(i => assert(data.cells(i - 1) <= data.cells(i)))
+    // spot lookups vs brute
+    val distinctCells = data.cells.distinct
+    distinctCells.take(50).foreach { c =>
+      val expect = data.cells.zip(data.fids).filter(_._1 == c).map(_._2).sorted
+      assert(data.lookup(c).sameElements(expect))
+    }
+    assert(data.lookup(Long.MaxValue).isEmpty)
+  }
+
+  test("reverseBcast equals reversePip (shuffle-free path, same rows)") {
+    val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001")
+    val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
+    val a = Geocode.reverseBcast(spark, pts, feats, 8)
+      .select("event_id", "feature_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Geocode.reversePip(pts, feats, 8)
+      .select("event_id", "feature_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("PhraseDict prefix range equals linear scan") {
+    val names = Synth.gazetteer.map(_.name)
+    val dict = PhraseDict.build(names)
+    Seq("ha", "so", "table s", "z", "", "merge").foreach { p =>
+      val expect = names.distinct.filter(_.startsWith(p)).sorted
+      assert(dict.prefixMatches(p).toSeq == expect, s"prefix '$p'")
+    }
+    assert(dict.containsExact("hash join") && !dict.containsExact("hash jo"))
+  }
+
+  test("knnExpanding: residual escalation covers more points at wider radii") {
+    val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001").limit(300)
+    val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
+      .select(col("feature_id"), col("flon"), col("flat"))
+    val r1 = Geocode.knnDisk(pts, feats, 8, 1).count()
+    val exp = Geocode.knnExpanding(pts, feats, 8, Seq(1, 2, 4, 8))
+    val expRows = exp.collect()
+    assert(expRows.length >= r1)
+    // one row per matched point; radius recorded is the first that hit
+    assert(expRows.map(_.getLong(0)).distinct.length == expRows.length)
+    val radii = expRows.map(_.getInt(3)).distinct.sorted
+    assert(radii.head >= 1)
+  }
+
+  test("streaming incremental index: micro-batches land as grid entries") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = Files.createTempDirectory("sidx").toString
+    val ckpt = Files.createTempDirectory("sidx_ckpt").toString
+    val mem = MemoryStream[(Long, String, Double, Array[Byte])]
+    val df = mem.toDF().toDF("feature_id", "phrase", "score", "geom_wkb")
+    mem.addData((1L, "alpha town", 5.0, Geo.writeWkbPolygon(
+      Array(Array(10.0, 50.0, 10.5, 50.0, 10.5, 50.4, 10.0, 50.4, 10.0, 50.0)))))
+    mem.addData((2L, "beta city", 7.0, Geo.writeWkbPolygon(
+      Array(Array(-3.0, 40.0, -2.5, 40.0, -2.5, 40.3, -3.0, 40.3, -3.0, 40.0)))))
+    val q = graft.streaming.StreamingIndex.start(spark, df, 10, out, ckpt)
+    q.awaitTermination(60000)
+    val idx = spark.read.parquet(s"$out/batch=*")
+    val rows = idx.collect()
+    assert(rows.nonEmpty)
+    assert(idx.columns.toSet ==
+      Set("phrase_id", "cell", "feature_id", "relev_q", "score_q", "hkey"))
+    // feature 1's cover cells present at z10
+    val f1cells = idx.filter(col("feature_id") === 1).select("cell")
+      .collect().map(_.getLong(0)).toSet
+    val expect = Geo.tileCover(Geo.parseWkb(Geo.writeWkbPolygon(
+      Array(Array(10.0, 50.0, 10.5, 50.0, 10.5, 50.4, 10.0, 50.4, 10.0, 50.0)))), 10).toSet
+    assert(f1cells == expect)
+  }
+}
