@@ -62,6 +62,9 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) =>
       Ann.lshTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
     "mm_decode" -> ((s, d) => Multimodal.decodeMeta(s, s.read.parquet(s"$d/documents.parquet"))),
+    "mm_frames" -> ((s, d) => Multimodal.frameSample(s, s.read.parquet(s"$d/documents.parquet"))),
+    "mm_resize" -> ((s, d) => Multimodal.resize(s, s.read.parquet(s"$d/documents.parquet"))
+      .select(col("doc_id"), col("w"), col("h"))),
     // --- generic window/agg coverage (F2/F3 shape) ---
     "window_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -106,6 +109,9 @@ object SparkEntry {
     "token_count" -> TextOps.tokenCountSql,
     "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
     "mm_decode" -> Multimodal.decodeMetaSql,
+    "mm_frames" -> Multimodal.frameSampleSql,
+    "mm_resize" ->
+      "SELECT doc_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h FROM documents",
     "window_topk" ->
       """SELECT user_id, event_id, value, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT user_id, event_id, value,

@@ -41,6 +41,52 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class Thumb(doc_id: Long, w: Long, h: Long, thumb: Array[Byte])
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_ts_ms: Long)
+
+  /** STUB resize: an 8×8×3 "thumbnail" whose bytes are a deterministic
+    * function of the payload (a real impl decodes + box-filters here;
+    * the batch shape, output schema and byte budget are the real contract). */
+  def resizeStub(p: MediaPayload): Thumb = {
+    val out = new Array[Byte](8 * 8 * 3)
+    var i = 0
+    var h = 1125899906842597L
+    while (i < out.length) {
+      h = h * 31 + (if (p.payload.length > 0) p.payload(i % p.payload.length) else 0)
+      out(i) = (h >>> 16).toByte
+      i += 1
+    }
+    Thumb(p.doc_id, 8, 8, out)
+  }
+
+  def resize(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaPayload]
+      .mapPartitions(_.map(resizeStub))
+      .toDF()
+  }
+
+  /** STUB frame sampling: one row per sampled frame (every ~1 KiB of payload
+    * = one fake frame at 40 ms spacing) — the explode shape a video pipeline
+    * produces, as a flatMap over partition batches. */
+  def frameSample(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaPayload]
+      .mapPartitions(_.flatMap { p =>
+        val n = p.payload.length.toLong / 1024 + 1
+        (0L until n).iterator.map(i => Frame(p.doc_id, i, i * 40))
+      })
+      .toDF()
+  }
+
+  def frameSampleSql: String =
+    s"""SELECT d.doc_id, g.i AS frame_idx, g.i * 40 AS frame_ts_ms
+       |FROM documents d,
+       |LATERAL (SELECT unnest(generate_series(0,
+       |  CAST(octet_length(CAST(d.text AS BLOB)) // 1024 AS BIGINT))) AS i) g""".stripMargin
+
   def decodeMetaSql: String =
     s"""SELECT doc_id,
        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

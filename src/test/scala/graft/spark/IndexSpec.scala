@@ -60,6 +60,20 @@ class IndexSpec extends SparkTestBase {
     assert(radii.head >= 1)
   }
 
+  test("sorted index scan: hkey range predicate reaches the parquet scan") {
+    val out = Files.createTempDirectory("pruneidx").toString
+    val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
+      .select(col("feature_id"), lit("p").as("phrase"), col("fscore").as("score"), col("geom_wkb"))
+    graft.index.IndexBuild.build(spark,
+      feats, spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      z = 8, outDir = out, numRanges = 4)
+    val scan = spark.read.parquet(s"$out/grid_index")
+      .filter(col("hkey") >= 1000L && col("hkey") < 50000L)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(hkey,1000)"),
+      s"hkey filter not pushed:\n${plan.take(800)}")
+  }
+
   test("streaming incremental index: micro-batches land as grid entries") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
