@@ -1,0 +1,78 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.ops.Geocode
+
+/** The user-facing engine surface — carmen's `geocoder.geocode(query, opts)`
+  * / reverse `geocode("lon,lat")` re-expressed over Datasets (upstream
+  * `lib/geocoder.js` entry [U]; SURVEY.md §3).
+  *
+  * A Geocoder wraps a gazetteer (region+place features with names, scores,
+  * centers and optional WKB geometry) and exposes:
+  *   - `forward(pages, opts)`  — batched forward geocode of page mentions,
+  *     with carmen's options: limit, types filter, bbox filter, and
+  *     proximity (already encoded in the pages' qlon/qlat columns);
+  *     results carry `place_name` formatted over the context chain.
+  *   - `reverse(points, opts)` — batched reverse geocode: PIP containment
+  *     per type, kNN fallback for point-only indexes, assembled context.
+  */
+final case class GeocodeOptions(
+    limit: Int = 5,
+    types: Option[Seq[String]] = None,
+    bbox: Option[(Double, Double, Double, Double)] = None)
+
+final class Geocoder(spark: SparkSession, gaz: DataFrame) {
+
+  /** Forward geocode with options applied carmen-style: the type filter
+    * prunes candidates before ranking; bbox drops candidates whose feature
+    * center falls outside; limit caps the per-page window. place_name is
+    * "<name>, <context name>" (geocoder_format default). */
+  def forward(pages: DataFrame, opts: GeocodeOptions = GeocodeOptions()): DataFrame = {
+    val m = Geocode.mentions(pages, gaz).persist()
+    val cands0 = Geocode.coalesce2(m)
+    val cands1 = opts.types.map(ts => cands0.filter(col("typ").isin(ts: _*))).getOrElse(cands0)
+    val cands = opts.bbox.map { case (w, s, e, n) =>
+      cands1.filter(col("glon") >= w && col("glon") < e && col("glat") >= s && col("glat") < n)
+    }.getOrElse(cands1)
+    val ranked = Geocode.rank(cands, opts.limit)
+    // context names: resolve ctx ids against the (broadcastable) gazetteer
+    val names = gaz.select(col("gid"), col("name"))
+    val ctxNames = names.select(col("gid").as("ctx"), col("name").as("ctx_name"))
+    ranked
+      .join(broadcast(names), ranked("feature_id") === names("gid"))
+      .join(broadcast(ctxNames), Seq("ctx"), "left")
+      .withColumn("place_name",
+        when(col("ctx") === -1L, col("name"))
+          .otherwise(concat(col("name"), lit(", "), col("ctx_name"))))
+      .select(col("doc_id"), col("feature_id"), col("typ"), col("relev"),
+        col("cell"), col("ctx"), col("sd"), col("rank"), col("place_name"))
+  }
+
+  /** Reverse geocode: context chain of containing features per type plus a
+    * kNN nearest place for points with no containment hit at all. Output:
+    * (event_id, typ, feature_id, via) — via ∈ {pip, knn}. */
+  def reverse(points: DataFrame,
+              typed: Seq[(String, DataFrame, Int)],
+              knnZ: Int = 8): DataFrame = {
+    val pip = Geocode.contextChain(points, typed)
+      .withColumn("via", lit("pip"))
+    val unmatched = points.join(pip.select("event_id").distinct(),
+      Seq("event_id"), "left_anti")
+    val fallbackFeats = typed.last._2
+      .select(col("feature_id"),
+        col("flon"), col("flat"))
+    val knn = Geocode.knnExpanding(unmatched, fallbackFeats, knnZ)
+      .select(col("event_id"), lit(typed.last._1).as("typ"), col("feature_id"))
+      .withColumn("via", lit("knn"))
+    pip.unionByName(knn)
+  }
+}
+
+object Geocoder {
+  /** Geocoder over the frozen literal gazetteer (tests/demos). */
+  def default(spark: SparkSession): Geocoder =
+    new Geocoder(spark, graft.synth.Synth.gazDf(spark))
+}

@@ -143,6 +143,23 @@ object Geocode {
       .select(col("event_id"), col("feature_id"), round(col("dist"), 3).as("dist_km"))
   }
 
+  /** [[reversePip]] with explicit hot-cell salting (D7): probe-side count
+    * agg finds heavy cells (cities/coastlines), the exploded cover index is
+    * replicated ×s for those cells, probes salt deterministically on their
+    * row id. Row-identical to [[reversePip]]; use when the cell histogram
+    * is skewed and the join shuffles (non-broadcast index). */
+  def reversePipSalted(points: DataFrame, features: DataFrame, z: Int,
+                       s: Int = 8, hotK: Int = 16,
+                       hotThreshold: Long = 10000): DataFrame = {
+    import graft.pipeline.Skew
+    val cover = features
+      .withColumn("cell", explode(F.tileCover(col("geom_wkb"), lit(z))))
+    val probes = points.withColumn("cell", F.cellAt(lit(z), col("elon"), col("elat")))
+    val hot = Skew.hotKeys(probes, "cell", hotK, hotThreshold)
+    Skew.saltedJoin(probes, cover, "cell", "event_id", hot, s)
+      .filter(F.pipWkb(col("geom_wkb"), col("elon"), col("elat")))
+  }
+
   /** D5 over the broadcast sorted cell→feature-id array (the north-star
     * index structure): the probe side binary-searches the broadcast index
     * inside the map stage — NO shuffle, no exploded cover frame. Equivalent

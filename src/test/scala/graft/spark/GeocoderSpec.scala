@@ -1,0 +1,61 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import graft.api.{Geocoder, GeocodeOptions}
+import graft.ops.Geocode
+import graft.synth.Synth
+
+/** User-facing Geocoder API: options semantics, place_name formatting,
+  * reverse with kNN fallback; salted reverse equivalence. */
+class GeocoderSpec extends SparkTestBase {
+
+  private def onePage = {
+    import spark.implicits._
+    Seq((1L, "the hash join data pipeline", 10.0, 20.0))
+      .toDF("doc_id", "text", "qlon", "qlat")
+  }
+
+  test("forward: place_name formats the context chain") {
+    val g = Geocoder.default(spark)
+    val out = g.forward(onePage).collect()
+    val hj = out.find(_.getLong(1) == Synth.places.find(_.name == "hash join").get.id).get
+    assert(hj.getString(8) == "hash join, data")
+    val region = out.find(_.getLong(1) == Synth.regions.find(_.name == "data").get.id).get
+    assert(region.getString(8) == "data")
+  }
+
+  test("forward options: limit, types, bbox") {
+    val g = Geocoder.default(spark)
+    val all = g.forward(onePage, GeocodeOptions(limit = 2)).collect()
+    assert(all.length <= 2 && all.map(_.getInt(7)).max <= 2)
+    val regionsOnly = g.forward(onePage, GeocodeOptions(types = Some(Seq("region")))).collect()
+    assert(regionsOnly.nonEmpty && regionsOnly.forall(_.getString(2) == "region"))
+    // bbox excluding everything -> empty
+    val none = g.forward(onePage, GeocodeOptions(bbox = Some((170.0, 80.0, 171.0, 81.0))))
+    assert(none.count() == 0)
+  }
+
+  test("reverse: pip rows for contained points, knn fallback for the rest") {
+    val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001").limit(300)
+    val g = Geocoder.default(spark)
+    val out = g.reverse(pts, Seq(
+      ("country", Synth.nationFeatures(spark, "/root/testdata/sf0.001"), 6),
+      ("place", Synth.custFeatures(spark, "/root/testdata/sf0.001"), 8))).collect()
+    val byVia = out.groupBy(_.getString(3))
+    assert(byVia.contains("pip"))
+    // knn rows only for events with no pip row
+    val pipEvents = out.filter(_.getString(3) == "pip").map(_.getLong(0)).toSet
+    val knnEvents = out.filter(_.getString(3) == "knn").map(_.getLong(0)).toSet
+    assert(knnEvents.intersect(pipEvents).isEmpty)
+  }
+
+  test("salted reverse PIP equals unsalted") {
+    val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001")
+    val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
+    val a = Geocode.reversePipSalted(pts, feats, 8, s = 4, hotK = 8, hotThreshold = 2)
+      .select("event_id", "feature_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Geocode.reversePip(pts, feats, 8)
+      .select("event_id", "feature_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}
