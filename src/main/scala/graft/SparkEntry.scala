@@ -39,6 +39,7 @@ object SparkEntry {
     "phrase_prefix" -> ((s, d) => Queries.phrasePrefix(s, d)),
     "fuzzy_match" -> ((s, d) => Queries.fuzzyMatch(s, d)),
     "extract_text" -> ((s, d) => Queries.extractTextQ(s, d)),
+    "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "place_name_fmt" -> ((s, d) => Queries.placeNameFmt(s, d)),
     "raster_mask" -> ((s, d) =>
@@ -96,6 +97,7 @@ object SparkEntry {
     "phrase_prefix" -> Queries.phrasePrefixSql,
     "fuzzy_match" -> Queries.fuzzyMatchSql,
     "extract_text" -> Queries.extractTextQSql,
+    "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "place_name_fmt" -> Queries.placeNameFmtSql,
     "dedup_exact" ->

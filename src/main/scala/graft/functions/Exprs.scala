@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -172,6 +173,46 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): PhraseFormExpr = copy(child = c)
   }
 
+  /** mention_windows(text): UDTF emitting the DISTINCT token windows of
+    * lengths 1..maxLen — the B4 subquery generator fused into one pass
+    * (tokenize → windows → dedupe) with no intermediate Catalyst arrays.
+    * Row-identical to explode(array_distinct(unigrams ++ bigrams)). */
+  case class MentionWindows(child: Expression, maxLen: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    override def elementSchema: StructType =
+      StructType(StructField("phrase", StringType, nullable = false) :: Nil)
+    override def prettyName: String = "mention_windows"
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val t = child.eval(input)
+      if (t == null) return Iterator.empty
+      val toks = Text.tokenize(t.toString)
+      val seen = new java.util.LinkedHashSet[String]()
+      var len = 1
+      while (len <= maxLen) {
+        var i = 0
+        while (i + len <= toks.length) {
+          if (len == 1) seen.add(toks(i))
+          else {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < len) { sb.append(' ').append(toks(i + j)); j += 1 }
+            seen.add(sb.toString)
+          }
+          i += 1
+        }
+        len += 1
+      }
+      val it = seen.iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow =
+          InternalRow(UTF8String.fromString(it.next()))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): MentionWindows =
+      copy(child = c)
+  }
+
   // ---------------------------------------------------------------
   // Fingerprints / sketches — CodegenFallback
   // ---------------------------------------------------------------
@@ -262,6 +303,8 @@ object F {
   def extractText(html: Column): Column = c(ExtractText(x(html)))
   def tokenize(s: Column): Column = c(TokenizeExpr(x(s)))
   def phraseForm(s: Column): Column = c(PhraseFormExpr(x(s)))
+  def mentionWindows(s: Column, maxLen: Int = 2): Column =
+    c(MentionWindows(x(s), maxLen))
   def docFingerprint(s: Column): Column = c(DocFingerprint(x(s)))
   def simhash64(s: Column): Column = c(SimHash(x(s)))
   def minhashBands(s: Column, k: Column, numHashes: Column, rowsPerBand: Column): Column =

@@ -1,0 +1,46 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.ops.Geocode
+import graft.pipeline.Checkpoint
+import graft.synth.Synth
+
+/** The production job shape the north rule describes: forward geocode over
+  * the pages table, written per Hilbert cell-range with lineage so a killed
+  * run resumes without recomputing completed ranges; launched via
+  * spark-submit (`--class graft.jobs.ForwardJob <jar> <sfDir> <outDir>`).
+  *
+  * Range key = Hilbert order of each result's z8 ancestor cell, so output
+  * files are spatially clustered (downstream tile readers scan contiguous
+  * ranges) and the resume bookkeeping is zoom-independent.
+  */
+object ForwardJob {
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          nRanges: Int = 8, failAfter: Option[Int] = None): Seq[Int] = {
+    val results = Geocode.forward(Synth.docPages(spark, sfDir), Synth.gazDf(spark))
+      .withColumn("hkey", F.hilbertCell(F.parentCell(col("cell"), lit(8))))
+      .persist() // local stand-in for the checkpointed mentions/results table
+    val ranges = Checkpoint.uniformRanges(8, nRanges)
+    Checkpoint.runResumable(spark,
+      (lo, hi) => results.filter(col("hkey") >= lo && col("hkey") < hi),
+      ranges, outDir, failAfter)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_forward_out")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val done = run(spark, sfDir, outDir)
+    println(s"""{"job":"forward","ranges_processed":${done.length},"out":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -32,6 +32,10 @@ object Geocode {
     * for single-space text, `' '||text||' '` contains `' '||name||' '`).
     */
   def mentions(docs: DataFrame, gaz: DataFrame): DataFrame = {
+    // Window generation stays on array higher-order functions + explode:
+    // these remain inside whole-stage codegen, which measured ~1.7× faster
+    // than the fused custom Generator (CodegenFallback Generate breaks the
+    // codegen stage — see BENCH.md).
     val toks = docs.withColumn("toks", F.tokenize(col("text")))
     val withWins = toks.withColumn("wins",
       array_distinct(concat(

@@ -162,12 +162,18 @@ object Queries {
 
   def contextChain(spark: SparkSession, sfDir: String): DataFrame =
     Geocode.contextChain(eventPoints(spark, sfDir), Seq(
+      ("continent", continentFeatures(spark, sfDir), 4),
       ("country", nationFeatures(spark, sfDir), 6),
       ("place", custFeatures(spark, sfDir), 8)))
 
   def contextChainSql: String =
-    s"""WITH nf AS (${nationFeaturesSql}), cf AS (${custFeaturesSql}),
-       |pts AS (${eventPointsSql})
+    s"""WITH ct AS (${continentFeaturesSql}), nf AS (${nationFeaturesSql}),
+       |cf AS (${custFeaturesSql}), pts AS (${eventPointsSql})
+       |SELECT p.event_id, 'continent' AS typ, min(f.feature_id) AS feature_id
+       |FROM pts p JOIN ct f ON p.elon >= f.west AND p.elon < f.east
+       |                    AND p.elat >= f.south AND p.elat < f.north
+       |GROUP BY 1
+       |UNION ALL
        |SELECT p.event_id, 'country' AS typ, min(f.feature_id) AS feature_id
        |FROM pts p JOIN nf f ON p.elon >= f.west AND p.elon < f.east
        |                    AND p.elat >= f.south AND p.elat < f.north
@@ -288,6 +294,26 @@ object Queries {
   // the extractor must invert the template byte-for-byte. Full entity /
   // script / nesting behavior is frozen by the golden tests in TextSpec.
   // =================================================================
+
+  /** B5+D1 fused: fuzzy mention candidates — doc tokens within edit
+    * distance 1 of a single-word gazetteer name (carmen's fuzzy
+    * phrasematch feeding spatialmatch). */
+  def fuzzyMentions(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(array_distinct(F.tokenize(col("text")))).as("tok"))
+    val singles = gazDf(spark).filter(!col("name").contains(" "))
+      .select(col("name"), col("gid"))
+    toks.join(broadcast(singles), levenshtein(col("tok"), col("name")) <= 1)
+      .select(col("doc_id"), col("gid")).distinct()
+  }
+
+  def fuzzyMentionsSql: String =
+    s"""WITH $gazCte,
+       |t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |      FROM documents)
+       |SELECT DISTINCT t.doc_id, g.gid
+       |FROM t JOIN gaz g ON NOT contains(g.name, ' ')
+       |               AND levenshtein(t.tok, g.name) <= 1""".stripMargin
 
   def extractTextQ(spark: SparkSession, sfDir: String): DataFrame = {
     val html = concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),

@@ -204,6 +204,27 @@ object Synth {
        |       $natLonSql + 15.0 AS east,  $natLatSql + 10.0 AS north
        |FROM nation""".stripMargin
 
+  // Region-table-derived "continent" rectangles (coarsest context level).
+  val contLonSql = "((r_regionkey * 7919) % 240000) / 1000.0 - 120.0"
+  val contLatSql = "((r_regionkey * 104729) % 100000) / 1000.0 - 50.0"
+
+  def continentFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = col("r_regionkey").cast("long")
+    val lon = (k * 7919 % 240000) / 1000.0 - 120.0
+    val lat = (k * 104729 % 100000) / 1000.0 - 50.0
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .select(k.as("feature_id"),
+        (lon - lit(20.0)).as("west"), (lat - lit(12.0)).as("south"),
+        (lon + lit(20.0)).as("east"), (lat + lit(12.0)).as("north"))
+      .withColumn("geom_wkb", F.rectWkb(col("west"), col("south"), col("east"), col("north")))
+  }
+
+  def continentFeaturesSql: String =
+    s"""SELECT CAST(r_regionkey AS BIGINT) AS feature_id,
+       |       $contLonSql - 20.0 AS west, $contLatSql - 12.0 AS south,
+       |       $contLonSql + 20.0 AS east, $contLatSql + 12.0 AS north
+       |FROM region""".stripMargin
+
   /** Events with derived probe point. */
   def eventPoints(spark: SparkSession, sfDir: String): DataFrame = {
     val k = col("event_id")

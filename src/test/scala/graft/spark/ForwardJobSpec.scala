@@ -1,0 +1,35 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import graft.jobs.ForwardJob
+import graft.ops.Geocode
+import graft.pipeline.Checkpoint
+import graft.synth.Synth
+import java.nio.file.Files
+
+/** End-to-end resumable forward job: kill mid-run, resume, output identical
+  * to the uninterrupted pipeline. */
+class ForwardJobSpec extends SparkTestBase {
+
+  test("killed forward job resumes to the identical result set") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("fwdjob").toString
+    val crashed = intercept[RuntimeException] {
+      ForwardJob.run(spark, sf, out, nRanges = 8, failAfter = Some(3))
+    }
+    assert(crashed.getMessage.contains("injected"))
+    val doneBefore = Checkpoint.completedRanges(out)
+    assert(doneBefore.size == 3)
+
+    val resumed = ForwardJob.run(spark, sf, out)
+    assert(resumed.size == 8 - 3)
+    assert(resumed.toSet.intersect(doneBefore).isEmpty)
+
+    val fromJob = Checkpoint.readAll(spark, out)
+      .select("doc_id", "feature_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Geocode.forward(Synth.docPages(spark, sf), Synth.gazDf(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(7))).toSet
+    assert(fromJob == direct)
+  }
+}
