@@ -16,6 +16,8 @@ import graft.synth.Synth
 object Bench {
 
   private def session(cores: String): SparkSession = {
+    // partitions == cores measured best here: 4×cores was tried and cost
+    // ~25% at 4N (tiny-partition overhead against the cached mention frame)
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)

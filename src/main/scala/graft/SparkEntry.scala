@@ -34,6 +34,7 @@ object SparkEntry {
     "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
     "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
     "grid_index" -> ((s, d) => Queries.gridIndex(s, d)),
+    "grid_lists" -> ((s, d) => Queries.gridLists(s, d)),
     "freq_index" -> ((s, d) => Queries.freqIndex(s, d)),
     "hot_cells" -> ((s, d) => Queries.hotCells(s, d)),
     "phrase_prefix" -> ((s, d) => Queries.phrasePrefix(s, d)),
@@ -92,6 +93,7 @@ object SparkEntry {
     "context_chain" -> Queries.contextChainSql,
     "bbox_filter" -> Queries.bboxFilterSql,
     "grid_index" -> Queries.gridIndexSql,
+    "grid_lists" -> Queries.gridListsSql,
     "freq_index" -> Queries.freqIndexSql,
     "hot_cells" -> Queries.hotCellsSql,
     "phrase_prefix" -> Queries.phrasePrefixSql,

@@ -231,6 +231,38 @@ object Queries {
        |FROM cover GROUP BY 1""".stripMargin
 
   // =================================================================
+  // E3: per-phrase grid lists — carmen's gridstore shape (sorted, capped
+  // list per phrase); the flat sorted table (IndexBuild) is the at-scale
+  // form, this is the list-materialized view. List rendered as a joined
+  // string so the oracle compare is representation-stable.
+  // =================================================================
+
+  def gridLists(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("feature_id"), F.phraseForm(col("c_name")).as("phrase"))
+    custFeatures(spark, sfDir)
+      .join(cust, "feature_id")
+      .select(col("phrase"), explode(F.tileCover(col("geom_wkb"), lit(8))).as("cell"))
+      .groupBy("phrase")
+      .agg(concat_ws(",",
+        slice(sort_array(collect_list(col("cell"))), 1, 20)).as("cells"))
+  }
+
+  def gridListsSql: String =
+    s"""WITH cf AS (${custFeaturesSql}),
+       |nm AS (SELECT c_custkey AS feature_id, lower(replace(c_name, '#', ' ')) AS phrase
+       |       FROM customer),
+       |cover AS (
+       |  SELECT n.phrase,
+       |         (8::BIGINT * 72057594037927936 + xs.x * 268435456 + ys.y) AS cell
+       |  FROM cf f JOIN nm n ON n.feature_id = f.feature_id,
+       |  LATERAL (SELECT unnest(generate_series(${tileXSql(8, "f.west")}, ${tileXSql(8, "f.east")})) AS x) xs,
+       |  LATERAL (SELECT unnest(generate_series(${tileYSql(8, "f.north")}, ${tileYSql(8, "f.south")})) AS y) ys)
+       |SELECT phrase,
+       |       array_to_string(list_slice(list_sort(list(cell)), 1, 20), ',') AS cells
+       |FROM cover GROUP BY 1""".stripMargin
+
+  // =================================================================
   // E1/B6: term → document frequency
   // =================================================================
 
