@@ -43,7 +43,11 @@ object Ann {
   }
 
   def bruteForceTopKSql(nQueries: Int, k: Int): String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS q
+    // NB: x must be widened to DOUBLE before the multiply — DuckDB keeps
+    // FLOAT * DOUBLE-literal in FLOAT precision (verified: 0.3195f*1000
+    // = 319.5f exactly → floor+0.5 rounds up), while Spark promotes to
+    // double; caught by the sf0.1 oracle sweep.
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
        |           FROM embeddings),
        |qs AS (SELECT vec_id AS qid, q AS qv FROM e WHERE vec_id < $nQueries),
        |pairs AS (
