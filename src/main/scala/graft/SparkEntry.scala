@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- geocoding core (SURVEY.md §2.B/C/D/E/F/H) ---
     "fwd_geocode" -> ((s, d) => Queries.fwdGeocode(s, d)),
+    "fwd_geocode_idf" -> ((s, d) => Queries.fwdGeocodeIdf(s, d)),
     "cell_assign" -> ((s, d) => Queries.cellAssign(s, d)),
     "parent_cells" -> ((s, d) => Queries.parentCells(s, d)),
     "tile_cover_rect" -> ((s, d) => Queries.tileCoverRect(s, d)),
@@ -84,6 +85,7 @@ object SparkEntry {
     * goldens instead). */
   def oracleSql: Map[String, String] = Map(
     "fwd_geocode" -> Queries.fwdGeocodeSql,
+    "fwd_geocode_idf" -> Queries.fwdGeocodeIdfSql,
     "cell_assign" -> Queries.cellAssignSql,
     "parent_cells" -> Queries.parentCellsSql,
     "tile_cover_rect" -> Queries.tileCoverRectSql,

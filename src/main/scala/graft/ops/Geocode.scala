@@ -104,6 +104,31 @@ object Geocode {
         col("cell"), col("ctx"), round(col("sd"), 4).as("sd"), col("rank"))
   }
 
+  /** B6: IDF-ish name weights from the corpus frequency table — carmen
+    * weighs subqueries by the covered terms' rarity (freq cache). Weight of
+    * a gazetteer name = Σ_tokens ln(1 + N/df). */
+  def nameWeights(docs: DataFrame, gaz: DataFrame): DataFrame = {
+    val freq = docs
+      .select(explode(array_distinct(F.tokenize(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    gaz.select(col("gid"), explode(split(col("name"), " ")).as("term"))
+      .join(broadcast(freq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf", log(lit(1.0) + col("n_docs").cast("double") / col("df").cast("double")))
+      .groupBy("gid").agg(sum("idf").as("w"))
+  }
+
+  /** Forward geocode with IDF term weighting (rarer mention terms produce
+    * higher relev) — the B6-faithful variant of [[forward]]. */
+  def forwardIdf(docs: DataFrame, gaz: DataFrame, k: Int = 5): DataFrame = {
+    val w = nameWeights(docs, gaz)
+    val m = mentions(docs, gaz).drop("w")
+      .join(broadcast(w), "gid")
+      .persist()
+    rank(coalesce2(m), k)
+  }
+
   /** Full forward geocode (the flagship / headline benchmark pipeline).
     *
     * The mention stage feeds three consumers (place candidates, the region

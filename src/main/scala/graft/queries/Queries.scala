@@ -62,6 +62,60 @@ object Queries {
   }
 
   // =================================================================
+  // B6-weighted forward geocode: relev from corpus IDF weights
+  // =================================================================
+
+  def fwdGeocodeIdf(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.forwardIdf(docPages(spark, sfDir), gazDf(spark))
+      .withColumn("relev", round(col("relev"), 6))
+
+  def fwdGeocodeIdfSql: String = {
+    val cell12 = cellSql(12, "glon", "glat")
+    val cell8 = cellSql(8, "glon", "glat")
+    s"""WITH $gazCte,
+       |docs AS (${docPagesSql}),
+       |nn AS (SELECT count(*) AS n_docs FROM documents),
+       |freq AS (SELECT t AS term, count(*) AS df FROM (
+       |           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+       |           FROM documents) GROUP BY 1),
+       |gw AS (SELECT g.gid, sum(ln(1.0 + CAST(nn.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE))) AS w
+       |       FROM (SELECT gid, unnest(string_split(name, ' ')) AS term FROM gaz) g
+       |       JOIN freq f ON f.term = g.term CROSS JOIN nn
+       |       GROUP BY 1),
+       |mention AS (
+       |  SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score, g.glon, g.glat, gw.w
+       |  FROM docs d JOIN gaz g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+       |  JOIN gw ON gw.gid = g.gid),
+       |placecand AS (
+       |  SELECT *, $cell12 AS cell, $cell8 AS cell8p FROM mention WHERE typ = 'place'),
+       |regioncand AS (
+       |  SELECT *, $cell8 AS cell FROM mention WHERE typ = 'region'),
+       |stacked AS (
+       |  SELECT p.*, r.gid AS rid, r.w AS wr,
+       |         row_number() OVER (PARTITION BY p.doc_id, p.gid
+       |                            ORDER BY r.w DESC NULLS LAST, r.gid ASC NULLS LAST) AS rn
+       |  FROM placecand p
+       |  LEFT JOIN regioncand r ON r.doc_id = p.doc_id AND r.cell = p.cell8p),
+       |cands AS (
+       |  SELECT doc_id, gid AS feature_id, typ, w + COALESCE(wr, 0.0) AS relev,
+       |         cell, COALESCE(rid, -1) AS ctx, score, glon, glat, qlon, qlat
+       |  FROM stacked WHERE rn = 1
+       |  UNION ALL
+       |  SELECT doc_id, gid, typ, w, cell, -1, score, glon, glat, qlon, qlat
+       |  FROM regioncand),
+       |scored AS (
+       |  SELECT *, score / (1.0 + ${haversineSql("qlon", "qlat", "glon", "glat")} / 40.0) AS sd
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY relev DESC, sd DESC, feature_id ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, feature_id, typ, round(relev, 6) AS relev, cell, ctx,
+       |       round(sd, 4) AS sd, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  // =================================================================
   // H1: cell assignment + count per cell (E1-style agg)
   // =================================================================
 
