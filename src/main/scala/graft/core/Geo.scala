@@ -273,6 +273,66 @@ object Geo {
   }
 
   // ------------------------------------------------------------------
+  // Tile pre-clipping (north star: "WKB polygons pre-clipped to z14
+  // tiles"): Sutherland–Hodgman against the tile rectangle. Clipping each
+  // ring independently preserves even-odd PIP on tile-interior points:
+  // PIP(clip(A,R), p) = PIP(A,p) ∧ PIP(R,p), and the hole parity XORs
+  // through ring-by-ring clipping.
+  // ------------------------------------------------------------------
+
+  /** Clip one closed ring (packed lon/lat) to the axis-aligned rect.
+    * Returns the clipped closed ring, or empty if no overlap. */
+  def clipRingToRect(ring: Array[Double], w: Double, s: Double,
+                     e: Double, n: Double): Array[Double] = {
+    // edge = 0:left(x>=w) 1:right(x<=e) 2:bottom(y>=s) 3:top(y<=n)
+    var pts = ring
+    var edge = 0
+    while (edge < 4 && pts.length >= 6) {
+      val out = new ArrayBuffer[Double](pts.length + 8)
+      @inline def inside(x: Double, y: Double): Boolean = edge match {
+        case 0 => x >= w
+        case 1 => x <= e
+        case 2 => y >= s
+        case _ => y <= n
+      }
+      @inline def intersect(x1: Double, y1: Double, x2: Double, y2: Double): (Double, Double) =
+        edge match {
+          case 0 => (w, y1 + (y2 - y1) * (w - x1) / (x2 - x1))
+          case 1 => (e, y1 + (y2 - y1) * (e - x1) / (x2 - x1))
+          case 2 => (x1 + (x2 - x1) * (s - y1) / (y2 - y1), s)
+          case _ => (x1 + (x2 - x1) * (n - y1) / (y2 - y1), n)
+        }
+      val nPts = pts.length / 2
+      var i = 0
+      while (i < nPts) {
+        val j = (i + 1) % nPts
+        val (x1, y1) = (pts(2 * i), pts(2 * i + 1))
+        val (x2, y2) = (pts(2 * j), pts(2 * j + 1))
+        val in1 = inside(x1, y1); val in2 = inside(x2, y2)
+        if (in1) { out += x1; out += y1 }
+        if (in1 != in2) {
+          val (ix, iy) = intersect(x1, y1, x2, y2)
+          out += ix; out += iy
+        }
+        i += 1
+      }
+      pts = out.toArray
+      edge += 1
+    }
+    if (pts.length < 6) Array.emptyDoubleArray else pts
+  }
+
+  /** Clip a polygon geometry to a cell's bounds; empty Geom if disjoint. */
+  def clipToCell(geom: Geom, cell: Long): Geom = {
+    val (w, s, e, n) = CellMath.cellBounds(cell)
+    val rings = geom.rings.iterator
+      .map(clipRingToRect(_, w, s, e, n))
+      .filter(_.nonEmpty)
+      .toArray
+    Geom(Geom.Poly, rings)
+  }
+
+  // ------------------------------------------------------------------
   // Distance & proximity scoring (H5/H6)
   // ------------------------------------------------------------------
 

@@ -139,6 +139,23 @@ object Exprs {
       copy(first = f, second = s, third = t, fourth = q)
   }
 
+  /** clip_to_cell(geom_wkb, cell): polygon pre-clipped to the tile rect
+    * (Sutherland–Hodgman) re-encoded as WKB — the per-tile geometry the
+    * batched PIP stage consumes. */
+  case class ClipToCellWkb(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "clip_to_cell"
+    override def nullSafeEval(wkb: Any, cell: Any): Any = {
+      val g = Geo.clipToCell(Geo.parseWkb(wkb.asInstanceOf[Array[Byte]]),
+        cell.asInstanceOf[Long])
+      Geo.writeWkbPolygon(g.rings)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ClipToCellWkb =
+      copy(left = l, right = r)
+  }
+
   // ---------------------------------------------------------------
   // Text kernel (B1/B2/B7) — CodegenFallback unary
   // ---------------------------------------------------------------
@@ -298,6 +315,7 @@ object F {
   def diskCells(cell: Column, r: Column): Column = c(DiskCells(x(cell), x(r)))
   def pipWkb(wkb: Column, lon: Column, lat: Column): Column = c(PipWkb(x(wkb), x(lon), x(lat)))
   def tileCover(wkb: Column, z: Column): Column = c(TileCoverExpr(x(wkb), x(z)))
+  def clipToCell(wkb: Column, cell: Column): Column = c(ClipToCellWkb(x(wkb), x(cell)))
   def rectWkb(w: Column, s: Column, e: Column, n: Column): Column =
     c(RectWkb(x(w), x(s), x(e), x(n)))
   def extractText(html: Column): Column = c(ExtractText(x(html)))

@@ -172,6 +172,22 @@ object Geocode {
       .select(col("event_id"), col("feature_id"), round(col("dist"), 3).as("dist_km"))
   }
 
+  /** [[reversePip]] with per-tile pre-clipped polygons (north star: "WKB
+    * polygons pre-clipped to z14 tiles"): the cover-exploded index carries
+    * the geometry clipped to each cell, so the PIP stage touches only the
+    * tile-local ring fragments — at z14 a coastline polygon with 10^5
+    * vertices becomes a handful of vertices per tile. Row-identical to
+    * [[reversePip]] for tile-interior probes. */
+  def reversePipClipped(points: DataFrame, features: DataFrame, z: Int): DataFrame = {
+    val cover = features
+      .withColumn("cell", explode(F.tileCover(col("geom_wkb"), lit(z))))
+      .withColumn("clip_wkb", F.clipToCell(col("geom_wkb"), col("cell")))
+      .drop("geom_wkb")
+    val probes = points.withColumn("cell", F.cellAt(lit(z), col("elon"), col("elat")))
+    probes.join(cover, "cell")
+      .filter(F.pipWkb(col("clip_wkb"), col("elon"), col("elat")))
+  }
+
   /** [[reversePip]] with explicit hot-cell salting (D7): probe-side count
     * agg finds heavy cells (cities/coastlines), the exploded cover index is
     * replicated ×s for those cells, probes salt deterministically on their

@@ -49,6 +49,16 @@ class GeocoderSpec extends SparkTestBase {
     assert(knnEvents.intersect(pipEvents).isEmpty)
   }
 
+  test("pre-clipped reverse PIP equals unclipped") {
+    val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001")
+    val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
+    val a = Geocode.reversePipClipped(pts, feats, 8)
+      .select("event_id", "feature_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Geocode.reversePip(pts, feats, 8)
+      .select("event_id", "feature_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("salted reverse PIP equals unsalted") {
     val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001")
     val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
