@@ -44,6 +44,7 @@ object SparkEntry {
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "place_name_fmt" -> ((s, d) => Queries.placeNameFmt(s, d)),
+    "lang_fallback" -> ((s, d) => Queries.langFallback(s, d)),
     "raster_mask" -> ((s, d) =>
       // deterministic tenth of the features: full-corpus rasterization is a
       // batch-index job, not a per-round check (17 s at sf0.1 otherwise)
@@ -106,6 +107,7 @@ object SparkEntry {
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "place_name_fmt" -> Queries.placeNameFmtSql,
+    "lang_fallback" -> Queries.langFallbackSql,
     "dedup_exact" ->
       """SELECT doc_id, CAST(cnt AS BIGINT) AS group_n FROM (
         |  SELECT doc_id, count(*) OVER (PARTITION BY text) AS cnt,

@@ -412,6 +412,40 @@ object Queries {
     s"SELECT doc_id, 'Doc ' || doc_id || chr(10) || text AS extracted FROM documents"
 
   // =================================================================
+  // Language fallback (carmen `language` option + carmen:text_{lang}):
+  // a doc in language L matches feature names in L when defined, falling
+  // back to the default name. Small-gazetteer path = broadcast
+  // contains-join (exactly the oracle semantics); the at-scale path stays
+  // the token-window equi-join with per-language phrase dict entries.
+  // =================================================================
+
+  def langFallback(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val eff = gazDf(spark)
+      .join(broadcast(altNamesDf(spark)), Seq("gid"), "left")
+    val effName = when(col("lang") === col("alt_lang") && col("name_alt").isNotNull,
+      col("name_alt")).otherwise(col("name"))
+    docs.join(broadcast(eff),
+        concat(lit(" "), col("text"), lit(" ")).contains(concat(lit(" "), effName, lit(" "))))
+      .select(col("doc_id"), col("gid"),
+        when(col("lang") === col("alt_lang") && col("name_alt").isNotNull, col("lang"))
+          .otherwise(lit("default")).as("used_lang"))
+  }
+
+  def langFallbackSql: String =
+    s"""WITH $gazCte, $altNamesCte,
+       |eff AS (SELECT g.gid, g.name, a.alt_lang, a.name_alt
+       |        FROM gaz g LEFT JOIN alt a ON a.gid = g.gid)
+       |SELECT d.doc_id, e.gid,
+       |       CASE WHEN d.lang = e.alt_lang AND e.name_alt IS NOT NULL
+       |            THEN d.lang ELSE 'default' END AS used_lang
+       |FROM documents d JOIN eff e
+       |  ON contains(' ' || d.text || ' ',
+       |       ' ' || (CASE WHEN d.lang = e.alt_lang AND e.name_alt IS NOT NULL
+       |                    THEN e.name_alt ELSE e.name END) || ' ')""".stripMargin
+
+  // =================================================================
   // ops.js-style result formatting: place_name = "<place>, <region>" for
   // every gazetteer place stacked under its containing region (F4 ordering
   // finest→coarsest, carmen's geocoder_format default).

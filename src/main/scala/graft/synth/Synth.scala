@@ -74,6 +74,22 @@ object Synth {
       .toDF("gid", "name", "typ", "score", "glon", "glat")
   }
 
+  /** Multilingual alt names (carmen `carmen:text_{lang}`): frozen literal —
+    * German alt names for the first six places, drawn from doc-vocab
+    * bigrams unused as default names so they are matchable in text. */
+  val altNames: Vector[(Long, String, String)] = Vector(
+    (101L, "de", "dup join"), (102L, "de", "dup merge"), (103L, "de", "dup scan"),
+    (104L, "de", "dup table"), (105L, "de", "dup agg"), (106L, "de", "dup key"))
+
+  def altNamesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    altNames.toDF("gid", "alt_lang", "name_alt")
+  }
+
+  def altNamesCte: String =
+    s"alt(gid, alt_lang, name_alt) AS (VALUES ${
+      altNames.map { case (g, l, n) => s"($g, '$l', '$n')" }.mkString(", ")})"
+
   /** SQL literal for a double that round-trips to the identical bits
     * (Double.toString is shortest-round-trip; DuckDB parses to nearest). */
   private def dlit(d: Double): String = {
