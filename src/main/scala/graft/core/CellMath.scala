@@ -168,4 +168,33 @@ object CellMath {
 
   /** Hilbert order of a packed cell (key for range partitioning, G1). */
   def hilbertOfCell(cell: Long): Long = hilbert(zOf(cell), xOf(cell), yOf(cell))
+
+  /** C3 scale path: a lon/lat bbox → merged, sorted Hilbert-key ranges
+    * [lo, hi] at zoom z, for range-predicate pruning against the sorted
+    * index (file min/max skipping). The tile set of the bbox maps to
+    * scattered Hilbert values; adjacent values merge into maximal runs. */
+  def bboxToHilbertRanges(w: Double, s: Double, e: Double, n: Double,
+                          z: Int): Array[(Long, Long)] = {
+    val x0 = lonToX(z, w); val x1 = lonToX(z, e)
+    val y0 = latToY(z, n); val y1 = latToY(z, s)
+    val hs = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var i = 0
+    var x = x0
+    while (x <= x1) {
+      var y = y0
+      while (y <= y1) { hs(i) = hilbert(z, x, y); i += 1; y += 1 }
+      x += 1
+    }
+    java.util.Arrays.sort(hs)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var lo = hs(0); var hi = hs(0)
+    i = 1
+    while (i < hs.length) {
+      if (hs(i) == hi + 1) hi = hs(i)
+      else { out += ((lo, hi)); lo = hs(i); hi = hs(i) }
+      i += 1
+    }
+    out += ((lo, hi))
+    out.toArray
+  }
 }

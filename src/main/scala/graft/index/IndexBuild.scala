@@ -40,6 +40,20 @@ object IndexBuild {
       .withColumn("hkey", F.hilbertCell(col("cell")))
       .select("phrase_id", "cell", "feature_id", "relev_q", "score_q", "hkey")
 
+  /** C3 scale path: bbox query against the sorted index — the bbox becomes
+    * merged Hilbert-key ranges (CellMath.bboxToHilbertRanges) OR-ed into a
+    * pushable range predicate, so parquet file/row-group min-max stats on
+    * `hkey` skip everything outside the box (no geometry math touches the
+    * pruned rows). */
+  def scanBbox(index: DataFrame, w: Double, s: Double, e: Double, n: Double,
+               z: Int): DataFrame = {
+    val ranges = graft.core.CellMath.bboxToHilbertRanges(w, s, e, n, z)
+    val pred = ranges.map { case (lo, hi) =>
+      col("hkey") >= lo && col("hkey") <= hi
+    }.reduce(_ || _)
+    index.filter(pred)
+  }
+
   /** Build + persist the sorted grid index and the freq table. */
   def build(spark: SparkSession, features: DataFrame, docs: DataFrame,
             z: Int, outDir: String, numRanges: Int): Unit = {

@@ -74,6 +74,34 @@ class IndexSpec extends SparkTestBase {
       s"hkey filter not pushed:\n${plan.take(800)}")
   }
 
+  test("bbox scan over sorted index: hilbert ranges equal brute cell filter, pushed down") {
+    val out = Files.createTempDirectory("bboxidx").toString
+    val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
+      .select(col("feature_id"), lit("p").as("phrase"), col("fscore").as("score"), col("geom_wkb"))
+    graft.index.IndexBuild.build(spark,
+      feats, spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      z = 8, outDir = out, numRanges = 4)
+    val idx = spark.read.parquet(s"$out/grid_index")
+    val (w, s0, e, n) = (-60.0, -30.0, 40.0, 35.0)
+    val viaRanges = graft.index.IndexBuild.scanBbox(idx, w, s0, e, n, 8)
+      .select("cell", "feature_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute: unpack every cell, keep those in the bbox tile window
+    val x0 = CellMath.lonToX(8, w); val x1 = CellMath.lonToX(8, e)
+    val y0 = CellMath.latToY(8, n); val y1 = CellMath.latToY(8, s0)
+    val brute = idx.select("cell", "feature_id").collect()
+      .filter { r =>
+        val c = r.getLong(0)
+        CellMath.xOf(c) >= x0 && CellMath.xOf(c) <= x1 &&
+          CellMath.yOf(c) >= y0 && CellMath.yOf(c) <= y1
+      }.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRanges == brute)
+    assert(viaRanges.nonEmpty)
+    val plan = graft.index.IndexBuild.scanBbox(idx, w, s0, e, n, 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("hkey"),
+      "hilbert range predicate not pushed to the scan")
+  }
+
   test("streaming incremental index: micro-batches land as grid entries") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
