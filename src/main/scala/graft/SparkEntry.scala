@@ -20,13 +20,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- geocoding core (SURVEY.md §2.B/C/D/E/F/H) ---
     "fwd_geocode" -> ((s, d) => Queries.fwdGeocode(s, d)),
+    "fwd_geocode_indexed" -> ((s, d) => Queries.fwdGeocodeIndexed(s, d)),
+    "fwd_dedup" -> ((s, d) => Queries.fwdDedup(s, d)),
+    "fwd_stacks" -> ((s, d) => Queries.fwdStacks(s, d)),
     "fwd_geocode_idf" -> ((s, d) => Queries.fwdGeocodeIdf(s, d)),
     "cell_assign" -> ((s, d) => Queries.cellAssign(s, d)),
     "parent_cells" -> ((s, d) => Queries.parentCells(s, d)),
     "tile_cover_rect" -> ((s, d) => Queries.tileCoverRect(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
-      ops.Geocode.reverseBcast(s, Synth.eventPoints(s, d), Synth.custFeatures(s, d), 8)
+      ops.Geocode.reverseBcast(s, Synth.eventPoints(s, d), Synth.custFeatures(s, d), 8,
+        cacheKey = Some(s"$d/customer"))
         .select(col("event_id"), col("feature_id"))),
     "knn_expand" -> ((s, d) =>
       ops.Geocode.knnExpanding(Synth.eventPoints(s, d),
@@ -88,7 +92,12 @@ object SparkEntry {
     * goldens instead). */
   def oracleSql: Map[String, String] = Map(
     "fwd_geocode" -> Queries.fwdGeocodeSql,
+    // indexed path is row-identical to fwd_geocode by D4-verify equivalence
+    "fwd_geocode_indexed" -> Queries.fwdGeocodeSql,
+    "fwd_dedup" -> Queries.fwdDedupSql,
+    "fwd_stacks" -> Queries.fwdStacksSql,
     "fwd_geocode_idf" -> Queries.fwdGeocodeIdfSql,
+    "knn_expand" -> Queries.knnExpandSql,
     "cell_assign" -> Queries.cellAssignSql,
     "parent_cells" -> Queries.parentCellsSql,
     "tile_cover_rect" -> Queries.tileCoverRectSql,

@@ -173,11 +173,37 @@ object CellMath {
     * [lo, hi] at zoom z, for range-predicate pruning against the sorted
     * index (file min/max skipping). The tile set of the bbox maps to
     * scattered Hilbert values; adjacent values merge into maximal runs. */
+  /** Tile-count ceiling for exact per-tile range enumeration: above this the
+    * box is answered as ONE coarse [min,max] Hilbert range (still correct —
+    * range pruning is only ever an over-approximation that the exact
+    * geometry predicate re-filters; a world bbox at z14 would otherwise
+    * enumerate 2^28 tiles / several GB of Longs, and the Long→Int cast
+    * overflowed outright at z>=16). */
+  final val MaxRangeTiles = 1 << 20
+
   def bboxToHilbertRanges(w: Double, s: Double, e: Double, n: Double,
                           z: Int): Array[(Long, Long)] = {
     val x0 = lonToX(z, w); val x1 = lonToX(z, e)
     val y0 = latToY(z, n); val y1 = latToY(z, s)
-    val hs = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val count: Long = (x1 - x0 + 1L) * (y1 - y0 + 1L)
+    if (count > MaxRangeTiles) {
+      // coarse fallback: hull of the box's Hilbert values. min/max over the
+      // boundary is NOT sufficient for Hilbert (interior cells can take the
+      // extrema), so take the conservative full-curve hull of the parent
+      // cells: walk the box at a coarser zoom where enumeration is bounded,
+      // then widen each coarse cell to its descendant Hilbert span at z.
+      var zc = z
+      var span = 1L
+      while ((((x1 >> (z - zc)) - (x0 >> (z - zc)) + 1L) *
+              ((y1 >> (z - zc)) - (y0 >> (z - zc)) + 1L)) > MaxRangeTiles) {
+        zc -= 1; span <<= 2
+      }
+      val coarse = bboxToHilbertRanges(w, s, e, n, zc)
+      // each coarse cell at zc covers a contiguous aligned block of 4^(z-zc)
+      // Hilbert values at z (Hilbert curves recurse per quadrant)
+      return coarse.map { case (lo, hi) => (lo * span, (hi + 1) * span - 1) }
+    }
+    val hs = new Array[Long](count.toInt)
     var i = 0
     var x = x0
     while (x <= x1) {

@@ -68,7 +68,15 @@ object Geo {
     def rd(bb: ByteBuffer): Unit = {
       val order = if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
       bb.order(order)
-      val typ = bb.getInt() % 1000 // tolerate EWKB Z-flags by modulo
+      val rawTyp = bb.getInt()
+      // ISO WKB Z/M/ZM variants (1001.., 2001.., 3001..) carry extra
+      // ordinates per coordinate; silently reading 2 doubles would
+      // desynchronize the buffer and produce garbage geometry — fail loudly
+      // until 2.5D parsing is actually implemented.
+      if (rawTyp >= 1000)
+        throw new IllegalArgumentException(
+          s"WKB type $rawTyp: Z/M/ZM geometries are not supported (2D WKB only)")
+      val typ = rawTyp
       typ match {
         case 1 =>
           kind = Geom.Point

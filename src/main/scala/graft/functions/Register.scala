@@ -1,39 +1,52 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.types._
 
 /** SQL-surface registration: exposes the engine's Catalyst expressions to
   * `spark.sql(...)` users (cell math, geometry, text, sketches) under their
-  * prettyName. Idempotent per session. */
+  * prettyName. Idempotent per session.
+  *
+  * The engine expressions declare only their output type (AbstractDataType /
+  * ExpectsInputTypes are not usable outside the spark packages), so each
+  * builder wraps its arguments in Cast to the expected input type: a user
+  * passing `parent_cell(cell, 8)` (BIGINT literal zoom, INT expected) gets a
+  * correct answer instead of a ClassCastException at eval time.
+  */
 object Register {
 
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def f1(name: String, b: Expression => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, { args => require(args.length == 1, s"$name(x)"); b(args.head) }, "scala_udf")
-    def f2(name: String, b: (Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, { args => require(args.length == 2, s"$name(x,y)"); b(args(0), args(1)) }, "scala_udf")
-    def f3(name: String, b: (Expression, Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, { args => require(args.length == 3, s"$name(x,y,z)"); b(args(0), args(1), args(2)) }, "scala_udf")
-    def f4(name: String, b: (Expression, Expression, Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, { args => require(args.length == 4, s"$name(a,b,c,d)"); b(args(0), args(1), args(2), args(3)) }, "scala_udf")
+    def cast(e: Expression, t: DataType): Expression =
+      if (e.dataType == t) e else Cast(e, t)
+    def mk(name: String, types: Seq[DataType], b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { args =>
+        require(args.length == types.length,
+          s"$name expects ${types.length} argument(s), got ${args.length}")
+        b(args.zip(types).map { case (a, t) => cast(a, t) })
+      }, "scala_udf")
 
-    f3("cell_at", Exprs.CellAt.apply)
-    f2("parent_cell", Exprs.ParentCell.apply)
-    f1("hilbert_cell", Exprs.HilbertOfCell.apply)
-    f2("ring_cells", Exprs.RingCells.apply)
-    f2("disk_cells", Exprs.DiskCells.apply)
-    f3("pip_wkb", Exprs.PipWkb.apply)
-    f2("tile_cover", Exprs.TileCoverExpr.apply)
-    f2("clip_to_cell", Exprs.ClipToCellWkb.apply)
-    f4("rect_wkb", Exprs.RectWkb.apply)
-    f1("extract_text", Exprs.ExtractText.apply)
-    f1("tokenize", Exprs.TokenizeExpr.apply)
-    f1("phrase_form", Exprs.PhraseFormExpr.apply)
-    f1("doc_fingerprint", Exprs.DocFingerprint.apply)
-    f1("simhash64", Exprs.SimHash.apply)
-    f3("minhash_sig", Exprs.MinHashSig.apply)
-    f2("lsh_bands", Exprs.LshBandsFromSig.apply)
+    val AL = ArrayType(LongType, containsNull = false)
+    mk("cell_at", Seq(IntegerType, DoubleType, DoubleType),
+      a => Exprs.CellAt(a(0), a(1), a(2)))
+    mk("parent_cell", Seq(LongType, IntegerType), a => Exprs.ParentCell(a(0), a(1)))
+    mk("hilbert_cell", Seq(LongType), a => Exprs.HilbertOfCell(a(0)))
+    mk("ring_cells", Seq(LongType, IntegerType), a => Exprs.RingCells(a(0), a(1)))
+    mk("disk_cells", Seq(LongType, IntegerType), a => Exprs.DiskCells(a(0), a(1)))
+    mk("pip_wkb", Seq(BinaryType, DoubleType, DoubleType),
+      a => Exprs.PipWkb(a(0), a(1), a(2)))
+    mk("tile_cover", Seq(BinaryType, IntegerType), a => Exprs.TileCoverExpr(a(0), a(1)))
+    mk("clip_to_cell", Seq(BinaryType, LongType), a => Exprs.ClipToCellWkb(a(0), a(1)))
+    mk("rect_wkb", Seq(DoubleType, DoubleType, DoubleType, DoubleType),
+      a => Exprs.RectWkb(a(0), a(1), a(2), a(3)))
+    mk("extract_text", Seq(BinaryType), a => Exprs.ExtractText(a(0)))
+    mk("tokenize", Seq(StringType), a => Exprs.TokenizeExpr(a(0)))
+    mk("phrase_form", Seq(StringType), a => Exprs.PhraseFormExpr(a(0)))
+    mk("doc_fingerprint", Seq(StringType), a => Exprs.DocFingerprint(a(0)))
+    mk("simhash64", Seq(StringType), a => Exprs.SimHash(a(0)))
+    mk("minhash_sig", Seq(StringType, IntegerType, IntegerType),
+      a => Exprs.MinHashSig(a(0), a(1), a(2)))
+    mk("lsh_bands", Seq(AL, IntegerType), a => Exprs.LshBandsFromSig(a(0), a(1)))
   }
 }

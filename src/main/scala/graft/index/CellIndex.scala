@@ -48,6 +48,15 @@ final class CellIndexData(val cells: Array[Long], val fids: Array[Long])
 
 object CellIndex {
 
+  /** Process-wide memo of built indexes: the collect-and-sort build is a
+    * batch-index job, not a per-query step — a query path that rebuilt the
+    * (up to ~1.6 GB) array per invocation would be a driver collect per
+    * query at the ceiling. Keyed by caller-supplied identity (source table
+    * path + zoom); survives session restarts within the JVM. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, CellIndexData]()
+  def cached(key: String)(build: => CellIndexData): CellIndexData =
+    memo.computeIfAbsent(key, _ => build)
+
   /** Build from a (cell, feature_id) frame. The distributed sort happens in
     * Spark (range shuffle); only the final compact arrays are collected —
     * the same rows [[IndexBuild]] writes as the on-disk sorted table. */

@@ -40,6 +40,21 @@ object IndexBuild {
       .withColumn("hkey", F.hilbertCell(col("cell")))
       .select("phrase_id", "cell", "feature_id", "relev_q", "score_q", "hkey")
 
+  /** D1/A3: grid-index rows for a POINT-feature gazetteer (one cell per
+    * feature at its type's index zoom) — the table [[graft.ops.Geocode.forwardIndexed]]
+    * equi-joins doc windows against. Schema matches [[gridEntries]] plus the
+    * index type: (phrase_id, typ, cell, feature_id, relev_q, score_q, hkey). */
+  def gazetteerGrid(gaz: DataFrame, zPlace: Int, zRegion: Int): DataFrame =
+    gaz.select(
+      phraseId(col("name")).as("phrase_id"),
+      col("typ"),
+      F.cellAt(when(col("typ") === "place", lit(zPlace)).otherwise(lit(zRegion)),
+        col("glon"), col("glat")).as("cell"),
+      col("gid").as("feature_id"),
+      relevQ(lit(1.0)).as("relev_q"),
+      scoreQ(col("score")).as("score_q"))
+      .withColumn("hkey", F.hilbertCell(col("cell")))
+
   /** C3 scale path: bbox query against the sorted index — the bbox becomes
     * merged Hilbert-key ranges (CellMath.bboxToHilbertRanges) OR-ed into a
     * pushable range predicate, so parquet file/row-group min-max stats on

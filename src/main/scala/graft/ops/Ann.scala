@@ -62,14 +62,39 @@ object Ann {
   /** Deterministic pseudo-random hyperplane component h(p, i) in [-1, 1). */
   private val dimLit = 64
 
-  /** Multi-table LSH-bucketed ANN: `nTables` independent hash tables, each
-    * bucketing on `planesPerTable` sign bits of fixed pseudo-random
-    * hyperplanes; candidates = union across tables (distinct), then exact
-    * top-k within candidates. Standard recall/efficiency trade: per-table
-    * collision ~(1-θ/π)^b, union over tables recovers recall while every
-    * table remains a pure equi-join on (table, bucket). */
-  def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
-              nTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+  /** XOR masks for multi-probe: all bit patterns of `bits` bits with at most
+    * `maxFlips` ones — the query probes every bucket within that Hamming
+    * ball (Lv et al., VLDB'07 multi-probe LSH; public construction). */
+  private def probeMasks(bits: Int, maxFlips: Int): Array[Long] =
+    (0L until (1L << bits)).filter(java.lang.Long.bitCount(_) <= maxFlips).toArray
+
+  /** Candidate (qid, nid) pairs from multi-table sign-LSH with multi-probe.
+    *
+    * Scale shape: each corpus vector lands in ONE bucket per table
+    * (`planesPerTable` = 16 sign bits → 65,536 buckets/table, so a bucket
+    * holds ~n/65k vectors — the self-join is sub-quadratic, unlike few-bit
+    * bucketing where every bucket holds n/2^b ≈ n and the "LSH" join is a
+    * cartesian product with extra steps). Recall is recovered on the QUERY
+    * side only: each query probes the buckets within Hamming distance
+    * `probeFlips` of its own bucket (137 probes/table at 16 bits, 2 flips),
+    * so the corpus is never exploded. The join output is the SKINNY id pair
+    * (qid, nid) — vectors re-attach after dedup, so duplicate candidates
+    * from different tables/probes never carry 64-long arrays through the
+    * shuffle or the distinct. */
+  private def quantBase(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quant(col("embedding")).as("q"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+
+  def lshCandidates(emb: DataFrame, nQueries: Int,
+                    nTables: Int = 8, planesPerTable: Int = 16,
+                    probeFlips: Int = 2): DataFrame =
+    candidatesFromBase(quantBase(emb).persist(), nQueries, nTables,
+      planesPerTable, probeFlips)
+
+  private def candidatesFromBase(base: DataFrame, nQueries: Int,
+                                 nTables: Int, planesPerTable: Int,
+                                 probeFlips: Int): DataFrame = {
+    require(planesPerTable <= 24, "bucket key uses the low 32 bits")
     val planes: Array[Array[Double]] = Array.tabulate(nTables * planesPerTable, dimLit) { (p, i) =>
       (Fingerprint.mix64(p.toLong * 131 + i) % 1000000L).toDouble / 1000000.0
     }
@@ -78,14 +103,36 @@ object Ann {
       when(aggregate(zip_with(planeCol, col("q"), (h, x) => h * x),
         lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _) + lit(t.toLong << 32)
-    val e = emb.select(col("vec_id"), quant(col("embedding")).as("q"))
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val masks = probeMasks(planesPerTable, probeFlips)
+    // corpus side: one (bucket, id) row per table — no vector payload
+    val corpusBuckets = base
       .withColumn("bucket", explode(array((0 until nTables).map(tableBucket): _*)))
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("q").as("qv"), col("bucket"))
-    e.join(queries, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("q"))
+      .select(col("bucket"), col("vec_id"))
+    // query side: probe the Hamming ball around each per-table bucket
+    // (XOR with the low probe bits keeps the table tag intact)
+    val queryBuckets = base.filter(col("vec_id") < nQueries)
+      .withColumn("b0", explode(array((0 until nTables).map(tableBucket): _*)))
+      .withColumn("bucket", explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)))
+      .select(col("bucket"), col("vec_id").as("qid"))
+    corpusBuckets.join(queryBuckets, "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
       .distinct()
+  }
+
+  /** Multi-table multi-probe LSH ANN: candidates from [[lshCandidates]],
+    * exact int-quantized top-k among them. */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nTables: Int = 8, planesPerTable: Int = 16,
+              probeFlips: Int = 2): DataFrame = {
+    // the quantized sketch table feeds the bucket build, the candidate
+    // re-attach and the query side — one materialization, three consumers
+    val base = quantBase(emb).persist()
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    candidatesFromBase(base, nQueries, nTables, planesPerTable, probeFlips)
+      .join(base.select(col("vec_id").as("nid"), col("q")), "nid")
+      .join(broadcast(queries), "qid")
       .select(col("qid"), col("nid"), dot(col("qv"), col("q")).as("dp"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dp").desc, col("nid").asc)))

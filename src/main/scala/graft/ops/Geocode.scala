@@ -22,48 +22,81 @@ object Geocode {
   final val ZRegion = 8   // coarse index zoom (regions)
   final val ZPlace = 12   // fine index zoom (places)
 
-  /** B4+B8+D1: mention extraction via token windows (lengths 1..2) matched
-    * against a broadcast gazetteer. Map-side only: the window set is built
-    * with array higher-order functions (no shuffle), deduped per doc with
-    * array_distinct, then broadcast-hash-joined against the phrase dict.
+  /** B4: the DISTINCT contiguous token windows (lengths 1..maxLen) of each
+    * doc's text, one row per (doc, window phrase). Map-side only: built with
+    * array higher-order functions + explode so the whole stage stays inside
+    * whole-stage codegen (measured ~1.7× faster than a fused CodegenFallback
+    * Generator — see BENCH.md). */
+  def tokenWindows(docs: DataFrame, maxLen: Int, extraCols: Seq[String] = Seq("qlon", "qlat")): DataFrame = {
+    val toks = docs.withColumn("toks", F.tokenize(col("text")))
+    def winsOfLen(len: Int): Column =
+      if (len == 1) col("toks")
+      else when(size(col("toks")) >= len,
+        transform(sequence(lit(1), size(col("toks")) - lit(len - 1)),
+          i => array_join(slice(col("toks"), i, lit(len)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val wins = array_distinct(concat((1 to maxLen).map(winsOfLen): _*))
+    toks.select(col("doc_id") +: extraCols.map(col) :+
+      explode(wins).as("phrase"): _*)
+  }
+
+  /** Max window length needed to match every gazetteer name — derived from
+    * the data (a 3-token name silently never matching was the failure mode
+    * of a hard-coded cap). One tiny agg job; at 10^12-doc scale the phrase
+    * dictionary is static per run and this is computed once at job setup. */
+  def maxNameTokens(gaz: DataFrame): Int =
+    math.max(1, gaz.agg(max(size(split(col("name"), " ")))).head().getInt(0))
+
+  /** B4+B8+D1: mention extraction via token windows matched against a
+    * broadcast gazetteer (the literal-gazetteer demo path; the at-scale path
+    * is [[forwardIndexed]] which equi-joins phrase ids against the built
+    * grid index instead of broadcasting names).
     *
     * Semantics: a gazetteer name matches iff its token sequence is a
     * contiguous subsequence of the document's token sequence (equivalently,
     * for single-space text, `' '||text||' '` contains `' '||name||' '`).
     */
-  def mentions(docs: DataFrame, gaz: DataFrame): DataFrame = {
-    // Window generation stays on array higher-order functions + explode:
-    // these remain inside whole-stage codegen, which measured ~1.7× faster
-    // than the fused custom Generator (CodegenFallback Generate breaks the
-    // codegen stage — see BENCH.md).
-    val toks = docs.withColumn("toks", F.tokenize(col("text")))
-    val withWins = toks.withColumn("wins",
-      array_distinct(concat(
-        col("toks"),
-        zip_with(
-          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b)))))
-    withWins
-      .select(col("doc_id"), col("qlon"), col("qlat"), explode(col("wins")).as("phrase"))
+  def mentions(docs: DataFrame, gaz: DataFrame): DataFrame =
+    tokenWindows(docs, maxNameTokens(gaz))
       .join(broadcast(gaz), col("phrase") === col("name"))
       .withColumn("w", size(split(col("name"), " ")) / lit(3.0))
-  }
 
   /** D2+E2: zoom-aligned coalesce — place candidates stack with mentioned
     * region candidates whose z8 cell contains the place's z8 ancestor cell;
-    * relev = sum of subquery weights; best region per place resolved by
-    * (weight desc, id asc). Region-only candidates survive standalone. */
-  def coalesce2(m: DataFrame): DataFrame = {
+    * best region per place resolved by (weight desc, id asc). Region-only
+    * candidates survive standalone.
+    *
+    * Relevance (B4/E2): with `maskRelev` (the carmen-faithful default) the
+    * stacked relev is the COVERED-TOKEN count — |tokens(place name) ∪
+    * tokens(region name)| / 3 — so windows that overlap on a token (place
+    * "big data" under region "data") never double-count. `maskRelev=false`
+    * keeps additive weights for externally-weighted mentions (IDF path). */
+  def coalesce2(m: DataFrame, maskRelev: Boolean = true): DataFrame = {
     val placeCands = m.filter(col("typ") === "place")
       .withColumn("cell", F.cellAt(lit(ZPlace), col("glon"), col("glat")))
       .withColumn("cell8p", F.parentCell(col("cell"), lit(ZRegion)))
     val regionCands = m.filter(col("typ") === "region")
       .withColumn("cell", F.cellAt(lit(ZRegion), col("glon"), col("glat")))
+    stackAndUnion(placeCands, regionCands, maskRelev)
+  }
 
+  /** The stack join + union shared by [[coalesce2]] (cells computed from
+    * coordinates) and [[forwardIndexed]] (cells consumed from the grid
+    * index). `placeCands` must carry (doc_id, gid, name, typ, w, score,
+    * glon, glat, qlon, qlat, cell, cell8p); `regionCands` the same minus
+    * cell8p. */
+  private def stackAndUnion(placeCands: DataFrame, regionCands: DataFrame,
+                            maskRelev: Boolean): DataFrame = {
     val regionSide = regionCands.select(
       col("doc_id").as("r_doc_id"), col("cell").as("r_cell"),
-      col("gid").as("rid"), col("w").as("wr"))
+      col("gid").as("rid"), col("w").as("wr"), col("name").as("rname"))
+
+    val stackedRelev =
+      if (maskRelev)
+        when(col("rid").isNull, col("w"))
+          .otherwise(size(array_distinct(concat(
+            split(col("name"), " "), split(col("rname"), " ")))) / lit(3.0))
+      else col("w") + coalesce(col("wr"), lit(0.0))
 
     // The region side is per-doc data (grows with the corpus, 10^12-row
     // design point) — never broadcastable. Force a shuffle-hash join so the
@@ -78,24 +111,34 @@ object Geocode {
         Window.partitionBy(col("doc_id"), col("gid"))
           .orderBy(col("wr").desc_nulls_last, col("rid").asc_nulls_last)))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("gid").as("feature_id"), col("typ"),
-        (col("w") + coalesce(col("wr"), lit(0.0))).as("relev"),
+      .select(col("doc_id"), col("gid").as("feature_id"), col("name"), col("typ"),
+        stackedRelev.as("relev"),
         col("cell"), coalesce(col("rid"), lit(-1L)).as("ctx"),
         col("score"), col("glon"), col("glat"), col("qlon"), col("qlat"))
 
     val regionsAsCands = regionCands.select(col("doc_id"), col("gid").as("feature_id"),
-      col("typ"), col("w").as("relev"), col("cell"), lit(-1L).as("ctx"),
+      col("name"), col("typ"), col("w").as("relev"), col("cell"), lit(-1L).as("ctx"),
       col("score"), col("glon"), col("glat"), col("qlon"), col("qlat"))
 
     stacked.unionByName(regionsAsCands)
   }
 
-  /** H5/H6 + F2/F3: proximity-decayed score and per-doc top-k ranking. */
-  def rank(cands: DataFrame, k: Int = 5): DataFrame = {
+  /** H5/H6 + F2/F3 (+E4): proximity-decayed score and per-doc top-k ranking.
+    * With `dedupe` (carmen's verifymatch dedupe), candidates that resolve to
+    * the same place — same normalized name AND same index cell — collapse to
+    * the best-scoring one (ties to the lowest feature id) before the limit,
+    * so overlapping indexes can't fill the top-k with one place. */
+  def rank(cands: DataFrame, k: Int = 5, dedupe: Boolean = false): DataFrame = {
     val scored = cands
       .withColumn("dist", F.haversineKm(col("qlon"), col("qlat"), col("glon"), col("glat")))
       .withColumn("sd", F.scoredist(col("score"), col("dist")))
-    scored
+    val deduped =
+      if (!dedupe) scored
+      else scored.withColumn("dn", row_number().over(
+          Window.partitionBy(col("doc_id"), col("name"), col("cell"))
+            .orderBy(col("relev").desc, col("sd").desc, col("feature_id").asc)))
+        .filter(col("dn") === 1)
+    deduped
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("relev").desc, col("sd").desc, col("feature_id").asc)))
@@ -126,7 +169,8 @@ object Geocode {
     val m = mentions(docs, gaz).drop("w")
       .join(broadcast(w), "gid")
       .persist()
-    rank(coalesce2(m), k)
+    // additive relev: the weights are already externally normalized per name
+    rank(coalesce2(m, maskRelev = false), k)
   }
 
   /** Full forward geocode (the flagship / headline benchmark pipeline).
@@ -137,9 +181,56 @@ object Geocode {
     * 3 full passes over the pages table, untenable at 10^12 rows. Locally we
     * persist() the mention frame; at cluster scale the same cut point is the
     * checkpointed mentions table (SURVEY.md §2.A6) written once per run. */
-  def forward(docs: DataFrame, gaz: DataFrame, k: Int = 5): DataFrame = {
+  def forward(docs: DataFrame, gaz: DataFrame, k: Int = 5,
+              dedupe: Boolean = false): DataFrame = {
     val m = mentions(docs, gaz).persist()
-    rank(coalesce2(m), k)
+    rank(coalesce2(m), k, dedupe)
+  }
+
+  /** D1/A3/H7 at scale: forward geocode over the BUILT grid index instead of
+    * a broadcast name list — the path that survives a 10^7-feature gazetteer.
+    *
+    *   1. doc token windows → `phrase_id = xxhash64(phrase)` (map-side);
+    *   2. equi-join against the grid index on phrase_id (shuffle-hash — the
+    *      index is 10s of GB at the design point, never broadcastable);
+    *      the index row carries (cell, feature_id, relev_q, score_q);
+    *   3. F2 grid-stage prune: per (doc, phrase, typ) keep the `stackCap`
+    *      best entries by (relev_q desc, score_q desc, id) — the quantized
+    *      ranking is exactly what carmen's coalesce consumes before verify;
+    *   4. D4 verify: join the feature table by id and require the feature's
+    *      name to equal the matched phrase (drops phrase-id hash collisions);
+    *   5. coalesce + rank re-using the index cells (never recomputed).
+    *
+    * Row-identical to [[forward]] over the same gazetteer as long as
+    * `stackCap` exceeds the per-phrase feature count (GeocoderSpec asserts
+    * this at sf0.001).
+    */
+  def forwardIndexed(docs: DataFrame, grid: DataFrame, features: DataFrame,
+                     k: Int = 5, stackCap: Int = 64,
+                     dedupe: Boolean = false): DataFrame = {
+    val maxLen = maxNameTokens(features)
+    val hits = tokenWindows(docs, maxLen)
+      .withColumn("phrase_id", xxhash64(col("phrase")))
+      .join(grid.hint("shuffle_hash"), "phrase_id")
+    val pruned = hits
+      .withColumn("gr", row_number().over(
+        Window.partitionBy(col("doc_id"), col("phrase_id"), col("typ"))
+          .orderBy(col("relev_q").desc, col("score_q").desc, col("feature_id").asc)))
+      .filter(col("gr") <= stackCap)
+      .drop("gr", "typ")
+    val feats = features.select(col("gid"), col("name"), col("typ"),
+      col("score"), col("glon"), col("glat"))
+    val verified = pruned
+      .join(feats.hint("shuffle_hash"), pruned("feature_id") === feats("gid"))
+      .filter(col("phrase") === col("name"))
+      .select(col("doc_id"), col("qlon"), col("qlat"), col("gid"), col("name"),
+        col("typ"), col("score"), col("glon"), col("glat"), col("cell"),
+        (size(split(col("name"), " ")) / lit(3.0)).as("w"))
+      .persist()
+    val placeCands = verified.filter(col("typ") === "place")
+      .withColumn("cell8p", F.parentCell(col("cell"), lit(ZRegion)))
+    val regionCands = verified.filter(col("typ") === "region")
+    rank(stackAndUnion(placeCands, regionCands, maskRelev = true), k, dedupe)
   }
 
   /** D5+C4: reverse geocode join — probe points equi-joined on the z-cell to
@@ -211,9 +302,14 @@ object Geocode {
     * results to [[reversePip]]; this is the path that wins when the cover
     * index fits the broadcast ceiling (~10^8 entries). */
   def reverseBcast(spark: org.apache.spark.sql.SparkSession, points: DataFrame,
-                   features: DataFrame, z: Int): DataFrame = {
+                   features: DataFrame, z: Int,
+                   cacheKey: Option[String] = None): DataFrame = {
     import graft.index.CellIndex
-    val bc = spark.sparkContext.broadcast(CellIndex.buildFromFeatures(features, z))
+    val data = cacheKey match {
+      case Some(key) => CellIndex.cached(s"$key@z$z")(CellIndex.buildFromFeatures(features, z))
+      case None => CellIndex.buildFromFeatures(features, z)
+    }
+    val bc = spark.sparkContext.broadcast(data)
     val probes = points
       .withColumn("cell", F.cellAt(lit(z), col("elon"), col("elat")))
       .withColumn("feature_id", explode(CellIndex.lookupCol(col("cell"), bc)))
@@ -228,14 +324,28 @@ object Geocode {
     * shrinking Dataset (the reference iterates tiles the same way). */
   def knnExpanding(points: DataFrame, featurePoints: DataFrame, z: Int,
                    radii: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    // Each round's matched set is persisted AND materialized before the next
+    // round derives its residual from it: without the cut, round r re-executes
+    // every previous round's join (the lineage chain is r-deep — measured 2×
+    // on the r=4 bench query). The residuals are persisted too (each feeds
+    // two consumers: the next knnDisk and the next anti-join); at cluster
+    // scale these cuts are the per-round checkpoint tables (SURVEY.md §2.A6).
     var residual = points
+    val residuals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var acc: Option[DataFrame] = None
     radii.foreach { r =>
       val matched = knnDisk(residual, featurePoints, z, r)
         .withColumn("radius", lit(r))
+        .persist()
+      matched.count()
       acc = Some(acc.map(_.unionByName(matched)).getOrElse(matched))
       residual = residual.join(matched.select("event_id"), Seq("event_id"), "left_anti")
+        .persist()
+      residuals += residual
     }
+    // matched frames stay cached (they ARE the result); residual lineage is
+    // fully consumed once the loop ends.
+    residuals.foreach(_.unpersist(blocking = false))
     acc.get
   }
 

@@ -13,15 +13,30 @@ import graft.functions.F
   */
 object TextOps {
 
-  /** Exact dedup: keep the lowest doc_id per identical text (hash-groupBy
-    * at scale: the shuffle key is the text hash, not the text itself). */
+  /** Exact dedup: keep the lowest doc_id per identical text. The shuffle /
+    * window key is sha2(text) — 32 bytes — NOT the document itself (a
+    * full-document sort key means shuffling the whole corpus twice at
+    * 100 TB); collision probability at 2^-128 scale is below hardware error
+    * rates, so no verify pass is needed on the hash groups. */
   def dedupExact(docs: DataFrame): DataFrame =
     docs
+      .withColumn("h", sha2(col("text"), 256))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("text")).orderBy(col("doc_id").asc)))
-      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("text"))))
+        Window.partitionBy(col("h")).orderBy(col("doc_id").asc)))
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("group_n"))
+
+  /** Pre-collapse of exact duplicates (32-byte hash key): the canonical
+    * first stage of every near-dup pipeline — a Common-Crawl-scale exact-dup
+    * cluster of 10^6 docs must become ONE representative before any LSH
+    * banding, or a single band bucket yields 10^12 candidate pairs. */
+  def exactReps(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
 
   /** Deterministic "mutated copy" used to exercise near-dup detection at any
     * scale: every 10th doc gets a clone (id + 10_000_000) with the last
@@ -37,15 +52,24 @@ object TextOps {
     * bands of 8 rows → band-key equi-join (the scale path: candidates only
     * ever meet inside a band bucket, a shuffle on band_key), then verify by
     * estimated Jaccard from the full signatures. */
-  def dedupMinHash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def dedupMinHash(docs: DataFrame, threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
+    // exact dups collapse to one rep BEFORE banding (see [[exactReps]]);
     // signature computed once per doc, bands derived from it; persisted so
     // the self-join's two sides don't re-hash the corpus (at cluster scale
     // this cut is a written sketch table, not a RAM cache)
-    val sigs = docs.select(col("doc_id"),
+    val sigs = exactReps(docs).select(col("doc_id"),
       F.minhashSig(col("text"), lit(3), lit(64)).as("sig"))
       .withColumn("bands", F.lshBandsFromSig(col("sig"), lit(8)))
+    // bucket cap: a band bucket of k docs yields k²/2 pairs — after exact
+    // pre-collapse a still-oversized bucket means a degenerate band (e.g.
+    // boilerplate shingles); those pairs are dropped, bounded loss traded
+    // for a bounded join (the other 7 bands still cover the pair).
     val banded = sigs.select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
       .persist()
     val a = banded.select(col("band"), col("doc_id").as("a"), col("sig").as("siga"))
     val b = banded.select(col("band"), col("doc_id").as("b"), col("sig").as("sigb"))
@@ -62,14 +86,19 @@ object TextOps {
   /** SimHash near-dup pairs: 64-bit fingerprint, blocked on 4×16-bit bands
     * (any pair at Hamming ≤ 3 shares at least one exact band), verified by
     * exact Hamming distance. */
-  def dedupSimHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(col("doc_id"), F.simhash64(col("text")).as("sh"))
+  def dedupSimHash(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    val hashed = exactReps(docs)
+      .select(col("doc_id"), F.simhash64(col("text")).as("sh"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .persist()
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)) + lit(i.toLong << 16)): _*))
         .as("band"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val a = banded.select(col("band"), col("doc_id").as("a"), col("sh").as("sha"))
     val b = banded.select(col("band"), col("doc_id").as("b"), col("sh").as("shb"))
     a.join(b, "band").filter(col("a") < col("b"))
@@ -78,17 +107,44 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Token-set Jaccard near-dup among candidate pairs blocked by
-    * (lang, length bucket) — the exact-verify stage of the dedup family. */
+  /** Token-set Jaccard near-dup pairs within (lang, length-bucket) blocks —
+    * the exact-verify stage of the dedup family.
+    *
+    * Candidate generation is an AllPairs/PPJoin-style PREFIX-FILTERED
+    * equi-join, not a block self-join: order each doc's tokens by global
+    * rarity (df asc, token asc) and emit only the first
+    * `|toks| - ceil(t·|toks|) + 1` tokens as join keys. Two docs with
+    * J >= t MUST share a prefix token under a consistent global order
+    * (overlap >= ceil(t·|x|) for both, pigeonhole on the suffix), so the
+    * result is EXACTLY the block-join's — but candidates for a pair only
+    * materialize when they co-occur on a rare token, which keeps the join
+    * sub-quadratic where a (lang, length) block alone holds ~10^9 docs at
+    * the 100 TB design point. [Bayardo et al., WWW'07 "Scaling Up All
+    * Pairs Similarity Search" — public construction.] */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val t = docs.select(col("doc_id"), col("lang"),
       (col("n_chars") / 100).cast("long").as("bucket"),
       array_distinct(F.tokenize(col("text"))).as("toks"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .persist()
-    val a = t.select(col("lang"), col("bucket"), col("doc_id").as("a"), col("toks").as("ta"))
-    val b = t.select(col("lang"), col("bucket"), col("doc_id").as("b"), col("toks").as("tb"))
-    a.join(b, Seq("lang", "bucket")).filter(col("a") < col("b"))
+    val df_ = t.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val pref = t
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+      .join(df_, "tok")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
+      .filter(col("r") <= col("n") - ceil(col("n") * lit(threshold)) + lit(1))
+      .select(col("lang"), col("bucket"), col("tok"), col("doc_id"))
+    val cand = pref.select(col("lang"), col("bucket"), col("tok"), col("doc_id").as("a"))
+      .join(pref.select(col("lang"), col("bucket"), col("tok"), col("doc_id").as("b")),
+        Seq("lang", "bucket", "tok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(t.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+      .join(t.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni").cast("double"))

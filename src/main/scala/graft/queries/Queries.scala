@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F
@@ -23,43 +23,116 @@ object Queries {
   def fwdGeocode(spark: SparkSession, sfDir: String): DataFrame =
     Geocode.forward(docPages(spark, sfDir), gazDf(spark))
 
-  def fwdGeocodeSql: String = {
+  /** B4/E2 mask relevance (both sides): a stacked candidate's relev is the
+    * COVERED-TOKEN count |tokens(place) ∪ tokens(region)| / 3 — overlapping
+    * windows ("big data" under region "data") never double-count. */
+  private val maskRelevSql =
+    "CASE WHEN rid IS NULL THEN w ELSE len(list_distinct(list_cat(string_split(name, ' '), string_split(rname, ' ')))) / 3.0 END"
+
+  /** The forward-geocode SQL pipeline over an effective gazetteer CTE `gaz`
+    * — shared by fwd_geocode / fwd_geocode_indexed (same rows by D4-verify
+    * equivalence), fwd_stacks (C2 filter) and fwd_dedup (E4 result dedupe). */
+  private def forwardSql(gazCtes: String, stackFilter: Option[Seq[String]],
+                         dedup: Boolean): String = {
     val cell12 = cellSql(12, "glon", "glat")
     val cell8 = cellSql(8, "glon", "glat")
-    val cell8p = cellSql(8, "glon", "glat") // parent of z12 == direct z8 of same point
-    s"""WITH $gazCte,
+    val sf = stackFilter
+      .map(ss => s" AND g.stack IN (${ss.map(s => s"'$s'").mkString(", ")})")
+      .getOrElse("")
+    val preRank = if (!dedup) "scored" else "dd"
+    val dedupCte = if (!dedup) "" else
+      s"""|dd AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY doc_id, name, cell
+          |                                 ORDER BY relev DESC, sd DESC, feature_id ASC) AS dn
+          |    FROM scored) WHERE dn = 1),
+          |""".stripMargin
+    s"""WITH $gazCtes,
        |docs AS (${docPagesSql}),
        |mention AS (
        |  SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score, g.glon, g.glat,
        |         len(string_split(g.name, ' ')) / 3.0 AS w
-       |  FROM docs d JOIN gaz g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')),
+       |  FROM docs d JOIN gaz g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')$sf),
        |placecand AS (
-       |  SELECT *, $cell12 AS cell, $cell8p AS cell8p FROM mention WHERE typ = 'place'),
+       |  SELECT *, $cell12 AS cell, $cell8 AS cell8p FROM mention WHERE typ = 'place'),
        |regioncand AS (
        |  SELECT *, $cell8 AS cell FROM mention WHERE typ = 'region'),
        |stacked AS (
-       |  SELECT p.*, r.gid AS rid, r.w AS wr,
+       |  SELECT p.*, r.gid AS rid, r.w AS wr, r.name AS rname,
        |         row_number() OVER (PARTITION BY p.doc_id, p.gid
        |                            ORDER BY r.w DESC NULLS LAST, r.gid ASC NULLS LAST) AS rn
        |  FROM placecand p
        |  LEFT JOIN regioncand r ON r.doc_id = p.doc_id AND r.cell = p.cell8p),
        |cands AS (
-       |  SELECT doc_id, gid AS feature_id, typ, w + COALESCE(wr, 0.0) AS relev,
+       |  SELECT doc_id, gid AS feature_id, name, typ, $maskRelevSql AS relev,
        |         cell, COALESCE(rid, -1) AS ctx, score, glon, glat, qlon, qlat
        |  FROM stacked WHERE rn = 1
        |  UNION ALL
-       |  SELECT doc_id, gid, typ, w, cell, -1, score, glon, glat, qlon, qlat
+       |  SELECT doc_id, gid, name, typ, w, cell, -1, score, glon, glat, qlon, qlat
        |  FROM regioncand),
        |scored AS (
        |  SELECT *, score / (1.0 + ${haversineSql("qlon", "qlat", "glon", "glat")} / 40.0) AS sd
        |  FROM cands),
-       |ranked AS (
+       |${dedupCte}ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY doc_id
        |                               ORDER BY relev DESC, sd DESC, feature_id ASC) AS rank
-       |  FROM scored)
+       |  FROM $preRank)
        |SELECT doc_id, feature_id, typ, relev, cell, ctx, round(sd, 4) AS sd, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
+
+  def fwdGeocodeSql: String = forwardSql(gazCte, None, dedup = false)
+
+  // =================================================================
+  // D1/A3/H7: forward geocode over the BUILT grid index (phrase_id
+  // equi-join against the persisted index table; relev_q/score_q
+  // consumed by the grid-stage prune; D4 name-verify) — row-identical
+  // to fwd_geocode, so it shares the oracle.
+  // =================================================================
+
+  private val gazGridPath = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** The gazetteer grid index as an on-disk parquet table (built once per
+    * JVM, sorted by phrase_id so the probe join scans a real index table —
+    * at the design point this is the Hilbert-range-partitioned table that
+    * IndexBuild.build writes per index epoch). */
+  def gazGridParquet(spark: SparkSession): DataFrame = this.synchronized {
+    var p = gazGridPath.get
+    if (p == null) {
+      p = "/root/repo/target/tmp/gazgrid"
+      graft.index.IndexBuild.gazetteerGrid(gazDf(spark), Geocode.ZPlace, Geocode.ZRegion)
+        .coalesce(1).sortWithinPartitions("phrase_id", "cell", "feature_id")
+        .write.mode("overwrite").parquet(p)
+      gazGridPath.set(p)
+    }
+    spark.read.parquet(p)
+  }
+
+  def fwdGeocodeIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.forwardIndexed(docPages(spark, sfDir), gazGridParquet(spark), gazDf(spark))
+
+  // =================================================================
+  // E4: result-level dedupe — gazetteer with duplicate-name clones;
+  // same-place candidates (name, cell) collapse before the limit.
+  // =================================================================
+
+  def fwdDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.forward(docPages(spark, sfDir), dupGazDf(spark), dedupe = true)
+
+  def fwdDedupSql: String = forwardSql(dupGazCte, None, dedup = true)
+
+  // =================================================================
+  // C2: stack (country) filter — candidates restricted to a stack set
+  // before any matching (carmen's `stacks` option prunes whole indexes).
+  // =================================================================
+
+  private val stackSet = Seq("na", "eu")
+
+  def fwdStacks(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.forward(docPages(spark, sfDir),
+      gazDf(spark).filter(col("stack").isin(stackSet: _*)))
+
+  def fwdStacksSql: String = forwardSql(gazCte, Some(stackSet), dedup = false)
 
   // =================================================================
   // B6-weighted forward geocode: relev from corpus IDF weights
@@ -209,6 +282,38 @@ object Queries {
        |         row_number() OVER (PARTITION BY event_id ORDER BY dist ASC, feature_id ASC) AS rn
        |  FROM cand)
        |SELECT event_id, feature_id, round(dist, 3) AS dist_km FROM ranked WHERE rn = 1""".stripMargin
+
+  // =================================================================
+  // D6+G4: expanding-ring kNN oracle. The loop's semantics have a closed
+  // form: with nested radii (1,2,4,8) a point is answered in the FIRST
+  // round whose Chebyshev disk contains any feature — i.e. radius* =
+  // smallest radius >= min Chebyshev cell distance over candidates within
+  // the max disk — and the answer is the haversine-nearest feature with
+  // cd <= radius*. SQL-expressible, so the driver gets a full oracle.
+  // =================================================================
+
+  def knnExpandSql: String =
+    s"""WITH cf AS (${custFeaturesSql}), pts AS (${eventPointsSql}),
+       |pc AS (SELECT event_id, elon, elat,
+       |              ${tileXSql(8, "elon")} AS ex, ${tileYSql(8, "elat")} AS ey FROM pts),
+       |fc AS (SELECT feature_id, flon, flat,
+       |              ${tileXSql(8, "flon")} AS fx, ${tileYSql(8, "flat")} AS fy FROM cf),
+       |cand AS (
+       |  SELECT p.event_id, f.feature_id,
+       |         greatest(abs(dxs.dx), abs(dys.dy)) AS cd,
+       |         ${haversineSql("p.elon", "p.elat", "f.flon", "f.flat")} AS dist
+       |  FROM pc p, LATERAL (SELECT unnest(generate_series(-8, 8)) AS dx) dxs,
+       |       LATERAL (SELECT unnest(generate_series(-8, 8)) AS dy) dys
+       |  JOIN fc f ON f.fx = p.ex + dxs.dx AND f.fy = p.ey + dys.dy),
+       |m AS (SELECT *, min(cd) OVER (PARTITION BY event_id) AS cdmin FROM cand),
+       |r AS (SELECT *, CASE WHEN cdmin <= 1 THEN 1 WHEN cdmin <= 2 THEN 2
+       |                     WHEN cdmin <= 4 THEN 4 ELSE 8 END AS radius FROM m),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_id
+       |                               ORDER BY dist ASC, feature_id ASC) AS rn
+       |  FROM r WHERE cd <= radius)
+       |SELECT event_id, feature_id, round(dist, 3) AS dist_km, radius
+       |FROM ranked WHERE rn = 1""".stripMargin
 
   // =================================================================
   // F4: context chain (country rect ⊃ place rect per point)
@@ -381,15 +486,26 @@ object Queries {
   // script / nesting behavior is frozen by the golden tests in TextSpec.
   // =================================================================
 
+  /** B5 blocking: the deletion-1 neighborhood of a token as equi-join keys
+    * (symmetric-delete / SymSpell construction): two strings at Levenshtein
+    * distance ≤ 1 ALWAYS share a key (delete the edited position on the
+    * longer/both sides), so the fuzzy join is an equi-join on the key with
+    * levenshtein only as a verify filter — never a nested-loop θ-join.
+    * Keys per token = length+1 (the string itself at i = length). */
+  private def delKeys(c: String): Column =
+    expr(s"array_distinct(transform(sequence(0, length($c)), i -> concat(left($c, i), substr($c, i+2))))")
+
   /** B5+D1 fused: fuzzy mention candidates — doc tokens within edit
     * distance 1 of a single-word gazetteer name (carmen's fuzzy
-    * phrasematch feeding spatialmatch). */
+    * phrasematch feeding spatialmatch). Deletion-neighborhood blocked. */
   def fuzzyMentions(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), explode(array_distinct(F.tokenize(col("text")))).as("tok"))
+      .select(col("doc_id"), col("tok"), explode(delKeys("tok")).as("dk"))
     val singles = gazDf(spark).filter(!col("name").contains(" "))
-      .select(col("name"), col("gid"))
-    toks.join(broadcast(singles), levenshtein(col("tok"), col("name")) <= 1)
+      .select(col("name"), col("gid"), explode(delKeys("name")).as("dk"))
+    toks.join(broadcast(singles), "dk")
+      .filter(levenshtein(col("tok"), col("name")) <= 1)
       .select(col("doc_id"), col("gid")).distinct()
   }
 
@@ -420,17 +536,28 @@ object Queries {
   // =================================================================
 
   def langFallback(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
-    val eff = gazDf(spark)
-      .join(broadcast(altNamesDf(spark)), Seq("gid"), "left")
-    val effName = when(col("lang") === col("alt_lang") && col("name_alt").isNotNull,
-      col("name_alt")).otherwise(col("name"))
-    docs.join(broadcast(eff),
-        concat(lit(" "), col("text"), lit(" ")).contains(concat(lit(" "), effName, lit(" "))))
-      .select(col("doc_id"), col("gid"),
-        when(col("lang") === col("alt_lang") && col("name_alt").isNotNull, col("lang"))
-          .otherwise(lit("default")).as("used_lang"))
+    // The per-language EFFECTIVE phrase dictionary (alt name when defined
+    // for that language, default name otherwise) — a langs × gazetteer
+    // dimension table built driver-side (langs is a bounded static set at
+    // any scale; carmen ships a fixed language list). The doc-side match is
+    // then a token-window equi-join on (phrase, lang): the at-scale plan,
+    // vs the θ-contains-join that scanned every doc × every name.
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val effRows = for { l <- langs.toSeq; g <- gazetteer } yield {
+      val alt = altNames.find(a => a._1 == g.id && a._2 == l)
+      (l, g.id, alt.map(_._3).getOrElse(g.name),
+        if (alt.isDefined) l else "default")
+    }
+    val eff = effRows.toDF("elang", "gid", "ename", "used_lang")
+    val maxLen = effRows.map(_._3.count(_ == ' ') + 1).max
+    Geocode.tokenWindows(docs, maxLen, extraCols = Seq("lang"))
+      .join(broadcast(eff),
+        col("lang") === col("elang") && col("phrase") === col("ename"))
+      .select(col("doc_id"), col("gid"), col("used_lang"))
   }
 
   def langFallbackSql: String =
@@ -477,9 +604,11 @@ object Queries {
 
   def fuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
     val terms = freqIndex(spark, sfDir).select(col("term"))
+      .select(col("term"), explode(delKeys("term")).as("dk"))
     val singles = gazDf(spark).filter(!col("name").contains(" "))
-      .select(col("name"), col("gid"))
-    terms.crossJoin(broadcast(singles))
+      .select(col("name"), explode(delKeys("name")).as("dk"))
+    terms.join(broadcast(singles), "dk")
+      .select(col("term"), col("name")).distinct()
       .withColumn("dist", levenshtein(col("term"), col("name")))
       .filter(col("dist") <= 1)
       .select(col("term"), col("name"), col("dist"))

@@ -27,7 +27,13 @@ object Synth {
   // ---------------------------------------------------------------
 
   final case class GazFeature(id: Long, name: String, typ: String,
-                              score: Double, lon: Double, lat: Double)
+                              score: Double, lon: Double, lat: Double,
+                              stack: String)
+
+  /** C2: geocoder_stack values — a region (and every place under it) belongs
+    * to one "country stack"; forward geocode can be restricted to a stack
+    * subset before any matching happens (carmen's `stacks` option). */
+  private val stackCodes = Vector("na", "eu", "as", "af")
 
   /** 8 coarse "region" features (indexed at z8), names from doc vocab. */
   private val regionNames =
@@ -45,7 +51,8 @@ object Synth {
   val regions: Vector[GazFeature] = regionNames.zipWithIndex.map { case (nm, j) =>
     val lon = -160.0 + 45.0 * j + 1.234
     val lat = -56.0 + 16.0 * j + 0.567
-    GazFeature(1L + j, nm, "region", ((1 + j) * 37 % 97 + 3).toDouble, lon, lat)
+    GazFeature(1L + j, nm, "region", ((1 + j) * 37 % 97 + 3).toDouble, lon, lat,
+      stackCodes(j % 4))
   }
 
   val places: Vector[GazFeature] = placeNames.zipWithIndex.map { case (nm, i) =>
@@ -56,7 +63,8 @@ object Synth {
     val fy = 0.15 + 0.07 * ((i * 7) % 10)
     val lon = w + fx * (e - w)
     val lat = s + fy * (n - s)
-    GazFeature(101L + i, nm, "place", ((101 + i) * 37 % 97 + 3).toDouble, lon, lat)
+    GazFeature(101L + i, nm, "place", ((101 + i) * 37 % 97 + 3).toDouble, lon, lat,
+      reg.stack)
   }
 
   // Invariant frozen at class-init: every place's z8 ancestor is its region's
@@ -70,9 +78,26 @@ object Synth {
 
   def gazDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    gazetteer.map(g => (g.id, g.name, g.typ, g.score, g.lon, g.lat))
-      .toDF("gid", "name", "typ", "score", "glon", "glat")
+    gazetteer.map(g => (g.id, g.name, g.typ, g.score, g.lon, g.lat, g.stack))
+      .toDF("gid", "name", "typ", "score", "glon", "glat", "stack")
   }
+
+  /** E4 fixture: the gazetteer with duplicate-name clones of the first six
+    * places (same name/coords/score, gid+1000) — the input on which
+    * result-level dedupe does real work (carmen dedupes same-place results
+    * coming from overlapping indexes). */
+  val dupClones: Vector[GazFeature] =
+    places.take(6).map(p => p.copy(id = p.id + 1000L))
+
+  def dupGazDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (gazetteer ++ dupClones).map(g => (g.id, g.name, g.typ, g.score, g.lon, g.lat, g.stack))
+      .toDF("gid", "name", "typ", "score", "glon", "glat", "stack")
+  }
+
+  def dupGazCte: String =
+    s"gaz(gid, name, typ, score, glon, glat, stack) AS (VALUES ${
+      (gazetteer ++ dupClones).map(gazRowSql).mkString(", ")})"
 
   /** Multilingual alt names (carmen `carmen:text_{lang}`): frozen literal —
     * German alt names for the first six places, drawn from doc-vocab
@@ -97,14 +122,14 @@ object Synth {
     if (s.contains("E")) s.replace("E", "e") else s
   }
 
-  /** `gaz(gid, name, typ, score, glon, glat)` as a DuckDB VALUES CTE body. */
-  def gazValuesSql: String =
-    gazetteer.map(g =>
-      s"(${g.id}, '${g.name}', '${g.typ}', ${dlit(g.score)}, ${dlit(g.lon)}, ${dlit(g.lat)})")
-      .mkString(", ")
+  private def gazRowSql(g: GazFeature): String =
+    s"(${g.id}, '${g.name}', '${g.typ}', ${dlit(g.score)}, ${dlit(g.lon)}, ${dlit(g.lat)}, '${g.stack}')"
+
+  /** `gaz(gid, name, typ, score, glon, glat, stack)` as a DuckDB VALUES CTE body. */
+  def gazValuesSql: String = gazetteer.map(gazRowSql).mkString(", ")
 
   def gazCte: String =
-    s"gaz(gid, name, typ, score, glon, glat) AS (VALUES ${gazValuesSql})"
+    s"gaz(gid, name, typ, score, glon, glat, stack) AS (VALUES ${gazValuesSql})"
 
   // ---------------------------------------------------------------
   // Web-mercator cell SQL mirror (H1) — must stay token-for-token in

@@ -49,6 +49,39 @@ class GeocoderSpec extends SparkTestBase {
     assert(knnEvents.intersect(pipEvents).isEmpty)
   }
 
+  test("forward over the built grid index is row-identical to the broadcast path") {
+    import graft.queries.Queries
+    val a = Queries.fwdGeocode(spark, "/root/testdata/sf0.001").collect()
+      .map(_.toString).sorted.toSeq
+    val b = Queries.fwdGeocodeIndexed(spark, "/root/testdata/sf0.001").collect()
+      .map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("result dedupe collapses duplicate-name clones to the lowest gid") {
+    import graft.queries.Queries
+    val out = Queries.fwdDedup(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // clone gids (gid+1000 of places 101..106) never survive: the original
+    // wins every (name, cell) group by the feature_id tie-break
+    assert(!out.exists(r => r.getLong(1) > 1000L))
+    // and per doc, no two surviving rows share the same place identity
+    val clones = graft.ops.Geocode.forward(
+      graft.synth.Synth.docPages(spark, "/root/testdata/sf0.001"),
+      graft.synth.Synth.dupGazDf(spark)).collect()
+    assert(clones.exists(r => r.getLong(1) > 1000L),
+      "fixture must actually produce clone candidates without dedupe")
+  }
+
+  test("stack filter prunes candidates before matching") {
+    import graft.queries.Queries
+    val out = Queries.fwdStacks(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val allowed = graft.synth.Synth.gazetteer
+      .filter(g => Set("na", "eu").contains(g.stack)).map(_.id).toSet
+    assert(out.forall(r => allowed.contains(r.getLong(1))))
+  }
+
   test("pre-clipped reverse PIP equals unclipped") {
     val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001")
     val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")

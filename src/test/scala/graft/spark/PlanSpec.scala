@@ -31,4 +31,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<text:string>"),
       s"expected pruned ReadSchema, got:\n${p.take(600)}")
   }
+
+  test("fwd_geocode_indexed: gazetteer is NEVER a name-broadcast — every join shuffles") {
+    val p = plan(Queries.fwdGeocodeIndexed(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "indexed forward path must not broadcast the gazetteer/index in any form")
+    assert(p.contains("ShuffledHashJoin"), "phrase_id/verify joins should shuffle-hash")
+  }
+
+  test("fuzzy joins are deletion-blocked equi-joins, not nested loops") {
+    val pm = plan(Queries.fuzzyMatch(spark, "/root/testdata/sf0.001"))
+    val pn = plan(Queries.fuzzyMentions(spark, "/root/testdata/sf0.001"))
+    for (p <- Seq(pm, pn)) {
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "fuzzy match must stay an equi-join on deletion keys")
+      assert(p.contains("BroadcastHashJoin"), "deletion-key dictionary join should hash")
+    }
+  }
+
+  test("lang_fallback is an equi-join on (lang, phrase), not a θ-contains join") {
+    val p = plan(Queries.langFallback(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("ngram_jaccard candidates come from the prefix-token equi-join") {
+    import graft.ops.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(TextOps.ngramJaccard(TextOps.withMutatedCopies(docs)))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }

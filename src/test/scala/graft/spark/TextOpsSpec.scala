@@ -14,29 +14,50 @@ class TextOpsSpec extends SparkTestBase {
       (0L, base, "en", "s", base.length.toLong),
       (1L, base + " extra", "en", "s", (base.length + 6).toLong), // near-dup of 0
       (2L, "completely different words about spark window functions and joins", "en", "s", 64L),
-      (3L, base, "en", "s", base.length.toLong) // exact dup of 0
+      (3L, base, "en", "s", base.length.toLong), // exact dup of 0
+      // token-permuted near-dup of 0: identical bag-of-words (simhash
+      // hamming = 0) but different byte sequence (not exact-collapsed)
+      (4L, "quick the brown fox jumps over the lazy dog again and again tonight", "en", "s", base.length.toLong)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
   test("dedup_exact keeps lowest id per text group") {
     val out = TextOps.dedupExact(docsDf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out.keySet == Set(0L, 1L, 2L, 4L))
     assert(out(0L) == 2) // group of {0, 3}
   }
 
-  test("minhash LSH finds planted near-dups and exact dups") {
+  test("minhash LSH finds planted near-dups; exact dups pre-collapse to reps") {
     val pairs = TextOps.dedupMinHash(docsDf, threshold = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
-    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near dup
+    assert(pairs.contains((0L, 1L))) // near dup of the rep
+    // doc 3 (exact dup of 0) collapses into rep 0 BEFORE banding — it never
+    // reaches the pair join (dedupExact reports its group)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
-  test("simhash blocking finds exact dup, rejects unrelated") {
+  test("simhash blocking finds planted near-dup among reps, rejects unrelated") {
     val pairs = TextOps.dedupSimHash(docsDf, maxHamming = 3)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 4L))) // permuted bag-of-words twin: hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // pre-collapsed
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("a planted exact-dup cluster does not explode the LSH pair join") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val cluster = (10L until 510L).map(i => (i, base, "en", "s", base.length.toLong))
+    val docs = (Seq(
+      (0L, base + " extra word", "en", "s", (base.length + 11).toLong),
+      (1L, "completely different words about spark window functions", "en", "s", 56L)
+    ) ++ cluster).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = TextOps.dedupMinHash(docs, threshold = 0.5).collect()
+    // 500 identical docs collapse to rep 10; the only near-dup pair is
+    // (0, 10) — NOT 500×499/2 intra-cluster pairs + 500 cross pairs
+    assert(pairs.length == 1, s"expected 1 rep pair, got ${pairs.length}")
+    assert(pairs.head.getLong(0) == 0L && pairs.head.getLong(1) == 10L)
   }
 
   test("minhash estimated jaccard tracks exact jaccard on shingle sets") {
@@ -49,15 +70,39 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(est - exact) < 0.15)
   }
 
-  test("LSH ANN recall vs brute force is substantial") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val brute = Ann.bruteForceTopK(emb, 20, 5)
+  /** Deterministic planted-cluster embeddings: 40 base directions (queries,
+    * ids 0..39) + 5 perturbed copies each (ids 40..239). A query's true
+    * top-5 is its own cluster; random inter-cluster dot products are ~0
+    * (components centered on 0). */
+  private def plantedEmb = {
+    import spark.implicits._
+    def comp(seed: Long): Float =
+      ((java.lang.Math.floorMod(Fingerprint.mix64(seed), 1000L) - 500L).toFloat / 1000.0f)
+    def vec(c: Int, j: Int): Array[Float] = {
+      val b = Array.tabulate(64)(i => comp(c * 64L + i))
+      if (j == 0) b
+      else b.zipWithIndex.map { case (v, i) =>
+        v + 0.02f * comp((1000L + c * 8L + j) * 64L + i) }
+    }
+    val rows =
+      (0 until 40).map(c => (c.toLong, vec(c, 0))) ++
+      (for { c <- 0 until 40; j <- 1 to 5 }
+        yield ((40 + c * 5 + (j - 1)).toLong, vec(c, j)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("LSH ANN: recall >= 0.9 on planted clusters, sub-quadratic candidates") {
+    val emb = plantedEmb
+    val brute = Ann.bruteForceTopK(emb, 40, 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Ann.lshTopK(emb, 20, 5)
+    val lsh = Ann.lshTopK(emb, 40, 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(lsh).size.toDouble / brute.size
-    assert(recall > 0.1, s"recall=$recall") // bucketing trades recall for joinability
-    assert(lsh.nonEmpty)
+    assert(recall >= 0.9, s"recall=$recall")
+    // candidate pairs must stay far below the 40×239 cross-product: the
+    // 16-bit buckets only collide cluster-mates (plus rare accidents)
+    val nCand = Ann.lshCandidates(emb, 40).count()
+    assert(nCand < 0.2 * 40 * 239, s"candidates=$nCand — bucketing degenerated")
   }
 
   test("mm_decode plumbing: schema and determinism") {
