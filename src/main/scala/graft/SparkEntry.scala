@@ -47,6 +47,8 @@ object SparkEntry {
     "extract_text" -> ((s, d) => Queries.extractTextQ(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
+    "fwd_address" -> ((s, d) => ops.Address.forwardAddress(s, d)),
+    "fwd_autocomplete" -> ((s, d) => Queries.fwdAutocomplete(s, d)),
     "place_name_fmt" -> ((s, d) => Queries.placeNameFmt(s, d)),
     "lang_fallback" -> ((s, d) => Queries.langFallback(s, d)),
     "raster_mask" -> ((s, d) =>
@@ -71,6 +73,8 @@ object SparkEntry {
       Ann.bruteForceTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
     "ann_lsh" -> ((s, d) =>
       Ann.lshTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
+    "ann_ivf" -> ((s, d) =>
+      Ann.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
     "mm_decode" -> ((s, d) => Multimodal.decodeMeta(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, s.read.parquet(s"$d/documents.parquet"))
@@ -115,6 +119,8 @@ object SparkEntry {
     "extract_text" -> Queries.extractTextQSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
+    "fwd_address" -> ops.Address.forwardAddressSql,
+    "fwd_autocomplete" -> Queries.fwdAutocompleteSql,
     "place_name_fmt" -> Queries.placeNameFmtSql,
     "lang_fallback" -> Queries.langFallbackSql,
     "dedup_exact" ->
@@ -127,6 +133,7 @@ object SparkEntry {
     "quality_score" -> TextOps.qualityScoreSql,
     "token_count" -> TextOps.tokenCountSql,
     "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
+    "ann_ivf" -> Ann.ivfTopKSql(50, 5),
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,
     "mm_resize" ->

@@ -66,6 +66,54 @@ object Address {
         interpLat(col("h"), col("fromhn"), col("tohn"), col("y0"), col("y1")).as("alat"))
   }
 
+  /** H8 inside the forward flow: free-text address queries
+    * "<housenumber> <street name>" — the engine PARSES the housenumber off
+    * the text, equi-joins the street name against the (at-scale huge, so
+    * shuffle-hash) street table, applies the C5 range/parity predicate and
+    * interpolates the address point. Out-of-range / wrong-parity queries
+    * produce no row (carmen falls back to the street centroid — kept as a
+    * separate concern). */
+  def forwardAddress(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = streets(spark, sfDir)
+      .withColumn("name", concat(lit("street "), col("street_id").cast("string")))
+    val q = streets(spark, sfDir).select(col("street_id").as("qid"),
+      concat((col("street_id") * 13 % 120 + 1).cast("string"),
+        lit(" street "), col("street_id").cast("string")).as("text"))
+    val parsed = q
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("h", element_at(col("toks"), 1).cast("long"))
+      .withColumn("sname", array_join(
+        slice(col("toks"), lit(2), size(col("toks")) - 1), " "))
+      .select(col("qid"), col("h"), col("sname"))
+    parsed.join(st.hint("shuffle_hash"), col("sname") === col("name"))
+      .filter(inRange(col("h"), col("fromhn"), col("tohn"), col("parity")))
+      .select(col("qid"), col("street_id"), col("h"),
+        interpLon(col("h"), col("fromhn"), col("tohn"), col("x0"), col("x1")).as("alon"),
+        interpLat(col("h"), col("fromhn"), col("tohn"), col("y0"), col("y1")).as("alat"))
+  }
+
+  def forwardAddressSql: String =
+    s"""WITH st AS (${streetsSql}),
+       |named AS (SELECT *, 'street ' || street_id AS name FROM st),
+       |q AS (SELECT street_id AS qid,
+       |             ((street_id * 13) % 120 + 1) || ' street ' || street_id AS text
+       |      FROM st),
+       |parsed AS (
+       |  SELECT qid,
+       |         CAST(string_split(text, ' ')[1] AS BIGINT) AS h,
+       |         array_to_string(list_slice(string_split(text, ' '), 2,
+       |           len(string_split(text, ' '))), ' ') AS sname
+       |  FROM q)
+       |SELECT p.qid, n.street_id, p.h,
+       |       CASE WHEN n.tohn = n.fromhn THEN n.x0
+       |            ELSE n.x0 + CAST(p.h - n.fromhn AS DOUBLE) / CAST(n.tohn - n.fromhn AS DOUBLE) * (n.x1 - n.x0) END AS alon,
+       |       CASE WHEN n.tohn = n.fromhn THEN n.y0
+       |            ELSE n.y0 + CAST(p.h - n.fromhn AS DOUBLE) / CAST(n.tohn - n.fromhn AS DOUBLE) * (n.y1 - n.y0) END AS alat
+       |FROM parsed p JOIN named n ON p.sname = n.name
+       |WHERE p.h >= n.fromhn AND p.h <= n.tohn
+       |  AND (n.parity = 'B' OR (n.parity = 'O' AND p.h % 2 = 1)
+       |       OR (n.parity = 'E' AND p.h % 2 = 0))""".stripMargin
+
   def interpolateSql: String =
     s"""WITH st AS (${streetsSql}),
        |probe AS (SELECT *, (street_id * 13) % 120 + 1 AS h FROM st)

@@ -120,6 +120,84 @@ object Ann {
       .distinct()
   }
 
+  // ---------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path: coarse-quantize the
+  // corpus into nList cells (argmax dot against fixed centroids), queries
+  // probe their nProbe best cells, exact top-k within the probed cells.
+  // Centroids are frozen integer vectors (same quantization scale as the
+  // data), so assignment and search are exact integer arithmetic — unlike
+  // the LSH path this op has a full DuckDB oracle.
+  // ---------------------------------------------------------------
+
+  /** Frozen integer centroids: component ∈ [-1000, 1000]. */
+  def ivfCentroid(c: Int): Array[Long] =
+    Array.tabulate(dimLit)(i =>
+      java.lang.Math.floorMod(Fingerprint.mix64(7000L + c * 64L + i), 2001L) - 1000L)
+
+  private def centroidStructs(nList: Int) =
+    array((0 until nList).map(c =>
+      struct(lit(c).as("cid"),
+        array(ivfCentroid(c).map(lit(_)): _*).as("cv"))): _*)
+
+  /** Per-vector centroid ranking: (vec_id, q, cid, cdp, crn) — crn = 1 is
+    * the cell assignment; crn <= nProbe is the query probe set. */
+  private def centroidRanks(base: DataFrame, nList: Int): DataFrame =
+    base
+      .withColumn("cent", explode(centroidStructs(nList)))
+      .select(col("vec_id"), col("q"), col("cent.cid").as("cid"),
+        dot(col("q"), col("cent.cv")).as("cdp"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdp").desc, col("cid").asc)))
+
+  /** IVF ANN top-k: corpus in its best cell, queries probe nProbe cells. */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = quantBase(emb).persist()
+    val ranks = centroidRanks(base, nList).persist()
+    val corpusCells = ranks.filter(col("crn") === 1)
+      .select(col("cid"), col("vec_id"), col("q"))
+    val queryCells = ranks.filter(col("vec_id") < nQueries && col("crn") <= nProbe)
+      .select(col("cid"), col("vec_id").as("qid"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    corpusCells.join(queryCells, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("q"))
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("nid"), dot(col("qv"), col("q")).as("dp"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("dp").cast("double").as("dp"), col("rank"))
+  }
+
+  /** Full DuckDB mirror of [[ivfTopK]] (frozen centroids as a VALUES CTE). */
+  def ivfTopKSql(nQueries: Int, k: Int, nList: Int = 16, nProbe: Int = 4): String = {
+    val centRows = (0 until nList).map(c =>
+      s"($c, [${ivfCentroid(c).mkString(", ")}])").mkString(", ")
+    s"""WITH cent(cid, cv) AS (VALUES $centRows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |ranks AS (
+       |  SELECT e.vec_id, e.q, c.cid, list_inner_product(e.q, c.cv) AS cdp,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_inner_product(e.q, c.cv) DESC, c.cid ASC) AS crn
+       |  FROM e CROSS JOIN cent c),
+       |corpus AS (SELECT cid, vec_id, q FROM ranks WHERE crn = 1),
+       |probes AS (SELECT cid, vec_id AS qid FROM ranks
+       |           WHERE vec_id < $nQueries AND crn <= $nProbe),
+       |qs AS (SELECT vec_id AS qid, q AS qv FROM e WHERE vec_id < $nQueries),
+       |pairs AS (
+       |  SELECT p.qid, c.vec_id AS nid, list_inner_product(qs.qv, c.q) AS dp
+       |  FROM corpus c JOIN probes p ON p.cid = c.cid AND c.vec_id <> p.qid
+       |  JOIN qs ON qs.qid = p.qid),
+       |ranked AS (
+       |  SELECT qid, nid, dp,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dp DESC, nid ASC) AS rank
+       |  FROM pairs)
+       |SELECT qid, nid, CAST(dp AS DOUBLE) AS dp, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Multi-table multi-probe LSH ANN: candidates from [[lshCandidates]],
     * exact int-quantized top-k among them. */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int,

@@ -480,6 +480,61 @@ object Queries {
   }
 
   // =================================================================
+  // B5 in the forward path: autocomplete — the query's TERMINAL token is a
+  // prefix; suffix windows (last 1..2 tokens, partial last) are completed
+  // against the broadcast sorted phrase dictionary (binary-search range
+  // scan, carmen's dictcache), candidates re-join the gazetteer by exact
+  // name and rank by (covered-window relev, score). The dictionary scan is
+  // the scale path: the 10^7-name dict ships once as the sorted broadcast
+  // array, each query probes it in ln(n) inside the map stage.
+  // =================================================================
+
+  def fwdAutocomplete(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.PhraseDict
+    val bc = spark.sparkContext.broadcast(PhraseDict.build(gazetteer.map(_.name)))
+    val q = acQueriesDf(spark)
+      .withColumn("toks", split(col("text"), " "))
+    // suffix windows ending at the partial terminal token: length 1 (just
+    // the partial) and length 2 (preceding full token + partial)
+    val wins = q.select(col("qid"),
+      explode(array(
+        struct(lit(1).as("m"), element_at(col("toks"), -1).as("s")),
+        struct(lit(2).as("m"),
+          concat_ws(" ", element_at(col("toks"), -2), element_at(col("toks"), -1)).as("s"))))
+        .as("win"))
+      .select(col("qid"), col("win.m").as("m"), col("win.s").as("s"))
+    wins
+      .select(col("qid"), col("m"),
+        explode(PhraseDict.prefixMatchesCol(col("s"), bc)).as("name"))
+      .join(broadcast(gazDf(spark)), "name")
+      .groupBy(col("qid"), col("gid"), col("name"), col("score"))
+      .agg((max(col("m")) / lit(3.0)).as("relev"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("relev").desc, col("score").desc, col("gid").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("gid"), col("name"), col("relev"), col("rank"))
+  }
+
+  def fwdAutocompleteSql: String =
+    s"""WITH $gazCte, $acQueriesCte,
+       |qq AS (SELECT qid, string_split(text, ' ') AS toks FROM acq),
+       |wins AS (
+       |  SELECT qid, toks[len(toks)] AS s1,
+       |         toks[len(toks) - 1] || ' ' || toks[len(toks)] AS s2
+       |  FROM qq),
+       |cand AS (
+       |  SELECT w.qid, g.gid, g.name, g.score,
+       |         CASE WHEN starts_with(g.name, w.s2) THEN 2 ELSE 1 END / 3.0 AS relev
+       |  FROM wins w JOIN gaz g
+       |    ON starts_with(g.name, w.s1) OR starts_with(g.name, w.s2)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |                               ORDER BY relev DESC, score DESC, gid ASC) AS rank
+       |  FROM cand)
+       |SELECT qid, gid, name, relev, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  // =================================================================
   // B7: HTML → text extraction (byte-identical contract). The testdata has
   // no html column, so pages are templated from `text` deterministically;
   // the extractor must invert the template byte-for-byte. Full entity /

@@ -99,6 +99,26 @@ object Synth {
     s"gaz(gid, name, typ, score, glon, glat, stack) AS (VALUES ${
       (gazetteer ++ dupClones).map(gazRowSql).mkString(", ")})"
 
+  /** B5 autocomplete fixtures: partial queries "<region name> <place head
+    * tokens> <first-2-chars of last place token>" — the terminal token is a
+    * prefix the engine must complete (carmen autocompletes the query's last
+    * term). Frozen from the gazetteer, so the oracle enumerates the same
+    * literals. */
+  val acQueries: Vector[(Long, String)] = places.zipWithIndex.map { case (p, i) =>
+    val toks = p.name.split(' ')
+    val partial = toks.last.substring(0, math.min(2, toks.last.length))
+    (i.toLong, (regions(i % 8).name +: (toks.init :+ partial)).mkString(" "))
+  }
+
+  def acQueriesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    acQueries.toDF("qid", "text")
+  }
+
+  def acQueriesCte: String =
+    s"acq(qid, text) AS (VALUES ${
+      acQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")})"
+
   /** Multilingual alt names (carmen `carmen:text_{lang}`): frozen literal —
     * German alt names for the first six places, drawn from doc-vocab
     * bigrams unused as default names so they are matchable in text. */

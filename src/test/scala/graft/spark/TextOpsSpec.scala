@@ -105,6 +105,16 @@ class TextOpsSpec extends SparkTestBase {
     assert(nCand < 0.2 * 40 * 239, s"candidates=$nCand — bucketing degenerated")
   }
 
+  test("IVF ANN finds cluster neighbors through probed cells") {
+    val emb = plantedEmb
+    val brute = Ann.bruteForceTopK(emb, 40, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, 40, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("mm_decode plumbing: schema and determinism") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.ops.Multimodal.decodeMeta(spark, docs)
