@@ -285,6 +285,45 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** lsh_buckets(q): the nTables sign-LSH bucket keys of an int-quantized
+    * vector — all nTables × planesPerTable hyperplane dot products in one
+    * tight primitive loop per row, replacing a 128-subexpression
+    * aggregate(zip_with(...)) tree that dominated the ANN bucket stage
+    * (measured ~6 s → sub-second at sf0.01). Planes are frozen pseudo-random
+    * values derived from (table, plane, dim) via the fingerprint mix. */
+  case class LshBuckets(child: Expression, nTables: Int, planesPerTable: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "lsh_buckets"
+    @transient private lazy val planes: Array[Array[Double]] =
+      Array.tabulate(nTables * planesPerTable, 64) { (p, i) =>
+        (Fingerprint.mix64(p.toLong * 131 + i) % 1000000L).toDouble / 1000000.0
+      }
+    override def nullSafeEval(qa: Any): Any = {
+      val q = qa.asInstanceOf[ArrayData].toLongArray()
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var bits = 0L
+        var b = 0
+        while (b < planesPerTable) {
+          val h = planes(t * planesPerTable + b)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(h.length, q.length)
+          while (i < n) { dot += h(i) * q(i); i += 1 }
+          if (dot >= 0) bits |= (1L << b)
+          b += 1
+        }
+        out(t) = bits + (t.toLong << 32)
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
+  }
+
   /** minhash_sig(text, k, numHashes): full MinHash signature (for verify-stage
     * estimated-Jaccard between candidate pairs). */
   case class MinHashSig(first: Expression, second: Expression, third: Expression)
@@ -331,6 +370,8 @@ object F {
     c(MinHashSig(x(s), x(k), x(numHashes)))
   def lshBandsFromSig(sig: Column, rowsPerBand: Column): Column =
     c(LshBandsFromSig(x(sig), x(rowsPerBand)))
+  def lshBuckets(q: Column, nTables: Int, planesPerTable: Int): Column =
+    c(LshBuckets(x(q), nTables, planesPerTable))
 
   import org.apache.spark.sql.functions._
 

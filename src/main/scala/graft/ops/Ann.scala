@@ -95,23 +95,17 @@ object Ann {
                                  nTables: Int, planesPerTable: Int,
                                  probeFlips: Int): DataFrame = {
     require(planesPerTable <= 24, "bucket key uses the low 32 bits")
-    val planes: Array[Array[Double]] = Array.tabulate(nTables * planesPerTable, dimLit) { (p, i) =>
-      (Fingerprint.mix64(p.toLong * 131 + i) % 1000000L).toDouble / 1000000.0
-    }
-    def tableBucket(t: Int) = (0 until planesPerTable).map { b =>
-      val planeCol = array(planes(t * planesPerTable + b).map(lit(_)): _*)
-      when(aggregate(zip_with(planeCol, col("q"), (h, x) => h * x),
-        lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _) + lit(t.toLong << 32)
+    import graft.functions.F
     val masks = probeMasks(planesPerTable, probeFlips)
-    // corpus side: one (bucket, id) row per table — no vector payload
+    // corpus side: one (bucket, id) row per table — no vector payload; all
+    // table buckets computed by one native expression (F.lshBuckets)
     val corpusBuckets = base
-      .withColumn("bucket", explode(array((0 until nTables).map(tableBucket): _*)))
+      .withColumn("bucket", explode(F.lshBuckets(col("q"), nTables, planesPerTable)))
       .select(col("bucket"), col("vec_id"))
     // query side: probe the Hamming ball around each per-table bucket
     // (XOR with the low probe bits keeps the table tag intact)
     val queryBuckets = base.filter(col("vec_id") < nQueries)
-      .withColumn("b0", explode(array((0 until nTables).map(tableBucket): _*)))
+      .withColumn("b0", explode(F.lshBuckets(col("q"), nTables, planesPerTable)))
       .withColumn("bucket", explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)))
       .select(col("bucket"), col("vec_id").as("qid"))
     corpusBuckets.join(queryBuckets, "bucket")

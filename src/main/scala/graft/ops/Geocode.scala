@@ -31,6 +31,12 @@ object Geocode {
     val toks = docs.withColumn("toks", F.tokenize(col("text")))
     def winsOfLen(len: Int): Column =
       if (len == 1) col("toks")
+      else if (len == 2)
+        // zip_with shape measured fastest for the dominant bigram case
+        zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))
       else when(size(col("toks")) >= len,
         transform(sequence(lit(1), size(col("toks")) - lit(len - 1)),
           i => array_join(slice(col("toks"), i, lit(len)), " ")))
