@@ -45,6 +45,7 @@ object SparkEntry {
     "phrase_prefix" -> ((s, d) => Queries.phrasePrefix(s, d)),
     "fuzzy_match" -> ((s, d) => Queries.fuzzyMatch(s, d)),
     "extract_text" -> ((s, d) => Queries.extractTextQ(s, d)),
+    "page_pipeline" -> ((s, d) => Queries.pagePipeline(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "fwd_address" -> ((s, d) => ops.Address.forwardAddress(s, d)),
@@ -91,9 +92,11 @@ object SparkEntry {
   )
 
   /** DuckDB mirrors over the bare table names (driver registers views).
-    * Omitted: dedup_minhash / dedup_simhash / doc_fingerprint / ann_lsh
-    * (sketch hashing is not SQL-expressible — rows-only check + ScalaTest
-    * goldens instead). */
+    * Omitted: dedup_minhash / dedup_simhash / doc_fingerprint / ann_lsh /
+    * knn_expand-style sketch hashing that is not SQL-expressible — i.e.
+    * minhash/simhash/LSH band math and raster masks get rows-only checks +
+    * ScalaTest goldens instead. (knn_expand and ann_ivf ARE mirrored: the
+    * ring expansion has a closed form and IVF is exact integer math.) */
   def oracleSql: Map[String, String] = Map(
     "fwd_geocode" -> Queries.fwdGeocodeSql,
     // indexed path is row-identical to fwd_geocode by D4-verify equivalence
@@ -117,6 +120,7 @@ object SparkEntry {
     "phrase_prefix" -> Queries.phrasePrefixSql,
     "fuzzy_match" -> Queries.fuzzyMatchSql,
     "extract_text" -> Queries.extractTextQSql,
+    "page_pipeline" -> Queries.pagePipelineSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "fwd_address" -> ops.Address.forwardAddressSql,

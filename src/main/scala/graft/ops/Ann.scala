@@ -121,6 +121,13 @@ object Ann {
   // Centroids are frozen integer vectors (same quantization scale as the
   // data), so assignment and search are exact integer arithmetic — unlike
   // the LSH path this op has a full DuckDB oracle.
+  //
+  // Sizing at scale: candidate volume per query is ~ n·nProbe/nList and
+  // assignment costs n·nList dots, so nList ≈ sqrt(n·nProbe) balances the
+  // two (10^9 vectors → ~10^4.7 lists, trained centroids). The default
+  // nList=16 is frozen small so the oracle's centroid CTE stays readable —
+  // the plan shape (assign → cell equi-join → windowed top-k) is the same
+  // at any nList.
   // ---------------------------------------------------------------
 
   /** Frozen integer centroids: component ∈ [-1000, 1000]. */

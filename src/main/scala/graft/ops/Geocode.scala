@@ -91,11 +91,23 @@ object Geocode {
     * index). `placeCands` must carry (doc_id, gid, name, typ, w, score,
     * glon, glat, qlon, qlat, cell, cell8p); `regionCands` the same minus
     * cell8p. */
+  /** F1: stack-count prune — regions competing for stacks are capped per doc
+    * BEFORE the stack join (carmen's spatialmatch bounds the stack
+    * combinations it scores). Harmless at 2 index levels with a tiny
+    * gazetteer (docs never mention > cap regions); load-bearing at 8 levels
+    * where the stack fan-out is the product of per-level candidate counts. */
+  final val StackRegionCap = 16
+
   private def stackAndUnion(placeCands: DataFrame, regionCands: DataFrame,
                             maskRelev: Boolean): DataFrame = {
     val regionSide = regionCands.select(
       col("doc_id").as("r_doc_id"), col("cell").as("r_cell"),
       col("gid").as("rid"), col("w").as("wr"), col("name").as("rname"))
+      .withColumn("rcap", row_number().over(
+        Window.partitionBy(col("r_doc_id"))
+          .orderBy(col("wr").desc, col("rid").asc)))
+      .filter(col("rcap") <= StackRegionCap)
+      .drop("rcap")
 
     val stackedRelev =
       if (maskRelev)

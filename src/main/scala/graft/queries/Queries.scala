@@ -572,6 +572,34 @@ object Queries {
        |FROM t JOIN gaz g ON NOT contains(g.name, ' ')
        |               AND levenshtein(t.tok, g.name) <= 1""".stripMargin
 
+  // =================================================================
+  // Input-hint contract (BASELINE.json): pages arrive as
+  // (url, warc_ts, html binary, text, lang); the engine consumes the html
+  // and must reproduce byte-identical extracted text per url. This query
+  // materializes that exact shape from the testdata and runs the B7+B2
+  // chain over it: url-keyed extraction + token count.
+  // =================================================================
+
+  def pagePipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val html = concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><p>"), col("text"), lit("</p></body></html>"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        concat(lit("https://example.org/doc/"), col("doc_id").cast("string")).as("url"),
+        timestamp_seconds(lit(1767225600L) + col("doc_id") * 7).as("warc_ts"),
+        encode(html, "UTF-8").as("html"),
+        col("text"), col("lang"))
+      .select(col("url"), F.extractText(col("html")).as("extracted"), col("lang"))
+      .withColumn("n_tok", size(F.tokenize(col("extracted"))).cast("long"))
+  }
+
+  def pagePipelineSql: String =
+    s"""SELECT 'https://example.org/doc/' || doc_id AS url,
+       |       'Doc ' || doc_id || chr(10) || text AS extracted,
+       |       lang,
+       |       CAST(len(string_split(text, ' ')) + 2 AS BIGINT) AS n_tok
+       |FROM documents""".stripMargin
+
   def extractTextQ(spark: SparkSession, sfDir: String): DataFrame = {
     val html = concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
       lit("</title></head><body><p>"), col("text"), lit("</p></body></html>"))

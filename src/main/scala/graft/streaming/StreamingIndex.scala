@@ -42,4 +42,29 @@ object StreamingIndex {
       .groupBy(org.apache.spark.sql.functions.window(col("warc_ts"), window))
       .agg(count(lit(1)).as("pages"))
       .select(col("window.start").as("win_start"), col("pages"))
+
+  /** Streaming exact dedup of a page stream: state key is the 32-byte
+    * sha2(text) (same key discipline as the batch dedup — the raw document
+    * must never be the state/shuffle key), bounded by the event-time
+    * watermark so state for long-gone duplicates ages out instead of
+    * growing with the 10^12-row stream. */
+  def dedupStream(pages: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    pages
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_sha")
+
+  /** Streaming per-cell page counts with watermarked event-time windows —
+    * the hot-cell statistics (E5) maintained incrementally: arriving pages
+    * carry a proximity point, the aggregation keys on its z6 cell. */
+  def cellRate(pages: DataFrame, z: Int = 6,
+               watermark: String = "10 minutes",
+               window: String = "5 minutes"): DataFrame =
+    pages
+      .withColumn("cell", graft.functions.F.cellAt(lit(z), col("qlon"), col("qlat")))
+      .withWatermark("warc_ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("warc_ts"), window),
+        col("cell"))
+      .agg(count(lit(1)).as("pages"))
+      .select(col("window.start").as("win_start"), col("cell"), col("pages"))
 }

@@ -127,4 +127,43 @@ class IndexSpec extends SparkTestBase {
       Array(Array(10.0, 50.0, 10.5, 50.0, 10.5, 50.4, 10.0, 50.4, 10.0, 50.0)))), 10).toSet
     assert(f1cells == expect)
   }
+
+  test("streaming dedup: sha2-keyed dropDuplicatesWithinWatermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("warc_ts", "doc_id", "text")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    mem.addData((t0, 1L, "alpha page body"), (t0, 2L, "beta page body"),
+      (t1, 3L, "alpha page body")) // duplicate text within the watermark
+    val out = graft.streaming.StreamingIndex.dedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    out.processAllAvailable(); out.stop()
+    val rows = spark.sql("SELECT doc_id FROM dedup_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.contains(2L))
+    assert((rows - 2L).size == 1, s"duplicate text must emit once, got $rows")
+  }
+
+  test("streaming cell rate: watermarked per-cell window counts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val df = mem.toDF().toDF("warc_ts", "qlon", "qlat")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:30")
+    mem.addData((t0, 10.0, 20.0), (t0, 10.0, 20.0), (t0, -150.0, -40.0))
+    val out = graft.streaming.StreamingIndex.cellRate(df)
+      .writeStream.format("memory").queryName("cellrate_out")
+      .outputMode("append").start()
+    // append-mode windows only emit once the watermark passes — advance it
+    mem.addData((java.sql.Timestamp.valueOf("2026-01-01 00:30:00"), 0.0, 0.0))
+    out.processAllAvailable(); out.stop()
+    val rows = spark.sql("SELECT cell, pages FROM cellrate_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val c1 = CellMath.lonLatToCell(6, 10.0, 20.0)
+    val c2 = CellMath.lonLatToCell(6, -150.0, -40.0)
+    assert(rows.get(c1).contains(2L) && rows.get(c2).contains(1L), s"got $rows")
+  }
 }
