@@ -22,22 +22,46 @@ import graft.ops.Geocode
 final case class GeocodeOptions(
     limit: Int = 5,
     types: Option[Seq[String]] = None,
-    bbox: Option[(Double, Double, Double, Double)] = None)
+    bbox: Option[(Double, Double, Double, Double)] = None,
+    stacks: Option[Seq[String]] = None,
+    language: Option[String] = None,
+    dedupe: Boolean = false)
 
-final class Geocoder(spark: SparkSession, gaz: DataFrame) {
+final class Geocoder(spark: SparkSession, gaz: DataFrame,
+                     altNames: Option[DataFrame] = None) {
 
-  /** Forward geocode with options applied carmen-style: the type filter
-    * prunes candidates before ranking; bbox drops candidates whose feature
-    * center falls outside; limit caps the per-page window. place_name is
-    * "<name>, <context name>" (geocoder_format default). */
+  /** The effective gazetteer under the options: C2 stacks filter prunes
+    * whole country stacks BEFORE matching; the language option substitutes
+    * `carmen:text_{lang}` alt names where defined (fallback = default
+    * name), so matching happens against the requested language. */
+  private def effectiveGaz(opts: GeocodeOptions): DataFrame = {
+    val stacked = opts.stacks
+      .map(ss => gaz.filter(col("stack").isin(ss: _*)))
+      .getOrElse(gaz)
+    (opts.language, altNames) match {
+      case (Some(l), Some(alt)) =>
+        stacked.join(broadcast(alt.filter(col("alt_lang") === l)), Seq("gid"), "left")
+          .withColumn("name",
+            when(col("name_alt").isNotNull, col("name_alt")).otherwise(col("name")))
+          .drop("alt_lang", "name_alt")
+      case _ => stacked
+    }
+  }
+
+  /** Forward geocode with options applied carmen-style: the stacks/language
+    * options shape the gazetteer before matching; the type filter prunes
+    * candidates before ranking; bbox drops candidates whose feature center
+    * falls outside; dedupe collapses same-place results; limit caps the
+    * per-page window. place_name is "<name>, <context name>"
+    * (geocoder_format default). */
   def forward(pages: DataFrame, opts: GeocodeOptions = GeocodeOptions()): DataFrame = {
-    val m = Geocode.mentions(pages, gaz).persist()
+    val m = Geocode.mentions(pages, effectiveGaz(opts)).persist()
     val cands0 = Geocode.coalesce2(m)
     val cands1 = opts.types.map(ts => cands0.filter(col("typ").isin(ts: _*))).getOrElse(cands0)
     val cands = opts.bbox.map { case (w, s, e, n) =>
       cands1.filter(col("glon") >= w && col("glon") < e && col("glat") >= s && col("glat") < n)
     }.getOrElse(cands1)
-    val ranked = Geocode.rank(cands, opts.limit)
+    val ranked = Geocode.rank(cands, opts.limit, opts.dedupe)
     // context names: resolve ctx ids against the (broadcastable) gazetteer
     val names = gaz.select(col("gid"), col("name"))
     val ctxNames = names.select(col("gid").as("ctx"), col("name").as("ctx_name"))
@@ -74,5 +98,6 @@ final class Geocoder(spark: SparkSession, gaz: DataFrame) {
 object Geocoder {
   /** Geocoder over the frozen literal gazetteer (tests/demos). */
   def default(spark: SparkSession): Geocoder =
-    new Geocoder(spark, graft.synth.Synth.gazDf(spark))
+    new Geocoder(spark, graft.synth.Synth.gazDf(spark),
+      Some(graft.synth.Synth.altNamesDf(spark)))
 }

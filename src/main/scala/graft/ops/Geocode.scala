@@ -165,30 +165,86 @@ object Geocode {
         col("cell"), col("ctx"), round(col("sd"), 4).as("sd"), col("rank"))
   }
 
-  /** B6: IDF-ish name weights from the corpus frequency table — carmen
-    * weighs subqueries by the covered terms' rarity (freq cache). Weight of
-    * a gazetteer name = Σ_tokens ln(1 + N/df). */
-  def nameWeights(docs: DataFrame, gaz: DataFrame): DataFrame = {
+  /** B6: per-term quantized IDF from the corpus frequency table — carmen
+    * weighs subqueries by the covered terms' rarity (freq cache).
+    * idf_q(term) = round(ln(1 + N/df) · 10^6) as a LONG: integer weights
+    * make every downstream sum order-independent (FP addition order would
+    * otherwise diverge between Spark and the DuckDB oracle). */
+  def termIdfQ(docs: DataFrame): DataFrame = {
     val freq = docs
       .select(explode(array_distinct(F.tokenize(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    gaz.select(col("gid"), explode(split(col("name"), " ")).as("term"))
-      .join(broadcast(freq), "term")
-      .crossJoin(broadcast(n))
-      .withColumn("idf", log(lit(1.0) + col("n_docs").cast("double") / col("df").cast("double")))
-      .groupBy("gid").agg(sum("idf").as("w"))
+    freq.crossJoin(broadcast(n))
+      .withColumn("idf_q",
+        round(log(lit(1.0) + col("n_docs").cast("double") / col("df").cast("double")) * 1e6, 0)
+          .cast("long"))
+      .select(col("term"), col("idf_q"))
   }
 
-  /** Forward geocode with IDF term weighting (rarer mention terms produce
-    * higher relev) — the B6-faithful variant of [[forward]]. */
+  /** B6 name weights: Σ idf_q over the name's tokens (ordering weight for
+    * the best-region resolution; the relev itself uses the covered-token
+    * UNION — see [[forwardIdf]]). */
+  def nameWeightsQ(docs: DataFrame, gaz: DataFrame): DataFrame =
+    gaz.select(col("gid"), explode(split(col("name"), " ")).as("term"))
+      .join(broadcast(termIdfQ(docs)), "term")
+      .groupBy("gid").agg(sum("idf_q").as("w_q"))
+
+  /** B4+B6+E2, carmen-faithful relev: the IDF SHARE of the doc's tokens
+    * covered by the match — relev = Σ idf_q(tokens(place) ∪ tokens(region))
+    * / Σ idf_q(distinct doc tokens). Overlapping windows count once (the
+    * coverage mask); rare covered terms dominate; relev ∈ (0, 1]. */
   def forwardIdf(docs: DataFrame, gaz: DataFrame, k: Int = 5): DataFrame = {
-    val w = nameWeights(docs, gaz)
+    val idf = termIdfQ(docs).persist()
+    val docIdf = docs
+      .select(col("doc_id"), explode(array_distinct(F.tokenize(col("text")))).as("term"))
+      .join(broadcast(idf), "term")
+      .groupBy("doc_id").agg(sum("idf_q").as("doc_q"))
+    val w = nameWeightsQ(docs, gaz)
     val m = mentions(docs, gaz).drop("w")
       .join(broadcast(w), "gid")
+      .join(docIdf, "doc_id")
       .persist()
-    // additive relev: the weights are already externally normalized per name
-    rank(coalesce2(m, maskRelev = false), k)
+
+    val placeCands = m.filter(col("typ") === "place")
+      .withColumn("cell", F.cellAt(lit(ZPlace), col("glon"), col("glat")))
+      .withColumn("cell8p", F.parentCell(col("cell"), lit(ZRegion)))
+    val regionCands = m.filter(col("typ") === "region")
+      .withColumn("cell", F.cellAt(lit(ZRegion), col("glon"), col("glat")))
+
+    val regionSide = regionCands.select(
+      col("doc_id").as("r_doc_id"), col("cell").as("r_cell"),
+      col("gid").as("rid"), col("w_q").as("wr_q"), col("name").as("rname"))
+    val stacked = placeCands.join(regionSide.hint("shuffle_hash"),
+        placeCands("doc_id") === regionSide("r_doc_id") &&
+          placeCands("cell8p") === regionSide("r_cell"),
+        "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("gid"))
+          .orderBy(col("wr_q").desc_nulls_last, col("rid").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("gid").as("feature_id"), col("typ"),
+        array_distinct(concat(split(col("name"), " "),
+          coalesce(split(col("rname"), " "), array().cast("array<string>")))).as("utoks"),
+        col("cell"), coalesce(col("rid"), lit(-1L)).as("ctx"),
+        col("score"), col("glon"), col("glat"), col("qlon"), col("qlat"),
+        col("doc_q"))
+    val regionsAsCands = regionCands.select(col("doc_id"), col("gid").as("feature_id"),
+      col("typ"), split(col("name"), " ").as("utoks"), col("cell"), lit(-1L).as("ctx"),
+      col("score"), col("glon"), col("glat"), col("qlon"), col("qlat"), col("doc_q"))
+
+    // covered-token mask → integer IDF sum (explode + broadcast idf join;
+    // utoks is ≤ a few tokens per candidate). (doc_id, feature_id) is the
+    // candidate key: unique by construction after the rn=1 resolution.
+    val cands = stacked.unionByName(regionsAsCands)
+    val unionIdf = cands
+      .select(col("doc_id"), col("feature_id"), explode(col("utoks")).as("term"))
+      .join(broadcast(idf), "term")
+      .groupBy("doc_id", "feature_id").agg(sum("idf_q").as("u_q"))
+    val withRelev = cands.join(unionIdf, Seq("doc_id", "feature_id"))
+      .withColumn("relev", col("u_q").cast("double") / col("doc_q").cast("double"))
+      .drop("utoks", "u_q", "doc_q")
+    rank(withRelev, k)
   }
 
   /** Full forward geocode (the flagship / headline benchmark pipeline).

@@ -151,34 +151,51 @@ object Queries {
        |freq AS (SELECT t AS term, count(*) AS df FROM (
        |           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
        |           FROM documents) GROUP BY 1),
-       |gw AS (SELECT g.gid, sum(ln(1.0 + CAST(nn.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE))) AS w
+       |idf AS (SELECT term,
+       |               CAST(round(ln(1.0 + CAST(nn.n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS idf_q
+       |        FROM freq CROSS JOIN nn),
+       |docidf AS (SELECT d.doc_id, sum(i.idf_q) AS doc_q FROM (
+       |             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       |             FROM documents) d JOIN idf i USING (term) GROUP BY 1),
+       |gw AS (SELECT g.gid, sum(i.idf_q) AS w_q
        |       FROM (SELECT gid, unnest(string_split(name, ' ')) AS term FROM gaz) g
-       |       JOIN freq f ON f.term = g.term CROSS JOIN nn
+       |       JOIN idf i USING (term)
        |       GROUP BY 1),
        |mention AS (
-       |  SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score, g.glon, g.glat, gw.w
+       |  SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score, g.glon, g.glat,
+       |         gw.w_q, di.doc_q
        |  FROM docs d JOIN gaz g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
-       |  JOIN gw ON gw.gid = g.gid),
+       |  JOIN gw ON gw.gid = g.gid
+       |  JOIN docidf di ON di.doc_id = d.doc_id),
        |placecand AS (
        |  SELECT *, $cell12 AS cell, $cell8 AS cell8p FROM mention WHERE typ = 'place'),
        |regioncand AS (
        |  SELECT *, $cell8 AS cell FROM mention WHERE typ = 'region'),
        |stacked AS (
-       |  SELECT p.*, r.gid AS rid, r.w AS wr,
+       |  SELECT p.*, r.gid AS rid, r.w_q AS wr_q, r.name AS rname,
        |         row_number() OVER (PARTITION BY p.doc_id, p.gid
-       |                            ORDER BY r.w DESC NULLS LAST, r.gid ASC NULLS LAST) AS rn
+       |                            ORDER BY r.w_q DESC NULLS LAST, r.gid ASC NULLS LAST) AS rn
        |  FROM placecand p
        |  LEFT JOIN regioncand r ON r.doc_id = p.doc_id AND r.cell = p.cell8p),
        |cands AS (
-       |  SELECT doc_id, gid AS feature_id, typ, w + COALESCE(wr, 0.0) AS relev,
-       |         cell, COALESCE(rid, -1) AS ctx, score, glon, glat, qlon, qlat
+       |  SELECT doc_id, gid AS feature_id, typ,
+       |         list_distinct(list_cat(string_split(name, ' '),
+       |           COALESCE(string_split(rname, ' '), []))) AS utoks,
+       |         cell, COALESCE(rid, -1) AS ctx, score, glon, glat, qlon, qlat, doc_q
        |  FROM stacked WHERE rn = 1
        |  UNION ALL
-       |  SELECT doc_id, gid, typ, w, cell, -1, score, glon, glat, qlon, qlat
+       |  SELECT doc_id, gid, typ, string_split(name, ' '), cell, -1, score,
+       |         glon, glat, qlon, qlat, doc_q
        |  FROM regioncand),
+       |uidf AS (SELECT c.doc_id, c.feature_id, sum(i.idf_q) AS u_q FROM (
+       |           SELECT doc_id, feature_id, unnest(utoks) AS term FROM cands) c
+       |         JOIN idf i USING (term) GROUP BY 1, 2),
+       |withr AS (
+       |  SELECT c.*, CAST(u.u_q AS DOUBLE) / CAST(c.doc_q AS DOUBLE) AS relev
+       |  FROM cands c JOIN uidf u USING (doc_id, feature_id)),
        |scored AS (
        |  SELECT *, score / (1.0 + ${haversineSql("qlon", "qlat", "glon", "glat")} / 40.0) AS sd
-       |  FROM cands),
+       |  FROM withr),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY doc_id
        |                               ORDER BY relev DESC, sd DESC, feature_id ASC) AS rank

@@ -49,6 +49,22 @@ class GeocoderSpec extends SparkTestBase {
     assert(knnEvents.intersect(pipEvents).isEmpty)
   }
 
+  test("forward options: stacks prunes whole country stacks; language swaps alt names") {
+    import spark.implicits._
+    val g = Geocoder.default(spark)
+    // "data" is a region in stack "na"; restricting to "eu" must drop it
+    val eu = g.forward(onePage, GeocodeOptions(stacks = Some(Seq("eu")))).collect()
+    assert(!eu.exists(_.getLong(1) == Synth.regions.find(_.name == "data").get.id))
+    // language 'de': gid 101 ("hash join") is matchable only via its German
+    // alt name "dup join"
+    val dePage = Seq((9L, "the dup join data pipeline", 10.0, 20.0))
+      .toDF("doc_id", "text", "qlon", "qlat")
+    val de = g.forward(dePage, GeocodeOptions(language = Some("de"))).collect()
+    assert(de.exists(_.getLong(1) == 101L))
+    val plain = g.forward(dePage).collect()
+    assert(!plain.exists(_.getLong(1) == 101L))
+  }
+
   test("forward over the built grid index is row-identical to the broadcast path") {
     import graft.queries.Queries
     val a = Queries.fwdGeocode(spark, "/root/testdata/sf0.001").collect()

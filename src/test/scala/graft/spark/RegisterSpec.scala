@@ -28,6 +28,21 @@ class RegisterSpec extends SparkTestBase {
     assert(r.getInt(7) > 0)
   }
 
+  test("arguments are coerced to the expected input types") {
+    Register.all(spark)
+    val c = CellMath.lonLatToCell(14, 2.3522, 48.8566)
+    // BIGINT zoom literal, INT lon/lat, string-typed number: all must Cast
+    // instead of ClassCastException-ing at eval time
+    val r = spark.sql(
+      s"""SELECT parent_cell(${c}L, 8L) AS p,
+         |       cell_at(14, 2, 48) AS ci,
+         |       pip_wkb(rect_wkb(0, 0, 10, 10), '5', 5) AS inside
+         |""".stripMargin).head()
+    assert(r.getLong(0) == CellMath.parentCell(c, 8))
+    assert(r.getLong(1) == CellMath.lonLatToCell(14, 2.0, 48.0))
+    assert(r.getBoolean(2))
+  }
+
   test("registration is idempotent") {
     Register.all(spark)
     Register.all(spark)
