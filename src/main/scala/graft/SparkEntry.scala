@@ -32,6 +32,13 @@ object SparkEntry {
       ops.Geocode.reverseBcast(s, Synth.eventPoints(s, d), Synth.custFeatures(s, d), 8,
         cacheKey = Some(s"$d/customer"))
         .select(col("event_id"), col("feature_id"))),
+    "reverse_salted" -> ((s, d) =>
+      // D7 in the driver surface: hot-cell salted reverse join — row-identical
+      // to reverse_pip (shares its oracle); the salt replicates the cover
+      // index for the measured-hot cells only
+      ops.Geocode.reversePipSalted(Synth.eventPoints(s, d), Synth.custFeatures(s, d), 8,
+        s = 4, hotK = 8, hotThreshold = 1000)
+        .select(col("event_id"), col("feature_id"))),
     "knn_expand" -> ((s, d) =>
       ops.Geocode.knnExpanding(Synth.eventPoints(s, d),
         Synth.custFeatures(s, d).select(col("feature_id"), col("flon"), col("flat")), 8)),
@@ -110,6 +117,7 @@ object SparkEntry {
     "tile_cover_rect" -> Queries.tileCoverRectSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan
+    "reverse_salted" -> Queries.reversePipSql, // same semantics, skew-salted plan
     "knn_disk" -> Queries.knnDiskSql,
     "context_chain" -> Queries.contextChainSql,
     "bbox_filter" -> Queries.bboxFilterSql,
