@@ -50,6 +50,7 @@ object SparkEntry {
     "freq_index" -> ((s, d) => Queries.freqIndex(s, d)),
     "hot_cells" -> ((s, d) => Queries.hotCells(s, d)),
     "phrase_prefix" -> ((s, d) => Queries.phrasePrefix(s, d)),
+    "phrase_degens" -> ((s, d) => Queries.phraseDegens(s, d)),
     "fuzzy_match" -> ((s, d) => Queries.fuzzyMatch(s, d)),
     "extract_text" -> ((s, d) => Queries.extractTextQ(s, d)),
     "page_pipeline" -> ((s, d) => Queries.pagePipeline(s, d)),
@@ -70,6 +71,8 @@ object SparkEntry {
       TextOps.dedupMinHash(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
     "dedup_simhash" -> ((s, d) =>
       TextOps.dedupSimHash(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
+    "dedup_winnow" -> ((s, d) =>
+      TextOps.dedupWinnow(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
     "ngram_jaccard" -> ((s, d) =>
       TextOps.ngramJaccard(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
     "lang_id" -> ((s, d) => TextOps.langId(s.read.parquet(s"$d/documents.parquet"))),
@@ -126,6 +129,7 @@ object SparkEntry {
     "freq_index" -> Queries.freqIndexSql,
     "hot_cells" -> Queries.hotCellsSql,
     "phrase_prefix" -> Queries.phrasePrefixSql,
+    "phrase_degens" -> Queries.phraseDegensSql,
     "fuzzy_match" -> Queries.fuzzyMatchSql,
     "extract_text" -> Queries.extractTextQSql,
     "page_pipeline" -> Queries.pagePipelineSql,

@@ -121,6 +121,51 @@ object Fingerprint {
 
   @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken '03, the MOSS
+    * algorithm): hash every char k-gram (rolling polynomial, mixed), then
+    * from each window of `w` consecutive k-gram hashes select the minimum
+    * (rightmost on ties), deduplicating consecutive selections. Guarantees:
+    * any shared substring of length >= w + k - 1 yields at least one shared
+    * fingerprint, while keeping ~2/(w+1) density. */
+  def winnow(s: String, k: Int, w: Int): Array[Long] = {
+    if (s == null || s.isEmpty) return Array.empty
+    if (s.length < k) return Array(mix64(fnv1a64(s)))
+    val n = s.length - k + 1
+    val hs = new Array[Long](n)
+    // rolling base-257 polynomial over chars; mix64 finalizes each gram
+    var pow = 1L
+    var j = 0
+    while (j < k - 1) { pow *= 257L; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = 257L * h + s.charAt(i); i += 1 }
+    hs(0) = mix64(h)
+    i = 1
+    while (i < n) {
+      h = 257L * (h - s.charAt(i - 1) * pow) + s.charAt(i + k - 1)
+      hs(i) = mix64(h)
+      i += 1
+    }
+    if (n <= w) {
+      // single window: emit its minimum
+      var m = hs(0); i = 1
+      while (i < n) { if (hs(i) <= m) m = hs(i); i += 1 }
+      return Array(m)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](2 * n / (w + 1) + 4)
+    var lastIdx = -1
+    var start = 0
+    while (start + w <= n) {
+      // rightmost minimum in [start, start + w)
+      var mIdx = start
+      i = start + 1
+      while (i < start + w) { if (hs(i) <= hs(mIdx)) mIdx = i; i += 1 }
+      if (mIdx != lastIdx) { out += hs(mIdx); lastIdx = mIdx }
+      start += 1
+    }
+    out.toArray
+  }
+
   /** Exact Jaccard over two shingle-hash sets (test oracle for MinHash). */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

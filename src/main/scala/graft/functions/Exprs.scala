@@ -285,6 +285,19 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** winnow_fps(text): MOSS winnowing fingerprints (char k-grams, window w)
+    * — the substring-robust document sketch for near-dup candidate
+    * generation (any shared run >= w+k-1 chars shares a fingerprint). */
+  case class WinnowFps(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "winnow_fps"
+    override def nullSafeEval(s: Any): Any =
+      new GenericArrayData(Fingerprint.winnow(s.toString, k, w))
+    override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
+  }
+
   /** lsh_buckets(q): the nTables sign-LSH bucket keys of an int-quantized
     * vector — all nTables × planesPerTable hyperplane dot products in one
     * tight primitive loop per row, replacing a 128-subexpression
@@ -372,6 +385,8 @@ object F {
     c(LshBandsFromSig(x(sig), x(rowsPerBand)))
   def lshBuckets(q: Column, nTables: Int, planesPerTable: Int): Column =
     c(LshBuckets(x(q), nTables, planesPerTable))
+  def winnowFps(s: Column, k: Int = 8, w: Int = 16): Column =
+    c(WinnowFps(x(s), k, w))
 
   import org.apache.spark.sql.functions._
 

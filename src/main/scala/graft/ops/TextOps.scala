@@ -173,6 +173,28 @@ object TextOps {
        |SELECT a, b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
        |FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.5""".stripMargin
 
+  /** Winnowing (MOSS) near-dup pairs: exact pre-collapse → per-doc
+    * winnowing fingerprints (char k-grams, window w) → inverted fingerprint
+    * index (bucket-capped) → pairs sharing >= minShared fingerprints.
+    * Catches copied PASSAGES (any shared run >= w+k-1 chars shares a
+    * fingerprint) that whole-document sketches dilute — the boilerplate /
+    * quotation detector of the dedup family. */
+  def dedupWinnow(docs: DataFrame, k: Int = 8, w: Int = 16,
+                  minShared: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    val fps = exactReps(docs)
+      .select(col("doc_id"), explode(F.winnowFps(col("text"), k, w)).as("fp"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+      .persist()
+    fps.select(col("fp"), col("doc_id").as("a"))
+      .join(fps.select(col("fp"), col("doc_id").as("b")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Stopword-profile language ID (n-gram heuristic over the fixed profiles;
     * deterministic argmax with alphabetical tie-break). */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

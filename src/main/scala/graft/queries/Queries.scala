@@ -439,6 +439,37 @@ object Queries {
        |FROM cover GROUP BY 1""".stripMargin
 
   // =================================================================
+  // B3: indexable-phrase generation + autocomplete degens — feature text
+  // "Name, Synonym" → canonical phrase forms (comma-split, token-rule
+  // normalized) → all token prefixes (the "degen" entries carmen writes so
+  // prefix queries hit exact keys). Pure built-ins + phrase_form.
+  // =================================================================
+
+  def phraseDegens(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("feature_id"),
+        concat(col("c_name"), lit(", "), col("c_name"), lit(" district")).as("text"))
+    val phrases = c.select(col("feature_id"),
+      explode(array_distinct(filter(
+        transform(split(col("text"), ","), s => F.phraseForm(s)),
+        x => x =!= ""))).as("phrase"))
+    phrases.select(col("feature_id"), col("phrase"),
+      explode(expr("transform(sequence(1, size(split(phrase, ' '))), " +
+        "k -> array_join(slice(split(phrase, ' '), 1, k), ' '))")).as("degen"))
+  }
+
+  def phraseDegensSql: String =
+    s"""WITH ph AS (
+       |  SELECT c_custkey AS feature_id, lower(replace(c_name, '#', ' ')) AS phrase
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey, lower(replace(c_name, '#', ' ')) || ' district'
+       |  FROM customer),
+       |t AS (SELECT feature_id, phrase, string_split(phrase, ' ') AS toks FROM ph)
+       |SELECT feature_id, phrase, array_to_string(list_slice(toks, 1, ks.k), ' ') AS degen
+       |FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS k) ks""".stripMargin
+
+  // =================================================================
   // E1/B6: term → document frequency
   // =================================================================
 

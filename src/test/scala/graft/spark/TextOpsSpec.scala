@@ -60,6 +60,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(pairs.head.getLong(0) == 0L && pairs.head.getLong(1) == 10L)
   }
 
+  test("winnowing finds a copied passage between otherwise-different docs") {
+    import spark.implicits._
+    val passage = "the five boxing wizards jump quickly over the lazy dog tonight"
+    val docs = Seq(
+      (0L, s"intro words before $passage and some trailing content", "en", "s", 1L),
+      (1L, s"completely other framing yet containing $passage inside it", "en", "s", 1L),
+      (2L, "nothing in common with the others at all whatsoever here", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = TextOps.dedupWinnow(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"copied passage must share fingerprints, got $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("winnow kernel: shared-substring guarantee and density") {
+    val k = 8; val w = 16
+    val a = Fingerprint.winnow("x" * 5 + "some shared middle section of text" + "y" * 5, k, w)
+    val b = Fingerprint.winnow("p" * 9 + "some shared middle section of text" + "q" * 3, k, w)
+    assert(a.intersect(b).nonEmpty) // shared run >= w+k-1 chars
+    val long = Fingerprint.winnow("abcdefgh" * 100, k, w)
+    assert(long.length < 800 / 4) // density ~2/(w+1), far below one per char
+    assert(Fingerprint.winnow("", k, w).isEmpty)
+    assert(Fingerprint.winnow("tiny", k, w).length == 1)
+  }
+
   test("minhash estimated jaccard tracks exact jaccard on shingle sets") {
     val a = Fingerprint.shingles(Text.tokenize("a b c d e f g h i j k l m n"), 3)
     val b = Fingerprint.shingles(Text.tokenize("a b c d e f g h i j k l x y"), 3)
