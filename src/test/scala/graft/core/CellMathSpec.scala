@@ -100,4 +100,27 @@ class CellMathSpec extends AnyFunSuite {
       prev = cur
     }
   }
+
+  test("bboxToHilbertRanges: exact small boxes; coarse fallback is a sound over-approximation") {
+    // exact path: every tile of the box maps into some range
+    val (w, s, e, n) = (-30.0, -20.0, 40.0, 35.0)
+    val z = 8
+    val r = bboxToHilbertRanges(w, s, e, n, z)
+    val x0 = lonToX(z, w); val x1 = lonToX(z, e)
+    val y0 = latToY(z, n); val y1 = latToY(z, s)
+    for (x <- x0 to x1; y <- y0 to y1) {
+      val h = hilbert(z, x, y)
+      assert(r.exists { case (lo, hi) => h >= lo && h <= hi }, s"($x,$y) uncovered")
+    }
+    // fallback path: a world box at z16 (4.3e9 tiles) must not overflow and
+    // must still cover sampled in-box tiles; ranges stay sorted and bounded
+    val big = bboxToHilbertRanges(-179.9, -80.0, 179.9, 80.0, 16)
+    assert(big.nonEmpty)
+    assert(big.forall { case (lo, hi) => lo <= hi && lo >= 0 && hi < (1L << 32) })
+    val samples = Seq((-120.0, 40.0), (0.0, 0.0), (150.0, -60.0), (10.0, 75.0))
+    samples.foreach { case (lon, lat) =>
+      val h = hilbert(16, lonToX(16, lon), latToY(16, lat))
+      assert(big.exists { case (lo, hi) => h >= lo && h <= hi }, s"($lon,$lat) uncovered")
+    }
+  }
 }

@@ -36,6 +36,15 @@ class GeoSpec extends AnyFunSuite {
     assert(g.isPoint && g.firstLon == 12.34 && g.firstLat == -56.78)
   }
 
+  test("WKB Z/M geometry types are rejected loudly, not silently misparsed") {
+    // take a valid point WKB and patch the type to 1001 (PointZ)
+    val wkb = writeWkbPoint(1.0, 2.0)
+    val bb = java.nio.ByteBuffer.wrap(wkb.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(1); bb.putInt(1001)
+    val e = intercept[IllegalArgumentException](parseWkb(bb.array()))
+    assert(e.getMessage.contains("Z/M"))
+  }
+
   test("WKB polygon roundtrip, little and big endian") {
     val ring = Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 0.0, 0.0)
     val wkb = writeWkbPolygon(Array(ring))
