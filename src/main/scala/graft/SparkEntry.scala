@@ -44,6 +44,7 @@ object SparkEntry {
         Synth.custFeatures(s, d).select(col("feature_id"), col("flon"), col("flat")), 8)),
     "knn_disk" -> ((s, d) => Queries.knnDisk(s, d)),
     "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
+    "context_assemble" -> ((s, d) => Queries.contextAssemble(s, d)),
     "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
     "grid_index" -> ((s, d) => Queries.gridIndex(s, d)),
     "grid_lists" -> ((s, d) => Queries.gridLists(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "reverse_salted" -> Queries.reversePipSql, // same semantics, skew-salted plan
     "knn_disk" -> Queries.knnDiskSql,
     "context_chain" -> Queries.contextChainSql,
+    "context_assemble" -> Queries.contextAssembleSql,
     "bbox_filter" -> Queries.bboxFilterSql,
     "grid_index" -> Queries.gridIndexSql,
     "grid_lists" -> Queries.gridListsSql,

@@ -361,6 +361,34 @@ object Queries {
        |GROUP BY 1""".stripMargin
 
   // =================================================================
+  // F4: context assembly — the per-point context chain collected into ONE
+  // ordered value (coarse→fine, carmen's result `context` array), via
+  // sort_array(collect_list(struct(...))) so no global sort is involved.
+  // =================================================================
+
+  def contextAssemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val rank = when(col("typ") === "continent", 0)
+      .when(col("typ") === "country", 1).otherwise(lit(2))
+    contextChain(spark, sfDir)
+      .withColumn("type_rank", rank)
+      .groupBy(col("event_id"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("type_rank"), col("typ"), col("feature_id")))),
+          s => concat(s.getField("typ"), lit(":"), s.getField("feature_id"))),
+        " > ").as("context"))
+  }
+
+  def contextAssembleSql: String =
+    s"""WITH chain AS (${contextChainSql})
+       |SELECT event_id,
+       |       string_agg(typ || ':' || feature_id, ' > '
+       |         ORDER BY CASE WHEN typ = 'continent' THEN 0
+       |                       WHEN typ = 'country' THEN 1 ELSE 2 END,
+       |                  typ, feature_id) AS context
+       |FROM chain GROUP BY 1""".stripMargin
+
+  // =================================================================
   // C3: bbox filter (z10 cells emitted for the matching points)
   // =================================================================
 
