@@ -62,8 +62,9 @@ object Geocode {
     * contiguous subsequence of the document's token sequence (equivalently,
     * for single-space text, `' '||text||' '` contains `' '||name||' '`).
     */
-  def mentions(docs: DataFrame, gaz: DataFrame): DataFrame =
-    tokenWindows(docs, maxNameTokens(gaz))
+  def mentions(docs: DataFrame, gaz: DataFrame,
+               extraCols: Seq[String] = Seq("qlon", "qlat")): DataFrame =
+    tokenWindows(docs, maxNameTokens(gaz), extraCols)
       .join(broadcast(gaz), col("phrase") === col("name"))
       .withColumn("w", size(split(col("name"), " ")) / lit(3.0))
 
@@ -193,17 +194,20 @@ object Geocode {
   /** B4+B6+E2, carmen-faithful relev: the IDF SHARE of the doc's tokens
     * covered by the match — relev = Σ idf_q(tokens(place) ∪ tokens(region))
     * / Σ idf_q(distinct doc tokens). Overlapping windows count once (the
-    * coverage mask); rare covered terms dominate; relev ∈ (0, 1]. */
+    * coverage mask); rare covered terms dominate; relev ∈ (0, 1].
+    *
+    * The freq cache ships as a broadcast sorted term array
+    * ([[graft.index.TermStats]], carmen's in-memory freq cache shape): every
+    * idf sum — per doc, per name, per covered-union — is a map-stage binary
+    * search, NOT an explode ⋈ freq ⋈ re-group (which cost two shuffles and
+    * a per-doc window; measured 4.6 s → the join-free form at sf0.1). */
   def forwardIdf(docs: DataFrame, gaz: DataFrame, k: Int = 5): DataFrame = {
-    val idf = termIdfQ(docs).persist()
-    val docIdf = docs
-      .select(col("doc_id"), explode(array_distinct(F.tokenize(col("text")))).as("term"))
-      .join(broadcast(idf), "term")
-      .groupBy("doc_id").agg(sum("idf_q").as("doc_q"))
-    val w = nameWeightsQ(docs, gaz)
-    val m = mentions(docs, gaz).drop("w")
-      .join(broadcast(w), "gid")
-      .join(docIdf, "doc_id")
+    import graft.index.TermStats
+    val bc = docs.sparkSession.sparkContext.broadcast(TermStats.build(termIdfQ(docs)))
+    val docsQ = docs.withColumn("doc_q",
+      TermStats.termWeightSum(array_distinct(F.tokenize(col("text"))), bc))
+    val m = mentions(docsQ, gaz, Seq("qlon", "qlat", "doc_q")).drop("w")
+      .withColumn("w_q", TermStats.termWeightSum(split(col("name"), " "), bc))
       .persist()
 
     val placeCands = m.filter(col("typ") === "place")
@@ -233,17 +237,12 @@ object Geocode {
       col("typ"), split(col("name"), " ").as("utoks"), col("cell"), lit(-1L).as("ctx"),
       col("score"), col("glon"), col("glat"), col("qlon"), col("qlat"), col("doc_q"))
 
-    // covered-token mask → integer IDF sum (explode + broadcast idf join;
-    // utoks is ≤ a few tokens per candidate). (doc_id, feature_id) is the
-    // candidate key: unique by construction after the rn=1 resolution.
-    val cands = stacked.unionByName(regionsAsCands)
-    val unionIdf = cands
-      .select(col("doc_id"), col("feature_id"), explode(col("utoks")).as("term"))
-      .join(broadcast(idf), "term")
-      .groupBy("doc_id", "feature_id").agg(sum("idf_q").as("u_q"))
-    val withRelev = cands.join(unionIdf, Seq("doc_id", "feature_id"))
-      .withColumn("relev", col("u_q").cast("double") / col("doc_q").cast("double"))
-      .drop("utoks", "u_q", "doc_q")
+    // covered-token mask → integer IDF sum, in-row via the broadcast stats
+    val withRelev = stacked.unionByName(regionsAsCands)
+      .withColumn("relev",
+        graft.index.TermStats.termWeightSum(col("utoks"), bc).cast("double") /
+          col("doc_q").cast("double"))
+      .drop("utoks", "doc_q")
     rank(withRelev, k)
   }
 

@@ -129,14 +129,12 @@ object TextOps {
       .persist()
     val df_ = t.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
+    // global df ships as the broadcast sorted term array; the per-doc
+    // rarest-token prefix is then one in-row pass (no df join, no window)
+    val bc = docs.sparkSession.sparkContext.broadcast(graft.index.TermStats.build(df_))
     val pref = t
-      .select(col("doc_id"), col("lang"), col("bucket"),
-        size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-      .join(df_, "tok")
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
-      .filter(col("r") <= col("n") - ceil(col("n") * lit(threshold)) + lit(1))
-      .select(col("lang"), col("bucket"), col("tok"), col("doc_id"))
+      .select(col("lang"), col("bucket"), col("doc_id"),
+        explode(graft.index.TermStats.prefixTokens(col("toks"), threshold, bc)).as("tok"))
     val cand = pref.select(col("lang"), col("bucket"), col("tok"), col("doc_id").as("a"))
       .join(pref.select(col("lang"), col("bucket"), col("tok"), col("doc_id").as("b")),
         Seq("lang", "bucket", "tok"))
