@@ -84,6 +84,24 @@ object Bench {
         nDocs / sec
       } finally s.stop()
     }
+    // at-scale forward path (grid-index equi-join, no gazetteer broadcast)
+    // measured at 4N for comparison with the broadcast-path headline
+    def headlineIndexed(cores: String): Double = {
+      val s = session(cores)
+      try {
+        val feats = Synth.gazDf(s)
+        def grid = graft.queries.Queries.gazGridParquet(s)
+        Geocode.forwardIndexed(amplifiedPages(s, sfDir, 2), grid, feats).count()
+        val pages = amplifiedPages(s, sfDir, amp)
+        val nDocs = pages.count()
+        val sec = (1 to 3).map { _ =>
+          s.catalog.clearCache()
+          time(Geocode.forwardIndexed(pages, grid, feats).count())
+        }.min
+        nDocs / sec
+      } finally s.stop()
+    }
+
     // N vs 4N cores (BASELINE.json: "N and 4N executors"); N overridable —
     // small N measures cleanest on a shared box (GC/IO threads are JVM-wide
     // and would otherwise subsidize the small configuration). The full-width
@@ -101,11 +119,13 @@ object Bench {
         s""","docs_per_sec_8":${f"$r8%.1f"},"docs_per_sec_32":${f"$r32%.1f"},"scaling_efficiency_8_32":${f"${r32 / (4.0 * r8)}%.3f"}"""
       }
 
+    val rateIdx = headlineIndexed((4 * n).toString)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"geocode-join throughput (docs/sec)","value":${f"$rate4N%.1f"},"unit":"docs/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"scale_n":$n,"docs_per_sec_n":${f"$rateN%.1f"},"docs_per_sec_4n":${f"$rate4N%.1f"},"scaling_efficiency":${f"$eff%.3f"}$wide,"amplification":$amp,"sf":"$sfDir"}""")
+      s"""{"metric":"geocode-join throughput (docs/sec)","value":${f"$rate4N%.1f"},"unit":"docs/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"scale_n":$n,"docs_per_sec_n":${f"$rateN%.1f"},"docs_per_sec_4n":${f"$rate4N%.1f"},"scaling_efficiency":${f"$eff%.3f"}$wide,"docs_per_sec_indexed_4n":${f"$rateIdx%.1f"},"amplification":$amp,"sf":"$sfDir"}""")
   }
 }
 

@@ -230,6 +230,27 @@ object Exprs {
       copy(child = c)
   }
 
+  /** ac_mentions(text): UDTF emitting the DISTINCT gazetteer phrases that
+    * occur in the text as contiguous token subsequences, via a broadcast
+    * Aho–Corasick automaton — one pass over the token stream regardless of
+    * the longest name's token count (the B8 matcher for big dictionaries
+    * with long names; window generation multiplies rows by maxLen). */
+  case class AcMentions(child: Expression,
+                        bc: org.apache.spark.broadcast.Broadcast[graft.core.AhoCorasickData])
+      extends UnaryExpression with Generator with CodegenFallback {
+    override def elementSchema: StructType =
+      StructType(StructField("phrase", StringType, nullable = false) :: Nil)
+    override def prettyName: String = "ac_mentions"
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val t = child.eval(input)
+      if (t == null) return Iterator.empty
+      bc.value.matchTokens(Text.tokenize(t.toString)).iterator
+        .map(p => InternalRow(UTF8String.fromString(p)))
+    }
+    override protected def withNewChildInternal(c: Expression): AcMentions =
+      copy(child = c)
+  }
+
   // ---------------------------------------------------------------
   // Fingerprints / sketches — CodegenFallback
   // ---------------------------------------------------------------
@@ -375,6 +396,9 @@ object F {
   def phraseForm(s: Column): Column = c(PhraseFormExpr(x(s)))
   def mentionWindows(s: Column, maxLen: Int = 2): Column =
     c(MentionWindows(x(s), maxLen))
+  def acMentions(s: Column,
+                 bc: org.apache.spark.broadcast.Broadcast[graft.core.AhoCorasickData]): Column =
+    c(AcMentions(x(s), bc))
   def docFingerprint(s: Column): Column = c(DocFingerprint(x(s)))
   def simhash64(s: Column): Column = c(SimHash(x(s)))
   def minhashBands(s: Column, k: Column, numHashes: Column, rowsPerBand: Column): Column =

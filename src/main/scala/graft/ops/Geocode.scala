@@ -68,6 +68,25 @@ object Geocode {
       .join(broadcast(gaz), col("phrase") === col("name"))
       .withColumn("w", size(split(col("name"), " ")) / lit(3.0))
 
+  /** B8 alternative matcher: mention extraction via a broadcast token-level
+    * Aho–Corasick automaton — ONE pass over each doc's token stream,
+    * independent of the longest gazetteer name (window generation emits one
+    * window set per length 1..maxLen; with 5-token names that is 5× the
+    * explode volume). Row-identical to [[mentions]] (equivalence-tested);
+    * the trade is a CodegenFallback Generator (breaks the codegen span —
+    * measured slower for maxLen ≤ 2, the win arrives with long names). */
+  def mentionsAC(docs: DataFrame, gaz: DataFrame,
+                 extraCols: Seq[String] = Seq("qlon", "qlat")): DataFrame = {
+    import graft.core.AhoCorasick
+    val names = gaz.select(col("name")).collect().map(_.getString(0)).toSeq
+    val bc = docs.sparkSession.sparkContext.broadcast(AhoCorasick.build(names))
+    docs
+      .select(col("doc_id") +: extraCols.map(col) :+
+        F.acMentions(col("text"), bc).as("phrase"): _*)
+      .join(broadcast(gaz), col("phrase") === col("name"))
+      .withColumn("w", size(split(col("name"), " ")) / lit(3.0))
+  }
+
   /** D2+E2: zoom-aligned coalesce — place candidates stack with mentioned
     * region candidates whose z8 cell contains the place's z8 ancestor cell;
     * best region per place resolved by (weight desc, id asc). Region-only

@@ -98,6 +98,28 @@ class GeocoderSpec extends SparkTestBase {
     assert(out.forall(r => allowed.contains(r.getLong(1))))
   }
 
+  test("Aho-Corasick mentions equal window mentions; handles 3+-token names") {
+    import spark.implicits._
+    val docs = Synth.docPages(spark, "/root/testdata/sf0.001")
+    val gaz = Synth.gazDf(spark)
+    val a = Geocode.mentions(docs, gaz).select("doc_id", "gid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Geocode.mentionsAC(docs, gaz).select("doc_id", "gid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.nonEmpty && a == b)
+    // long names: both matchers must find the 3- and 4-token phrases
+    val longGaz = Seq(
+      (1L, "new york city", "place", 5.0, 0.0, 0.0, "na"),
+      (2L, "port of new york authority", "place", 4.0, 0.0, 0.0, "na"),
+      (3L, "york", "region", 3.0, 0.0, 0.0, "na"))
+      .toDF("gid", "name", "typ", "score", "glon", "glat", "stack")
+    val page = Seq((7L, "the port of new york authority runs new york city docks", 0.0, 0.0))
+      .toDF("doc_id", "text", "qlon", "qlat")
+    val wa = Geocode.mentions(page, longGaz).select("gid").collect().map(_.getLong(0)).toSet
+    val ac = Geocode.mentionsAC(page, longGaz).select("gid").collect().map(_.getLong(0)).toSet
+    assert(wa == Set(1L, 2L, 3L) && ac == Set(1L, 2L, 3L))
+  }
+
   test("pre-clipped reverse PIP equals unclipped") {
     val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001")
     val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
