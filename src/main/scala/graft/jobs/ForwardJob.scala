@@ -29,6 +29,22 @@ object ForwardJob {
       ranges, outDir, failAfter)
   }
 
+  /** The at-scale variant: forward geocode over the BUILT grid index (no
+    * gazetteer broadcast — the 10^7-feature path), same per-Hilbert-range
+    * checkpoint + resume machinery. Row-identical to [[run]] over the same
+    * gazetteer. */
+  def runIndexed(spark: SparkSession, sfDir: String, outDir: String,
+                 nRanges: Int = 8, failAfter: Option[Int] = None): Seq[Int] = {
+    val results = Geocode.forwardIndexed(Synth.docPages(spark, sfDir),
+        graft.queries.Queries.gazGridParquet(spark), Synth.gazDf(spark))
+      .withColumn("hkey", F.hilbertCell(F.parentCell(col("cell"), lit(8))))
+      .persist()
+    val ranges = Checkpoint.uniformRanges(8, nRanges)
+    Checkpoint.runResumable(spark,
+      (lo, hi) => results.filter(col("hkey") >= lo && col("hkey") < hi),
+      ranges, outDir, failAfter)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_forward_out")

@@ -32,4 +32,20 @@ class ForwardJobSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(7))).toSet
     assert(fromJob == direct)
   }
+
+  test("indexed forward job (grid-index path) resumes to the same result set") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("fwdjob_idx").toString
+    intercept[RuntimeException] {
+      ForwardJob.runIndexed(spark, sf, out, nRanges = 8, failAfter = Some(2))
+    }
+    val resumed = ForwardJob.runIndexed(spark, sf, out)
+    assert(resumed.size == 6)
+    val fromJob = Checkpoint.readAll(spark, out)
+      .select("doc_id", "feature_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Geocode.forward(Synth.docPages(spark, sf), Synth.gazDf(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(7))).toSet
+    assert(fromJob == direct)
+  }
 }
