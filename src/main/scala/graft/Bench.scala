@@ -55,17 +55,23 @@ object Bench {
     val amp = sys.env.getOrElse("SPARK_GRAFT_AMP", "100").toInt
 
     // ---- per-query timings at env parallelism ----
-    var spark = session(cpus)
-    // warmup: JIT + codegen + parquet footer caches
-    try Queries.fwdGeocode0(spark, sfDir) catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+    // (SPARK_GRAFT_SKIP_QUERIES=1 skips this phase for scaling experiments)
+    val results =
+      if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Seq.empty[(String, Double)]
+      else {
+        val spark = session(cpus)
+        // warmup: JIT + codegen + parquet footer caches
+        try Queries.fwdGeocode0(spark, sfDir) catch { case _: Throwable => () }
+        val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val sec = time {
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+          }
+          name -> sec
+        }
+        spark.stop()
+        rs
       }
-      name -> sec
-    }
-    spark.stop()
 
     // ---- headline geocode-join throughput at N vs 4N cores ----
     def headline(cores: String): Double = {

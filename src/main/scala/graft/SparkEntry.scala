@@ -87,8 +87,11 @@ object SparkEntry {
       Ann.lshTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
     "ann_ivf" -> ((s, d) =>
       Ann.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
+    "dedup_embed" -> ((s, d) =>
+      Ann.dedupEmbed(s.read.parquet(s"$d/embeddings.parquet"))),
     "mm_decode" -> ((s, d) => Multimodal.decodeMeta(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(s, s.read.parquet(s"$d/documents.parquet"))),
+    "mm_features" -> ((s, d) => Multimodal.features(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, s.read.parquet(s"$d/documents.parquet"))
       .select(col("doc_id"), col("w"), col("h"))),
     // --- generic window/agg coverage (F2/F3 shape) ---
@@ -152,8 +155,10 @@ object SparkEntry {
     "token_count" -> TextOps.tokenCountSql,
     "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
     "ann_ivf" -> Ann.ivfTopKSql(50, 5),
+    "dedup_embed" -> Ann.dedupEmbedSql(),
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,
+    "mm_features" -> Multimodal.featuresSql,
     "mm_resize" ->
       "SELECT doc_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h FROM documents",
     "window_topk" ->

@@ -199,6 +199,68 @@ object Ann {
        |SELECT qid, nid, CAST(dp AS DOUBLE) AS dp, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Deterministic duplicate planting for the embedding-dedup op: every
+    * 10th vector cloned under id+10^7 with the IDENTICAL float payload
+    * (near-dup pairs exist by construction; the id offset matches the text
+    * mutator's convention). */
+  def withDupCopies(emb: DataFrame): DataFrame =
+    emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000000L))
+
+  /** Embedding-cosine near-dup pairs, IVF-cell blocked: pairs sharing a
+    * coarse cell with cosine >= threshold. The threshold test is done in
+    * exact integer arithmetic (dp > 0 AND dp² >= t²·‖a‖²·‖b‖²) so no FP
+    * accumulation-order issue exists; the reported cosine divides by IEEE
+    * sqrt, identical on both sides. Cell blocking makes the self-join
+    * ~n²/nList instead of n² — and unlike sign-LSH the assignment is
+    * SQL-expressible, so this dedup variant carries a FULL oracle. */
+  def dedupEmbed(emb: DataFrame, threshold: Double = 0.995,
+                 nList: Int = 16): DataFrame = {
+    val base = quantBase(withDupCopies(emb)).persist()
+    val cells = centroidRanks(base, nList).filter(col("crn") === 1)
+      .select(col("cid"), col("vec_id"), col("q"),
+        dot(col("q"), col("q")).as("nq"))
+    val t2 = threshold * threshold
+    cells.select(col("cid"), col("vec_id").as("a"), col("q").as("qa"), col("nq").as("na"))
+      .join(cells.select(col("cid"), col("vec_id").as("b"), col("q").as("qb"), col("nq").as("nb")),
+        "cid")
+      .filter(col("a") < col("b"))
+      .withColumn("dp", dot(col("qa"), col("qb")))
+      .filter(col("dp") > 0 &&
+        col("dp").cast("double") * col("dp").cast("double") >=
+          lit(t2) * col("na").cast("double") * col("nb").cast("double"))
+      .select(col("a"), col("b"),
+        round(col("dp").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("cos"))
+  }
+
+  /** Full DuckDB mirror of [[dedupEmbed]] ∘ [[withDupCopies]]. */
+  def dedupEmbedSql(threshold: Double = 0.995, nList: Int = 16): String = {
+    val centRows = (0 until nList).map(c =>
+      s"($c, [${ivfCentroid(c).mkString(", ")}])").mkString(", ")
+    val t2 = threshold * threshold
+    s"""WITH cent(cid, cv) AS (VALUES $centRows),
+       |aug AS (SELECT vec_id, embedding FROM embeddings
+       |        UNION ALL
+       |        SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+       |      FROM aug),
+       |ranks AS (
+       |  SELECT e.vec_id, e.q, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_inner_product(e.q, c.cv) DESC, c.cid ASC) AS crn
+       |  FROM e CROSS JOIN cent c),
+       |cells AS (SELECT cid, vec_id, q, list_inner_product(q, q) AS nq
+       |          FROM ranks WHERE crn = 1),
+       |pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |         list_inner_product(x.q, y.q) AS dp, x.nq AS na, y.nq AS nb
+       |  FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+       |SELECT a, b,
+       |       round(CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
+       |FROM pairs
+       |WHERE dp > 0 AND CAST(dp AS DOUBLE) * CAST(dp AS DOUBLE) >= $t2 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)""".stripMargin
+  }
+
   /** Multi-table multi-probe LSH ANN: candidates from [[lshCandidates]],
     * exact int-quantized top-k among them. */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int,

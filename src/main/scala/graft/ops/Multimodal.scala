@@ -81,6 +81,42 @@ object Multimodal {
       .toDF()
   }
 
+  final case class FeatureVec(doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long,
+                              f4: Long, f5: Long, f6: Long, f7: Long)
+
+  /** Feature extraction over the opaque payload: an 8-bin byte histogram
+    * (bin = byte >> 5) computed per partition batch — the feature-extract
+    * stage of the multimodal pipeline. Unlike the decode/resize stubs this
+    * is REAL math on the real bytes (and exactly mirrorable in SQL for
+    * ASCII payloads), so the oracle checks values, not just plumbing. */
+  def featureStub(p: MediaPayload): FeatureVec = {
+    val bins = new Array[Long](8)
+    var i = 0
+    while (i < p.payload.length) {
+      bins((p.payload(i) & 0xff) >> 5) += 1
+      i += 1
+    }
+    FeatureVec(p.doc_id, bins(0), bins(1), bins(2), bins(3),
+      bins(4), bins(5), bins(6), bins(7))
+  }
+
+  def features(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaPayload]
+      .mapPartitions(_.map(featureStub))
+      .toDF()
+  }
+
+  def featuresSql: String = {
+    val cols = (0 until 8).map(b =>
+      s"CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 32 = $b)) AS BIGINT) AS f$b")
+      .mkString(",\n       ")
+    s"""SELECT doc_id,
+       |       $cols
+       |FROM documents""".stripMargin
+  }
+
   def frameSampleSql: String =
     s"""SELECT d.doc_id, g.i AS frame_idx, g.i * 40 AS frame_ts_ms
        |FROM documents d,
