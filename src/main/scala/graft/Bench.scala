@@ -15,12 +15,18 @@ import graft.synth.Synth
   */
 object Bench {
 
-  private def session(cores: String): SparkSession = {
-    // partitions == cores measured best here: 4×cores was tried and cost
-    // ~25% at 4N (tiny-partition overhead against the cached mention frame)
+  private def session(cores: String, partitions: Int = 0): SparkSession = {
+    // partitions == cores measured best at the default amp (4×cores was
+    // tried and cost ~25% at 4N — tiny-partition overhead against the
+    // cached mention frame). At larger amplifications partitions must grow
+    // with the input (spill-aware sizing): the forced shuffle-hash stack
+    // join builds a per-partition hash map, and rows/partition — not
+    // rows/core — is what must fit executor memory (amp=1000 at 8
+    // partitions OOMed the build; scaling partitions with amp fixed it).
+    val parts = if (partitions > 0) partitions else cores.toInt
     val s = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -74,8 +80,12 @@ object Bench {
       }
 
     // ---- headline geocode-join throughput at N vs 4N cores ----
+    // shuffle partitions scale with the amplified input beyond the default
+    // amp so rows/partition stays bounded (see session())
+    def headlineParts(cores: String): Int =
+      cores.toInt * math.max(1, amp / 100)
     def headline(cores: String): Double = {
-      val s = session(cores)
+      val s = session(cores, headlineParts(cores))
       try {
         val warm = Geocode.forward(amplifiedPages(s, sfDir, 2), Synth.gazDf(s))
         warm.count() // JIT warmup
@@ -93,7 +103,7 @@ object Bench {
     // at-scale forward path (grid-index equi-join, no gazetteer broadcast)
     // measured at 4N for comparison with the broadcast-path headline
     def headlineIndexed(cores: String): Double = {
-      val s = session(cores)
+      val s = session(cores, headlineParts(cores))
       try {
         val feats = Synth.gazDf(s)
         def grid = graft.queries.Queries.gazGridParquet(s)
