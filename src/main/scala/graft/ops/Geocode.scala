@@ -48,10 +48,13 @@ object Geocode {
 
   /** Max window length needed to match every gazetteer name — derived from
     * the data (a 3-token name silently never matching was the failure mode
-    * of a hard-coded cap). One tiny agg job; at 10^12-doc scale the phrase
-    * dictionary is static per run and this is computed once at job setup. */
+    * of a hard-coded cap). A static property of the dictionary, so the tiny
+    * agg job runs once per distinct gazetteer plan (memoized by semantic
+    * hash), not once per query invocation. */
+  private val maxLenMemo = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
   def maxNameTokens(gaz: DataFrame): Int =
-    math.max(1, gaz.agg(max(size(split(col("name"), " ")))).head().getInt(0))
+    maxLenMemo.computeIfAbsent(gaz.queryExecution.analyzed.semanticHash(), _ =>
+      math.max(1, gaz.agg(max(size(split(col("name"), " ")))).head().getInt(0)))
 
   /** B4+B8+D1: mention extraction via token windows matched against a
     * broadcast gazetteer (the literal-gazetteer demo path; the at-scale path
