@@ -55,6 +55,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("fwd_geocode_idf: idf sums are in-row (broadcast TermStats), not freq joins") {
+    val df = Queries.fwdGeocodeIdf(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("term_weight_sum"), "broadcast freq-cache expression expected")
+    // the only joins are the broadcast gazetteer join and the stack join —
+    // no shuffle round-trips for per-term idf lookups
+    assert(!p.contains("SortMergeJoin"))
+    assert("ShuffledHashJoin".r.findAllIn(p).size == 1, "only the stack join may shuffle")
+  }
+
   test("ngram_jaccard candidates come from the prefix-token equi-join") {
     import graft.ops.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
