@@ -51,9 +51,17 @@ object Geocode {
     * of a hard-coded cap). A static property of the dictionary, so the tiny
     * agg job runs once per distinct gazetteer plan (memoized by semantic
     * hash), not once per query invocation. */
-  private val maxLenMemo = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+  // Keyed by the canonicalized plan OBJECT (full structural equality — for
+  // literal relations that includes the data), not its 32-bit semantic hash:
+  // a hash collision between two gazetteer plans would silently return the
+  // wrong maxLen and reproduce the silent-never-matching failure mode this
+  // derivation exists to prevent. (Plan toString is not a valid key either:
+  // LocalRelation prints only its schema, so two literal gazetteers with
+  // different rows would collide.)
+  private val maxLenMemo = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]()
   def maxNameTokens(gaz: DataFrame): Int =
-    maxLenMemo.computeIfAbsent(gaz.queryExecution.analyzed.semanticHash(), _ =>
+    maxLenMemo.computeIfAbsent(gaz.queryExecution.analyzed.canonicalized, _ =>
       math.max(1, gaz.agg(max(size(split(col("name"), " ")))).head().getInt(0)))
 
   /** B4+B8+D1: mention extraction via token windows matched against a
@@ -241,6 +249,11 @@ object Geocode {
     val regionSide = regionCands.select(
       col("doc_id").as("r_doc_id"), col("cell").as("r_cell"),
       col("gid").as("rid"), col("w_q").as("wr_q"), col("name").as("rname"))
+      .withColumn("rcap", row_number().over(
+        Window.partitionBy(col("r_doc_id"))
+          .orderBy(col("wr_q").desc, col("rid").asc)))
+      .filter(col("rcap") <= StackRegionCap)
+      .drop("rcap")
     val stacked = placeCands.join(regionSide.hint("shuffle_hash"),
         placeCands("doc_id") === regionSide("r_doc_id") &&
           placeCands("cell8p") === regionSide("r_cell"),

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.functions.Exprs
@@ -20,9 +21,12 @@ import graft.functions.Exprs
   * Axis-aligned rectangles are the dominant filter geometry (bbox queries,
   * tile bounds); arbitrary polygons keep the ray-cast expression.
   *
-  * Null semantics note: inside a Filter (the only place the fused pattern
-  * occurs — `rect_wkb` is null-intolerant too) NULL and FALSE are
-  * equivalent, so the rewrite is row-identical.
+  * Null semantics note: the rewrite is applied ONLY inside Filter and Join
+  * conditions, where NULL and FALSE are equivalent, so it is row-identical
+  * there. In a projection `pip_wkb(rect, NULL, lat)` evaluates to NULL
+  * (null-intolerant) while the four-comparison conjunction can evaluate to
+  * FALSE (NULL AND FALSE = FALSE) — so projected occurrences (reachable via
+  * the SQL surface, spark.sql.extensions) are deliberately left alone.
   *
   * Wire-up: `spark.sql.extensions=graft.plans.GraftExtensions` at session
   * build, or [[GraftExtensions.install]] on a live session (registers via
@@ -58,7 +62,7 @@ object RectPipToRange extends Rule[LogicalPlan] {
       And(GreaterThanOrEqual(lon, w), LessThan(lon, e)),
       And(GreaterThanOrEqual(lat, s), LessThan(lat, n)))
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  private def rewrite(cond: Expression): Expression = cond.transform {
     case Exprs.PipWkb(Exprs.RectWkb(w, s, e, n), lon, lat) =>
       range(lon, lat, w, s, e, n)
     case Exprs.PipWkb(Literal(bytes: Array[Byte], BinaryType), lon, lat)
@@ -66,6 +70,12 @@ object RectPipToRange extends Rule[LogicalPlan] {
       val (w, s, e, n) = literalRect(bytes).get
       range(lon, lat, Literal(w, DoubleType), Literal(s, DoubleType),
         Literal(e, DoubleType), Literal(n, DoubleType))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ logical.Filter(cond, _) => f.copy(condition = rewrite(cond))
+    case j: logical.Join if j.condition.isDefined =>
+      j.copy(condition = j.condition.map(rewrite))
   }
 }
 

@@ -57,12 +57,17 @@ object Queries {
        |  SELECT *, $cell12 AS cell, $cell8 AS cell8p FROM mention WHERE typ = 'place'),
        |regioncand AS (
        |  SELECT *, $cell8 AS cell FROM mention WHERE typ = 'region'),
+       |regioncap AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                 ORDER BY w DESC, gid ASC) AS rcap
+       |    FROM regioncand) WHERE rcap <= ${Geocode.StackRegionCap}),
        |stacked AS (
        |  SELECT p.*, r.gid AS rid, r.w AS wr, r.name AS rname,
        |         row_number() OVER (PARTITION BY p.doc_id, p.gid
        |                            ORDER BY r.w DESC NULLS LAST, r.gid ASC NULLS LAST) AS rn
        |  FROM placecand p
-       |  LEFT JOIN regioncand r ON r.doc_id = p.doc_id AND r.cell = p.cell8p),
+       |  LEFT JOIN regioncap r ON r.doc_id = p.doc_id AND r.cell = p.cell8p),
        |cands AS (
        |  SELECT doc_id, gid AS feature_id, name, typ, $maskRelevSql AS relev,
        |         cell, COALESCE(rid, -1) AS ctx, score, glon, glat, qlon, qlat
@@ -95,11 +100,18 @@ object Queries {
   /** The gazetteer grid index as an on-disk parquet table (built once per
     * JVM, sorted by phrase_id so the probe join scans a real index table —
     * at the design point this is the Hilbert-range-partitioned table that
-    * IndexBuild.build writes per index epoch). */
+    * IndexBuild.build writes per index epoch).
+    *
+    * Location: `SPARK_GRAFT_TMP` when set (cluster launches point it at a
+    * shared scratch path), else a per-JVM java.nio temp dir — never a
+    * hard-coded sandbox path. */
   def gazGridParquet(spark: SparkSession): DataFrame = this.synchronized {
     var p = gazGridPath.get
     if (p == null) {
-      p = "/root/repo/target/tmp/gazgrid"
+      p = sys.env.get("SPARK_GRAFT_TMP")
+        .map(t => s"$t/gazgrid")
+        .getOrElse(java.nio.file.Files.createTempDirectory("graft-gazgrid")
+          .resolve("gazgrid").toString)
       graft.index.IndexBuild.gazetteerGrid(gazDf(spark), Geocode.ZPlace, Geocode.ZRegion)
         .coalesce(1).sortWithinPartitions("phrase_id", "cell", "feature_id")
         .write.mode("overwrite").parquet(p)
@@ -171,12 +183,17 @@ object Queries {
        |  SELECT *, $cell12 AS cell, $cell8 AS cell8p FROM mention WHERE typ = 'place'),
        |regioncand AS (
        |  SELECT *, $cell8 AS cell FROM mention WHERE typ = 'region'),
+       |regioncap AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                 ORDER BY w_q DESC, gid ASC) AS rcap
+       |    FROM regioncand) WHERE rcap <= ${Geocode.StackRegionCap}),
        |stacked AS (
        |  SELECT p.*, r.gid AS rid, r.w_q AS wr_q, r.name AS rname,
        |         row_number() OVER (PARTITION BY p.doc_id, p.gid
        |                            ORDER BY r.w_q DESC NULLS LAST, r.gid ASC NULLS LAST) AS rn
        |  FROM placecand p
-       |  LEFT JOIN regioncand r ON r.doc_id = p.doc_id AND r.cell = p.cell8p),
+       |  LEFT JOIN regioncap r ON r.doc_id = p.doc_id AND r.cell = p.cell8p),
        |cands AS (
        |  SELECT doc_id, gid AS feature_id, typ,
        |         list_distinct(list_cat(string_split(name, ' '),
@@ -571,13 +588,16 @@ object Queries {
     val q = acQueriesDf(spark)
       .withColumn("toks", split(col("text"), " "))
     // suffix windows ending at the partial terminal token: length 1 (just
-    // the partial) and length 2 (preceding full token + partial)
+    // the partial) and — only when the query HAS a preceding token — length 2
+    // (preceding full token + partial). Single-token queries emit only the
+    // m=1 window so Spark and the SQL mirror agree explicitly (a degenerate
+    // m=2 window would otherwise collapse to the bare partial here while the
+    // SQL side went NULL).
+    val w1 = struct(lit(1).as("m"), element_at(col("toks"), -1).as("s"))
+    val w2 = struct(lit(2).as("m"),
+      concat_ws(" ", element_at(col("toks"), -2), element_at(col("toks"), -1)).as("s"))
     val wins = q.select(col("qid"),
-      explode(array(
-        struct(lit(1).as("m"), element_at(col("toks"), -1).as("s")),
-        struct(lit(2).as("m"),
-          concat_ws(" ", element_at(col("toks"), -2), element_at(col("toks"), -1)).as("s"))))
-        .as("win"))
+      explode(when(size(col("toks")) >= 2, array(w1, w2)).otherwise(array(w1))).as("win"))
       .select(col("qid"), col("win.m").as("m"), col("win.s").as("s"))
     wins
       .select(col("qid"), col("m"),
@@ -597,13 +617,16 @@ object Queries {
        |qq AS (SELECT qid, string_split(text, ' ') AS toks FROM acq),
        |wins AS (
        |  SELECT qid, toks[len(toks)] AS s1,
-       |         toks[len(toks) - 1] || ' ' || toks[len(toks)] AS s2
+       |         CASE WHEN len(toks) >= 2
+       |              THEN toks[len(toks) - 1] || ' ' || toks[len(toks)] END AS s2
        |  FROM qq),
        |cand AS (
        |  SELECT w.qid, g.gid, g.name, g.score,
-       |         CASE WHEN starts_with(g.name, w.s2) THEN 2 ELSE 1 END / 3.0 AS relev
+       |         CASE WHEN s2 IS NOT NULL AND starts_with(g.name, w.s2)
+       |              THEN 2 ELSE 1 END / 3.0 AS relev
        |  FROM wins w JOIN gaz g
-       |    ON starts_with(g.name, w.s1) OR starts_with(g.name, w.s2)),
+       |    ON starts_with(g.name, w.s1)
+       |    OR (s2 IS NOT NULL AND starts_with(g.name, w.s2))),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |                               ORDER BY relev DESC, score DESC, gid ASC) AS rank

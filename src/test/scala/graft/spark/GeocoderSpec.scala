@@ -120,6 +120,31 @@ class GeocoderSpec extends SparkTestBase {
     assert(wa == Set(1L, 2L, 3L) && ac == Set(1L, 2L, 3L))
   }
 
+  test("F1 StackRegionCap: a doc mentioning >16 regions caps the stack side") {
+    import spark.implicits._
+    // 17 regions in 17 distinct z8 cells; a place co-located with region 17.
+    // Cap order is (w desc, gid asc); all w equal (single-token names), so
+    // gid 17 is dropped by the per-doc top-16 — and it is the place's ONLY
+    // stacking region, so the place must surface UNSTACKED (ctx = -1,
+    // relev = 1/3). This is the oracle-mirrored semantic (forwardSql
+    // regioncap CTE), not just a work bound.
+    val regions = (1 to 17).map(j =>
+      (j.toLong, f"reg$j%02d", "region", 10.0 + j, -160.0 + 10.0 * j, 10.0, "na"))
+    val place = (101L, "px", "place", 50.0, -160.0 + 10.0 * 17, 10.0, "na")
+    val gaz = (regions :+ place).toDF("gid", "name", "typ", "score", "glon", "glat", "stack")
+    val allText = ((1 to 17).map(j => f"reg$j%02d") :+ "px").mkString(" ")
+    val doc17 = Seq((1L, allText, 0.0, 0.0)).toDF("doc_id", "text", "qlon", "qlat")
+    val capped = Geocode.rank(Geocode.coalesce2(Geocode.mentions(doc17, gaz)), k = 30)
+      .collect()
+    val px = capped.filter(_.getLong(1) == 101L)
+    assert(px.length == 1 && px.head.getLong(5) == -1L,
+      "place's only stacking region (rank 17 per doc) must be capped away")
+    // counterfactual: mentioning ONLY region 17 + the place -> the stack forms
+    val doc1 = Seq((2L, "reg17 px", 0.0, 0.0)).toDF("doc_id", "text", "qlon", "qlat")
+    val unc = Geocode.rank(Geocode.coalesce2(Geocode.mentions(doc1, gaz)), k = 30).collect()
+    assert(unc.filter(_.getLong(1) == 101L).head.getLong(5) == 17L)
+  }
+
   test("pre-clipped reverse PIP equals unclipped") {
     val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001")
     val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
