@@ -21,6 +21,7 @@ object SparkEntry {
     // --- geocoding core (SURVEY.md §2.B/C/D/E/F/H) ---
     "fwd_geocode" -> ((s, d) => Queries.fwdGeocode(s, d)),
     "fwd_geocode_indexed" -> ((s, d) => Queries.fwdGeocodeIndexed(s, d)),
+    "fwd_geocode_multi" -> ((s, d) => Queries.fwdGeocodeMulti(s, d)),
     "fwd_dedup" -> ((s, d) => Queries.fwdDedup(s, d)),
     "fwd_stacks" -> ((s, d) => Queries.fwdStacks(s, d)),
     "fwd_geocode_idf" -> ((s, d) => Queries.fwdGeocodeIdf(s, d)),
@@ -57,8 +58,10 @@ object SparkEntry {
     "page_pipeline" -> ((s, d) => Queries.pagePipeline(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
+    "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
     "fwd_address" -> ((s, d) => ops.Address.forwardAddress(s, d)),
     "fwd_autocomplete" -> ((s, d) => Queries.fwdAutocomplete(s, d)),
+    "fwd_autocomplete_fuzzy" -> ((s, d) => Queries.fwdAutocompleteFuzzy(s, d)),
     "place_name_fmt" -> ((s, d) => Queries.placeNameFmt(s, d)),
     "lang_fallback" -> ((s, d) => Queries.langFallback(s, d)),
     "raster_mask" -> ((s, d) =>
@@ -85,10 +88,13 @@ object SparkEntry {
       Ann.bruteForceTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
     "ann_lsh" -> ((s, d) =>
       Ann.lshTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
+    // nList=16 is the frozen ORACLE variant (the SQL mirror's centroid CTE);
+    // the library default derives nList from the corpus count — see
+    // Ann.derivedNList* and the AnnSpec sub-quadratic guard
     "ann_ivf" -> ((s, d) =>
-      Ann.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
+      Ann.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5, nList0 = 16)),
     "dedup_embed" -> ((s, d) =>
-      Ann.dedupEmbed(s.read.parquet(s"$d/embeddings.parquet"))),
+      Ann.dedupEmbed(s.read.parquet(s"$d/embeddings.parquet"), nList0 = 16)),
     "mm_decode" -> ((s, d) => Multimodal.decodeMeta(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_features" -> ((s, d) => Multimodal.features(s, s.read.parquet(s"$d/documents.parquet"))),
@@ -115,6 +121,7 @@ object SparkEntry {
     "fwd_geocode" -> Queries.fwdGeocodeSql,
     // indexed path is row-identical to fwd_geocode by D4-verify equivalence
     "fwd_geocode_indexed" -> Queries.fwdGeocodeSql,
+    "fwd_geocode_multi" -> Queries.fwdGeocodeMultiSql,
     "fwd_dedup" -> Queries.fwdDedupSql,
     "fwd_stacks" -> Queries.fwdStacksSql,
     "fwd_geocode_idf" -> Queries.fwdGeocodeIdfSql,
@@ -140,8 +147,10 @@ object SparkEntry {
     "page_pipeline" -> Queries.pagePipelineSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
+    "addr_interp_arr" -> ops.Address.interpolateArraysSql,
     "fwd_address" -> ops.Address.forwardAddressSql,
     "fwd_autocomplete" -> Queries.fwdAutocompleteSql,
+    "fwd_autocomplete_fuzzy" -> Queries.fwdAutocompleteFuzzySql,
     "place_name_fmt" -> Queries.placeNameFmtSql,
     "lang_fallback" -> Queries.langFallbackSql,
     "dedup_exact" ->
@@ -150,6 +159,10 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
     "ngram_jaccard" -> TextOps.ngramJaccardSql,
+    // 64-bit sketch hashing IS SQL-expressible after all: HUGEINT limb
+    // arithmetic reproduces mix64/FNV-1a/SimHash bit-exactly (SqlHash)
+    "doc_fingerprint" -> TextOps.docFingerprintSql,
+    "dedup_simhash" -> TextOps.dedupSimHashSql(),
     "lang_id" -> TextOps.langIdSql,
     "quality_score" -> TextOps.qualityScoreSql,
     "token_count" -> TextOps.tokenCountSql,

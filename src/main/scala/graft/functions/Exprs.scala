@@ -251,6 +251,37 @@ object Exprs {
       copy(child = c)
   }
 
+  /** Per-executor automaton memo for [[AcMentionsLazy]], keyed by broadcast
+    * id: the trie is built ONCE per executor JVM from the broadcast name
+    * array, never serialized from the driver (a 10^7-name automaton is ~10×
+    * its name payload in pointer-heavy trie nodes — shipping the flat
+    * string array and building locally is the scale-correct shape). */
+  private object AcAutomatonCache {
+    private val memo =
+      new java.util.concurrent.ConcurrentHashMap[Long, graft.core.AhoCorasickData]()
+    def get(bc: org.apache.spark.broadcast.Broadcast[Seq[String]]): graft.core.AhoCorasickData =
+      memo.computeIfAbsent(bc.id, _ => graft.core.AhoCorasick.build(bc.value))
+  }
+
+  /** [[AcMentions]] over a broadcast NAME ARRAY instead of a prebuilt
+    * automaton — row-identical; the automaton is constructed lazily on each
+    * executor (see [[AcAutomatonCache]]). */
+  case class AcMentionsLazy(child: Expression,
+                            bc: org.apache.spark.broadcast.Broadcast[Seq[String]])
+      extends UnaryExpression with Generator with CodegenFallback {
+    override def elementSchema: StructType =
+      StructType(StructField("phrase", StringType, nullable = false) :: Nil)
+    override def prettyName: String = "ac_mentions_lazy"
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val t = child.eval(input)
+      if (t == null) return Iterator.empty
+      AcAutomatonCache.get(bc).matchTokens(Text.tokenize(t.toString)).iterator
+        .map(p => InternalRow(UTF8String.fromString(p)))
+    }
+    override protected def withNewChildInternal(c: Expression): AcMentionsLazy =
+      copy(child = c)
+  }
+
   // ---------------------------------------------------------------
   // Fingerprints / sketches — CodegenFallback
   // ---------------------------------------------------------------
@@ -399,6 +430,9 @@ object F {
   def acMentions(s: Column,
                  bc: org.apache.spark.broadcast.Broadcast[graft.core.AhoCorasickData]): Column =
     c(AcMentions(x(s), bc))
+  def acMentionsLazy(s: Column,
+                     bc: org.apache.spark.broadcast.Broadcast[Seq[String]]): Column =
+    c(AcMentionsLazy(x(s), bc))
   def docFingerprint(s: Column): Column = c(DocFingerprint(x(s)))
   def simhash64(s: Column): Column = c(SimHash(x(s)))
   def minhashBands(s: Column, k: Column, numHashes: Column, rowsPerBand: Column): Column =

@@ -106,8 +106,37 @@ object TermStats {
     override protected def withNewChildInternal(c: Expression): PrefixTokens = copy(child = c)
   }
 
+  /** rarest_index(tokens): position (0-based) of the token with the lowest
+    * (value, position) — value = global df. The fuzzy-join blocking position:
+    * joining on the RAREST token's deletion neighborhood minimizes candidate
+    * fan-out, and any fixed position is loss-free for the ≤1-edit phrase
+    * semantics (the edited token still shares a deletion key; every other
+    * position shares the identity key). */
+  case class RarestIndex(child: Expression, bc: Broadcast[TermStatsData])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "rarest_index"
+    override def nullSafeEval(toks: Any): Any = {
+      val arr = toks.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var best = 0
+      var bestV = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = bc.value.valueOf(arr.getUTF8String(i))
+        if (v < bestV) { bestV = v; best = i }
+        i += 1
+      }
+      best
+    }
+    override protected def withNewChildInternal(c: Expression): RarestIndex = copy(child = c)
+  }
+
   def termWeightSum(toks: Column, bc: Broadcast[TermStatsData]): Column =
     ColumnBridge.column(TermWeightSum(ColumnBridge.expression(toks), bc))
   def prefixTokens(toks: Column, threshold: Double, bc: Broadcast[TermStatsData]): Column =
     ColumnBridge.column(PrefixTokens(ColumnBridge.expression(toks), threshold, bc))
+  def rarestIndex(toks: Column, bc: Broadcast[TermStatsData]): Column =
+    ColumnBridge.column(RarestIndex(ColumnBridge.expression(toks), bc))
 }

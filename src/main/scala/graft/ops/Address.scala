@@ -114,6 +114,130 @@ object Address {
        |  AND (n.parity = 'B' OR (n.parity = 'O' AND p.h % 2 = 1)
        |       OR (n.parity = 'E' AND p.h % 2 = 0))""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Carmen-faithful `addr` arrays (SURVEY §1.1): PER-SIDE range arrays —
+  // lfromhn[]/ltohn[]/parityl[] and rfromhn[]/rtohn[]/parityr[] (the
+  // TIGER-style shape carmen's addr features carry) — and interpolation
+  // along a MULTI-SEGMENT LineString: the matched range's fraction maps to
+  // cumulative polyline length, the point lands on whichever segment holds
+  // that distance. Range search order is left side then right, first
+  // matching range wins (carmen checks both sides of the street).
+  // All arithmetic is column HOFs mirrored token-for-token in the oracle;
+  // outputs round(·,6) (segment lengths come through IEEE sqrt).
+  // ---------------------------------------------------------------
+
+  /** Streets with per-side address-range arrays and a 3-vertex (2-segment)
+    * polyline. Parity cycles O/E/B per (street, range) deterministically. */
+  def streetsAddr(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = col("s_suppkey").cast("long")
+    def pc(j: Column): Column =
+      when(j % 3 === 0, "O").when(j % 3 === 1, "E").otherwise("B")
+    val b = (k % 50) * 2
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(k.as("street_id"),
+        ((k * 7919 % 350000) / 1000.0 - 175.0).as("x0"),
+        ((k * 104729 % 160000) / 1000.0 - 80.0).as("y0"),
+        array(b + 1, b + 51).as("lfromhn"),
+        array(b + 49, b + 99).as("ltohn"),
+        array(pc(k), pc(k + 1)).as("parityl"),
+        array(b + 2, b + 52).as("rfromhn"),
+        array(b + 50, b + 100).as("rtohn"),
+        array(pc(k + 2), pc(k)).as("parityr"))
+      .withColumn("x1", col("x0") + lit(0.01))
+      .withColumn("y1", col("y0"))
+      .withColumn("x2", col("x1") + lit(0.006))
+      .withColumn("y2", col("y1") + lit(0.008))
+  }
+
+  def streetsAddrSql: String = {
+    def pc(j: String) =
+      s"CASE WHEN ($j) % 3 = 0 THEN 'O' WHEN ($j) % 3 = 1 THEN 'E' ELSE 'B' END"
+    val b = "((s_suppkey % 50) * 2)"
+    s"""SELECT CAST(s_suppkey AS BIGINT) AS street_id,
+       |       ((s_suppkey * 7919) % 350000) / 1000.0 - 175.0 AS x0,
+       |       ((s_suppkey * 104729) % 160000) / 1000.0 - 80.0 AS y0,
+       |       [$b + 1, $b + 51] AS lfromhn,
+       |       [$b + 49, $b + 99] AS ltohn,
+       |       [${pc("s_suppkey")}, ${pc("s_suppkey + 1")}] AS parityl,
+       |       [$b + 2, $b + 52] AS rfromhn,
+       |       [$b + 50, $b + 100] AS rtohn,
+       |       [${pc("s_suppkey + 2")}, ${pc("s_suppkey")}] AS parityr,
+       |       ((s_suppkey * 7919) % 350000) / 1000.0 - 175.0 + 0.01 AS x1,
+       |       ((s_suppkey * 104729) % 160000) / 1000.0 - 80.0 AS y1,
+       |       ((s_suppkey * 7919) % 350000) / 1000.0 - 175.0 + 0.01 + 0.006 AS x2,
+       |       ((s_suppkey * 104729) % 160000) / 1000.0 - 80.0 + 0.008 AS y2
+       |FROM supplier""".stripMargin
+  }
+
+  /** Array-range interpolation query: probe housenumbers against the addr
+    * arrays, interpolate along the 2-segment polyline. Output: matched side
+    * ('L'/'R'), the address point. */
+  def interpolateArrays(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = streetsAddr(spark, sfDir)
+      .withColumn("h", (col("street_id") * 13 % 120 + 1).cast("long"))
+    // combined search order: left ranges then right ranges
+    val combined = st
+      .withColumn("froms", concat(col("lfromhn"), col("rfromhn")))
+      .withColumn("tos", concat(col("ltohn"), col("rtohn")))
+      .withColumn("pars", concat(col("parityl"), col("parityr")))
+    val nl = size(col("lfromhn"))
+    def parOk(p: Column, h: Column): Column =
+      p === "B" || (p === "O" && h % 2 === 1) || (p === "E" && h % 2 === 0)
+    val matched = combined
+      .withColumn("mi", try_element_at( // no matching range → NULL, not ANSI error
+        filter(sequence(lit(1), size(col("froms"))), i =>
+          col("h") >= element_at(col("froms"), i) &&
+            col("h") <= element_at(col("tos"), i) &&
+            parOk(element_at(col("pars"), i), col("h"))), lit(1)))
+      .filter(col("mi").isNotNull)
+      .withColumn("side", when(col("mi") <= nl, "L").otherwise("R"))
+      .withColumn("mfrom", element_at(col("froms"), col("mi")))
+      .withColumn("mto", element_at(col("tos"), col("mi")))
+    val f = when(col("mto") === col("mfrom"), lit(0.0))
+      .otherwise((col("h") - col("mfrom")).cast("double") /
+        (col("mto") - col("mfrom")).cast("double"))
+    val len1 = sqrt(pow(col("x1") - col("x0"), 2) + pow(col("y1") - col("y0"), 2))
+    val len2 = sqrt(pow(col("x2") - col("x1"), 2) + pow(col("y2") - col("y1"), 2))
+    val d = f * (len1 + len2)
+    val alon = when(d <= len1, col("x0") + (col("x1") - col("x0")) * d / len1)
+      .otherwise(col("x1") + (col("x2") - col("x1")) * (d - len1) / len2)
+    val alat = when(d <= len1, col("y0") + (col("y1") - col("y0")) * d / len1)
+      .otherwise(col("y1") + (col("y2") - col("y1")) * (d - len1) / len2)
+    matched.select(col("street_id"), col("h"), col("side"),
+      round(alon, 6).as("alon"), round(alat, 6).as("alat"))
+  }
+
+  def interpolateArraysSql: String = {
+    val parOk = "(pars[mi] = 'B' OR (pars[mi] = 'O' AND h % 2 = 1) " +
+      "OR (pars[mi] = 'E' AND h % 2 = 0))"
+    s"""WITH st AS (${streetsAddrSql}),
+       |probe AS (SELECT *, (street_id * 13) % 120 + 1 AS h,
+       |                 list_cat(lfromhn, rfromhn) AS froms,
+       |                 list_cat(ltohn, rtohn) AS tos,
+       |                 list_cat(parityl, parityr) AS pars
+       |          FROM st),
+       |m AS (SELECT *,
+       |        list_filter(generate_series(1, len(froms)), mi ->
+       |          h >= froms[mi] AND h <= tos[mi] AND $parOk)[1] AS mi
+       |      FROM probe),
+       |mm AS (SELECT *, froms[mi] AS mfrom, tos[mi] AS mto,
+       |              sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2) AS len1,
+       |              sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2) AS len2
+       |       FROM m WHERE mi IS NOT NULL),
+       |ff AS (SELECT *,
+       |         (CASE WHEN mto = mfrom THEN 0.0
+       |               ELSE CAST(h - mfrom AS DOUBLE) / CAST(mto - mfrom AS DOUBLE) END)
+       |           * (len1 + len2) AS d
+       |       FROM mm)
+       |SELECT street_id, CAST(h AS BIGINT) AS h,
+       |       CASE WHEN mi <= len(lfromhn) THEN 'L' ELSE 'R' END AS side,
+       |       round(CASE WHEN d <= len1 THEN x0 + (x1 - x0) * d / len1
+       |                  ELSE x1 + (x2 - x1) * (d - len1) / len2 END, 6) AS alon,
+       |       round(CASE WHEN d <= len1 THEN y0 + (y1 - y0) * d / len1
+       |                  ELSE y1 + (y2 - y1) * (d - len1) / len2 END, 6) AS alat
+       |FROM ff""".stripMargin
+  }
+
   def interpolateSql: String =
     s"""WITH st AS (${streetsSql}),
        |probe AS (SELECT *, (street_id * 13) % 120 + 1 AS h FROM st)

@@ -271,9 +271,75 @@ object TextOps {
        |       CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
        |FROM t""".stripMargin
 
-  /** Rolling-hash document fingerprint + simhash (rows-only check; the
-    * integer math is frozen by ScalaTest goldens). */
+  /** Rolling-hash document fingerprint + simhash. Full DuckDB oracle (the
+    * 64-bit integer math is reproduced bit-exactly via HUGEINT limb
+    * arithmetic — see [[graft.queries.SqlHash]]); additionally frozen by
+    * ScalaTest goldens. */
   def docFingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), F.docFingerprint(col("text")).as("fp"),
       F.simhash64(col("text")).as("sh"))
+
+  /** Per-doc SimHash64 as unsigned HUGEINT column `v`, over docs CTE `src`
+    * (must expose doc_id, text): shared by the fingerprint and simhash-dedup
+    * oracles. Final CTE is named `shv`. */
+  private def simhashCtes(src: String): String = {
+    import graft.queries.SqlHash._
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $src),
+       |th AS (SELECT doc_id, ${fnv1a64("tok")} AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b.b,
+       |         sum(CASE WHEN CAST((h // ($pows64[b.b + 1])) % 2 AS BIGINT) = 1
+       |                  THEN 1 ELSE -1 END) AS cnt
+       |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+       |  GROUP BY 1, 2),
+       |shv AS (SELECT doc_id, sum(CASE WHEN cnt > 0 THEN $pows64[b + 1]
+       |                                ELSE CAST(0 AS HUGEINT) END) AS v
+       |        FROM bits GROUP BY 1)""".stripMargin
+  }
+
+  /** Full mirror of [[docFingerprints]]: fp = mix64(base-257 rolling
+    * polynomial), sh = SimHash64 over FNV-1a token hashes. */
+  def docFingerprintSql: String = {
+    import graft.queries.SqlHash._
+    s"""WITH p AS (SELECT doc_id, text, ${poly257("text")} AS z FROM documents),
+       |${mix64Ctes("p", "doc_id, text", "m")},
+       |${simhashCtes("m")}
+       |SELECT m.doc_id, ${toSigned("m.z")} AS fp, ${toSigned("shv.v")} AS sh
+       |FROM m JOIN shv USING (doc_id)""".stripMargin
+  }
+
+  /** Full mirror of [[dedupSimHash]] ∘ [[withMutatedCopies]]: exact-rep
+    * collapse → SimHash64 → 4×16-bit band explode → bucket cap → band
+    * equi-join → exact Hamming ≤ 3. Hamming over 32-bit limbs (BIGINT
+    * bit_count). */
+  def dedupSimHashSql(maxHamming: Int = 3, maxBucket: Int = 1000): String = {
+    import graft.queries.SqlHash._
+    val ham =
+      s"(bit_count(xor(CAST(x.v // 4294967296 AS BIGINT), CAST(y.v // 4294967296 AS BIGINT))) + " +
+        s"bit_count(xor(CAST(x.v % 4294967296 AS BIGINT), CAST(y.v % 4294967296 AS BIGINT))))"
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |         array_to_string(list_slice(string_split(text, ' '), 1,
+       |           greatest(len(string_split(text, ' ')) - 1, 1)), ' ')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |reps AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text,
+       |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM aug) WHERE rn = 1),
+       |${simhashCtes("reps")},
+       |banded AS (
+       |  SELECT doc_id, v,
+       |         CAST((v // $pows64[i.i * 16 + 1]) % 65536 AS BIGINT) + i.i * 65536 AS band
+       |  FROM shv, (SELECT unnest(generate_series(0, 3)) AS i) i),
+       |capped AS (SELECT doc_id, v, band FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM banded)
+       |  WHERE bsz <= $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, $ham AS hamming
+       |  FROM capped x JOIN capped y ON x.band = y.band AND x.doc_id < y.doc_id)
+       |SELECT a, b, CAST(hamming AS INTEGER) AS hamming
+       |FROM pairs WHERE hamming <= $maxHamming""".stripMargin
+  }
 }

@@ -89,6 +89,97 @@ object Queries {
   def fwdGeocodeSql: String = forwardSql(gazCte, None, dedup = false)
 
   // =================================================================
+  // D2 generalized: N-level stack coalesce over the 4-level gazetteer
+  // (continent z4 → country z6 → region z8 → place z12). Chains may skip
+  // absent levels; relev is the covered-token mask over the whole chain;
+  // per-level F1 cap mirrored. Output carries the full chain id path.
+  // =================================================================
+
+  private val multiLevels = Geocode.DefaultLevels
+
+  def fwdGeocodeMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Geocode.mentions(docPages(spark, sfDir), gazMultiDf(spark)).persist()
+    Geocode.rank(Geocode.coalesceN(m, multiLevels), extraCols = Seq("chain"))
+  }
+
+  /** Token-for-token mirror of [[Geocode.coalesceN]] + rank: one (c_i, j_i,
+    * ch_i, cap_i, pool_i) CTE block per level, generated from the same level
+    * list the Spark side consumes. */
+  def fwdGeocodeMultiSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $gazMultiCte,\ndocs AS (${docPagesSql}),\n"
+    sb ++=
+      s"""mention AS (
+         |  SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score, g.glon, g.glat
+         |  FROM docs d JOIN gazm g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')),
+         |""".stripMargin
+    val poolCols = "doc_id, gid, cell, leaf_zoom, chain_ids, utoks, wc"
+    multiLevels.zipWithIndex.foreach { case (lvl, i) =>
+      val cell = cellSql(lvl.zoom, "glon", "glat")
+      sb ++= s"c$i AS (SELECT *, $cell AS cell FROM mention WHERE typ = '${lvl.typ}'),\n"
+      if (i == 0) {
+        sb ++=
+          s"""ch0 AS (
+             |  SELECT doc_id, gid, name, typ, score, glon, glat, qlon, qlat, cell,
+             |         ${lvl.zoom} AS leaf_zoom, [gid] AS chain_ids,
+             |         list_distinct(string_split(name, ' ')) AS utoks,
+             |         CAST(-1 AS BIGINT) AS ctx
+             |  FROM c0),
+             |""".stripMargin
+      } else {
+        val caseCell = multiLevels.take(i)
+          .map(pl => s"WHEN ${pl.zoom} THEN ${cellSql(pl.zoom, "c.glon", "c.glat")}")
+          .mkString(" ")
+        sb ++=
+          s"""j$i AS (
+             |  SELECT c.*, p.gid AS p_gid, p.chain_ids AS p_chain, p.utoks AS p_utoks,
+             |         row_number() OVER (PARTITION BY c.doc_id, c.gid
+             |                            ORDER BY p.wc DESC NULLS LAST,
+             |                                     p.leaf_zoom DESC NULLS LAST,
+             |                                     p.gid ASC NULLS LAST) AS rn
+             |  FROM c$i c LEFT JOIN pool${i - 1} p
+             |    ON p.doc_id = c.doc_id
+             |   AND p.cell = CASE p.leaf_zoom $caseCell END),
+             |ch$i AS (
+             |  SELECT doc_id, gid, name, typ, score, glon, glat, qlon, qlat, cell,
+             |         ${lvl.zoom} AS leaf_zoom,
+             |         list_append(COALESCE(p_chain, []), gid) AS chain_ids,
+             |         list_distinct(list_cat(COALESCE(p_utoks, []),
+             |                                string_split(name, ' '))) AS utoks,
+             |         COALESCE(p_gid, -1) AS ctx
+             |  FROM j$i WHERE rn = 1),
+             |""".stripMargin
+      }
+      sb ++= s"chw$i AS (SELECT *, len(utoks) / 3.0 AS wc FROM ch$i),\n"
+      sb ++=
+        s"""cap$i AS (SELECT * FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |                               ORDER BY wc DESC, gid ASC) AS rcap
+           |  FROM chw$i) WHERE rcap <= ${Geocode.StackRegionCap}),
+           |""".stripMargin
+      if (i == 0) sb ++= s"pool0 AS (SELECT $poolCols FROM cap0),\n"
+      else sb ++= s"pool$i AS (SELECT $poolCols FROM pool${i - 1} UNION ALL SELECT $poolCols FROM cap$i),\n"
+    }
+    val unionAll = multiLevels.indices
+      .map(i => s"SELECT doc_id, gid AS feature_id, typ, wc AS relev, cell, ctx, " +
+        s"array_to_string(chain_ids, '>') AS chain, score, glon, glat, qlon, qlat FROM chw$i")
+      .mkString("\n  UNION ALL\n  ")
+    sb ++=
+      s"""cands AS (
+         |  $unionAll),
+         |scored AS (
+         |  SELECT *, score / (1.0 + ${haversineSql("qlon", "qlat", "glon", "glat")} / 40.0) AS sd
+         |  FROM cands),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY relev DESC, sd DESC, feature_id ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, feature_id, typ, relev, cell, ctx, chain, round(sd, 4) AS sd, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    sb.toString
+  }
+
+  // =================================================================
   // D1/A3/H7: forward geocode over the BUILT grid index (phrase_id
   // equi-join against the persisted index table; relev_q/score_q
   // consumed by the grid-stage prune; D4 name-verify) — row-identical
@@ -634,6 +725,82 @@ object Queries {
        |SELECT qid, gid, name, relev, rank FROM ranked WHERE rank <= 5""".stripMargin
 
   // =================================================================
+  // B5 fuzzy × autocomplete composed: the terminal PARTIAL token may itself
+  // carry one typo — a name matches a suffix window s when a name PREFIX of
+  // length |s|−1..|s|+1 (min 1) is within edit distance 1 of s. Candidate
+  // generation is deletion-neighborhood blocked on both sides (window's
+  // deletion keys vs deletion keys of the name prefixes at those lengths —
+  // carmen's degen entries are exactly such prefix keys), loss-free for the
+  // ≤1-edit prefix semantics; levenshtein is only ever a verify filter.
+  // =================================================================
+
+  private def fuzzyPrefCond(name: Column, s: Column): Column =
+    (levenshtein(name.substr(lit(1), greatest(length(s) - 1, lit(1))), s) <= 1) ||
+      (levenshtein(name.substr(lit(1), length(s)), s) <= 1) ||
+      (levenshtein(name.substr(lit(1), length(s) + 1), s) <= 1)
+
+  private def fuzzyPrefSql(name: String, s: String): String =
+    s"(levenshtein(left($name, greatest(len($s) - 1, 1)), $s) <= 1" +
+      s" OR levenshtein(left($name, len($s)), $s) <= 1" +
+      s" OR levenshtein(left($name, len($s) + 1), $s) <= 1)"
+
+  def fwdAutocompleteFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = acQueriesDf(spark).withColumn("toks", split(col("text"), " "))
+    val w1 = struct(lit(1).as("m"), element_at(col("toks"), -1).as("s"))
+    val w2 = struct(lit(2).as("m"),
+      concat_ws(" ", element_at(col("toks"), -2), element_at(col("toks"), -1)).as("s"))
+    val wins = q.select(col("qid"),
+      explode(when(size(col("toks")) >= 2, array(w1, w2)).otherwise(array(w1))).as("win"))
+      .select(col("qid"), col("win.m").as("m"), col("win.s").as("s"))
+    val wk = wins.withColumn("dk", explode(delKeys("s")))
+    // suffix-window lengths are a static property of the frozen query
+    // fixture (at scale: of the query batch — a driver-side dim agg)
+    val slens = acQueries.flatMap { case (_, t) =>
+      val toks = t.split(' ')
+      Seq(toks.last.length) ++
+        (if (toks.length >= 2) Seq(toks(toks.length - 2).length + 1 + toks.last.length)
+         else Nil)
+    }.distinct
+    val prefLens = slens.flatMap(sl => Seq(math.max(1, sl - 1), sl, sl + 1)).distinct.sorted
+    val gaz = gazDf(spark)
+    val nameKeys = prefLens.map { pl =>
+      gaz.select(col("gid"), col("name"), col("score"))
+        .withColumn("pref", col("name").substr(lit(1), lit(pl)))
+        .select(col("gid"), col("name"), col("score"), explode(delKeys("pref")).as("dk"))
+    }.reduce(_ unionByName _).distinct()
+    wk.join(broadcast(nameKeys), "dk")
+      .filter(fuzzyPrefCond(col("name"), col("s")))
+      .groupBy(col("qid"), col("gid"), col("name"), col("score"))
+      .agg((max(col("m")) / lit(3.0)).as("relev"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("relev").desc, col("score").desc, col("gid").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("gid"), col("name"), col("relev"), col("rank"))
+  }
+
+  def fwdAutocompleteFuzzySql: String =
+    s"""WITH $gazCte, $acQueriesCte,
+       |qq AS (SELECT qid, string_split(text, ' ') AS toks FROM acq),
+       |wins AS (
+       |  SELECT qid, toks[len(toks)] AS s1,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN toks[len(toks) - 1] || ' ' || toks[len(toks)] END AS s2
+       |  FROM qq),
+       |cand AS (
+       |  SELECT w.qid, g.gid, g.name, g.score,
+       |         CASE WHEN s2 IS NOT NULL AND ${fuzzyPrefSql("g.name", "w.s2")}
+       |              THEN 2 ELSE 1 END / 3.0 AS relev
+       |  FROM wins w JOIN gaz g
+       |    ON ${fuzzyPrefSql("g.name", "w.s1")}
+       |    OR (s2 IS NOT NULL AND ${fuzzyPrefSql("g.name", "w.s2")})),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |                               ORDER BY relev DESC, score DESC, gid ASC) AS rank
+       |  FROM cand)
+       |SELECT qid, gid, name, relev, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  // =================================================================
   // B7: HTML → text extraction (byte-identical contract). The testdata has
   // no html column, so pages are templated from `text` deterministically;
   // the extractor must invert the template byte-for-byte. Full entity /
@@ -649,27 +816,93 @@ object Queries {
   private def delKeys(c: String): Column =
     expr(s"array_distinct(transform(sequence(0, length($c)), i -> concat(left($c, i), substr($c, i+2))))")
 
-  /** B5+D1 fused: fuzzy mention candidates — doc tokens within edit
-    * distance 1 of a single-word gazetteer name (carmen's fuzzy
-    * phrasematch feeding spatialmatch). Deletion-neighborhood blocked. */
+  /** B5+D1 fused: fuzzy mention candidates — FULL-phrase fuzzy matching
+    * (carmen's fuzzy phrasematch feeding spatialmatch), both arms
+    * deletion-neighborhood blocked (never a nested-loop θ-join):
+    *
+    *  - single-token names: doc tokens within edit distance 1 (r1 path);
+    *  - multi-token names (L tokens): doc token WINDOWS of exactly L tokens
+    *    with phrase levenshtein ≤ 1. For equal token counts, phrase-lev ≤ 1
+    *    ⟺ at most one token differs, by ≤ 1 edit (a space edit would change
+    *    the token count) — so blocking on the name's RAREST token's deletion
+    *    neighborhood at its position is LOSS-FREE: the edited token still
+    *    shares a deletion key, every other position shares the identity key.
+    *    Window side emits keys for all L positions (it cannot know each
+    *    name's blocking position); name side only for the rarest one, which
+    *    bounds fan-out by the rarest token's neighborhood df. */
   def fuzzyMentions(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val gaz = gazDf(spark)
+    // --- single-token arm ---
+    val toks = docs
       .select(col("doc_id"), explode(array_distinct(F.tokenize(col("text")))).as("tok"))
       .select(col("doc_id"), col("tok"), explode(delKeys("tok")).as("dk"))
-    val singles = gazDf(spark).filter(!col("name").contains(" "))
+    val singles = gaz.filter(!col("name").contains(" "))
       .select(col("name"), col("gid"), explode(delKeys("name")).as("dk"))
-    toks.join(broadcast(singles), "dk")
+    val singleArm = toks.join(broadcast(singles), "dk")
       .filter(levenshtein(col("tok"), col("name")) <= 1)
-      .select(col("doc_id"), col("gid")).distinct()
+      .select(col("doc_id"), col("gid"))
+    // --- multi-token arm ---
+    val multi = gaz.filter(col("name").contains(" "))
+      .withColumn("ntoks", split(col("name"), " "))
+      .withColumn("len_l", size(col("ntoks")))
+    val bc = spark.sparkContext.broadcast(
+      graft.index.TermStats.build(freqIndex(spark, sfDir)))
+    val nameSide = multi
+      .withColumn("p", graft.index.TermStats.rarestIndex(col("ntoks"), bc))
+      .withColumn("btok", element_at(col("ntoks"), col("p") + 1))
+      .select(col("gid"), col("name"), col("len_l"), col("p"),
+        explode(delKeys("btok")).as("dk"))
+    // distinct multi-name lengths: a static dictionary property, like
+    // maxNameTokens (dim-sized driver agg, not a corpus job)
+    val lengths = multi.select(col("len_l")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val dtoks = docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
+    val wins = lengths.map { l =>
+      dtoks.select(col("doc_id"),
+        explode(when(size(col("toks")) >= l,
+          transform(sequence(lit(1), size(col("toks")) - lit(l - 1)),
+            i => slice(col("toks"), i, lit(l))))
+          .otherwise(array().cast("array<array<string>>"))).as("wtoks"))
+        .withColumn("len_l", lit(l))
+    }.reduce(_ unionByName _)
+      .withColumn("w", array_join(col("wtoks"), " "))
+      .dropDuplicates("doc_id", "w")
+    val winKeys = wins
+      .withColumn("p", explode(sequence(lit(0), col("len_l") - 1)))
+      .withColumn("btok", element_at(col("wtoks"), col("p") + 1))
+      .select(col("doc_id"), col("w"), col("len_l"), col("p"),
+        explode(delKeys("btok")).as("dk"))
+    val multiArm = winKeys.join(broadcast(nameSide), Seq("dk", "len_l", "p"))
+      .filter(levenshtein(col("w"), col("name")) <= 1)
+      .select(col("doc_id"), col("gid"))
+    singleArm.unionByName(multiArm).distinct()
   }
 
   def fuzzyMentionsSql: String =
     s"""WITH $gazCte,
        |t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-       |      FROM documents)
-       |SELECT DISTINCT t.doc_id, g.gid
-       |FROM t JOIN gaz g ON NOT contains(g.name, ' ')
-       |               AND levenshtein(t.tok, g.name) <= 1""".stripMargin
+       |      FROM documents),
+       |single AS (
+       |  SELECT t.doc_id, g.gid
+       |  FROM t JOIN gaz g ON NOT contains(g.name, ' ')
+       |                 AND levenshtein(t.tok, g.name) <= 1),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |lens AS (SELECT DISTINCT len(string_split(name, ' ')) AS len_l
+       |         FROM gaz WHERE contains(name, ' ')),
+       |wins AS (
+       |  SELECT DISTINCT d.doc_id, l.len_l,
+       |         unnest(list_transform(
+       |           generate_series(1, greatest(len(d.toks) - l.len_l + 1, 0)),
+       |           k -> array_to_string(list_slice(d.toks, k, k + l.len_l - 1), ' '))) AS w
+       |  FROM d, lens l),
+       |multi AS (
+       |  SELECT w.doc_id, g.gid
+       |  FROM wins w JOIN gaz g ON contains(g.name, ' ')
+       |                        AND len(string_split(g.name, ' ')) = w.len_l
+       |                        AND levenshtein(w.w, g.name) <= 1)
+       |SELECT DISTINCT doc_id, gid
+       |FROM (SELECT * FROM single UNION ALL SELECT * FROM multi)""".stripMargin
 
   // =================================================================
   // Input-hint contract (BASELINE.json): pages arrive as

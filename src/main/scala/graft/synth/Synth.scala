@@ -82,6 +82,42 @@ object Synth {
       .toDF("gid", "name", "typ", "score", "glon", "glat", "stack")
   }
 
+  /** D2 N-level fixture: the base gazetteer extended with "country" (z6) and
+    * "continent" (z4) levels for the generalized stack coalesce. Names are
+    * doc-vocab bigrams (so mentions hit), and coarser features are
+    * CO-LOCATED with an anchor region — hierarchical cell containment then
+    * guarantees: places under regions 0/4 chain 4 deep
+    * (place→region→country→continent), under 2/6 chain 3 deep (no continent
+    * at their z4 cell), odd regions have no country (level-SKIP paths:
+    * region→nothing, and region 0/4 could stack straight on the continent
+    * when its country is absent from a doc). */
+  val countries: Vector[GazFeature] = Vector(
+    ("slow line", 0), ("part order", 2), ("column row", 4), ("key filter", 6))
+    .zipWithIndex.map { case ((nm, rj), k) =>
+      val r = regions(rj)
+      GazFeature(601L + k, nm, "country", ((601 + k) * 37 % 97 + 3).toDouble,
+        r.lon, r.lat, r.stack)
+    }
+
+  val continents: Vector[GazFeature] = Vector(("customer value", 0), ("small vector", 4))
+    .zipWithIndex.map { case ((nm, rj), c) =>
+      val r = regions(rj)
+      GazFeature(501L + c, nm, "continent", ((501 + c) * 37 % 97 + 3).toDouble,
+        r.lon, r.lat, r.stack)
+    }
+
+  val gazMulti: Vector[GazFeature] = continents ++ countries ++ regions ++ places
+
+  def gazMultiDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    gazMulti.map(g => (g.id, g.name, g.typ, g.score, g.lon, g.lat, g.stack))
+      .toDF("gid", "name", "typ", "score", "glon", "glat", "stack")
+  }
+
+  def gazMultiCte: String =
+    s"gazm(gid, name, typ, score, glon, glat, stack) AS (VALUES ${
+      gazMulti.map(gazRowSql).mkString(", ")})"
+
   /** E4 fixture: the gazetteer with duplicate-name clones of the first six
     * places (same name/coords/score, gid+1000) — the input on which
     * result-level dedupe does real work (carmen dedupes same-place results

@@ -115,9 +115,15 @@ class GeocoderSpec extends SparkTestBase {
       .toDF("gid", "name", "typ", "score", "glon", "glat", "stack")
     val page = Seq((7L, "the port of new york authority runs new york city docks", 0.0, 0.0))
       .toDF("doc_id", "text", "qlon", "qlat")
-    val wa = Geocode.mentions(page, longGaz).select("gid").collect().map(_.getLong(0)).toSet
+    // mentionsWindows is the raw window path: mentions() itself auto-switches
+    // to the automaton for maxNameTokens > 3, so the equivalence must be
+    // asserted against the explicit window baseline
+    val wa = Geocode.mentionsWindows(page, longGaz).select("gid").collect().map(_.getLong(0)).toSet
     val ac = Geocode.mentionsAC(page, longGaz).select("gid").collect().map(_.getLong(0)).toSet
     assert(wa == Set(1L, 2L, 3L) && ac == Set(1L, 2L, 3L))
+    // and the dispatching surface picks the automaton but stays row-identical
+    val auto = Geocode.mentions(page, longGaz).select("gid").collect().map(_.getLong(0)).toSet
+    assert(auto == wa)
   }
 
   test("F1 StackRegionCap: a doc mentioning >16 regions caps the stack side") {
@@ -143,6 +149,41 @@ class GeocoderSpec extends SparkTestBase {
     val doc1 = Seq((2L, "reg17 px", 0.0, 0.0)).toDF("doc_id", "text", "qlon", "qlat")
     val unc = Geocode.rank(Geocode.coalesce2(Geocode.mentions(doc1, gaz)), k = 30).collect()
     assert(unc.filter(_.getLong(1) == 101L).head.getLong(5) == 17L)
+  }
+
+  test("coalesceN at 2 levels is row-identical to coalesce2") {
+    val docs = Synth.docPages(spark, "/root/testdata/sf0.001")
+    val gaz = Synth.gazDf(spark)
+    val m = Geocode.mentions(docs, gaz).persist()
+    val a = Geocode.rank(Geocode.coalesce2(m)).collect().map(_.toString).sorted.toSeq
+    val b = Geocode.rank(Geocode.coalesceN(m,
+        Seq(Geocode.IndexLevel("region", Geocode.ZRegion),
+          Geocode.IndexLevel("place", Geocode.ZPlace))))
+      .collect().map(_.toString).sorted.toSeq
+    m.unpersist()
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("coalesceN: 4-level chains form, levels can be skipped") {
+    import spark.implicits._
+    // literal pages: mentions are fully controlled, so chain shapes are exact
+    val docs = Seq(
+      (1L, "customer value slow line data hash join", 0.0, 0.0), // all 4 levels
+      (2L, "slow line hash join", 0.0, 0.0),       // place skips absent region
+      (3L, "customer value data", 0.0, 0.0))       // region skips absent country
+      .toDF("doc_id", "text", "qlon", "qlat")
+    val m = Geocode.mentions(docs, Synth.gazMultiDf(spark))
+    val out = Geocode.rank(Geocode.coalesceN(m), k = 10, extraCols = Seq("chain"))
+      .collect()
+    def chainOf(doc: Long, fid: Long): String =
+      out.find(r => r.getLong(0) == doc && r.getLong(1) == fid).get.getString(6)
+    // doc 1: "hash join" (place 101, under region 1 "data", country 601,
+    // continent 501) chains 4 deep
+    assert(chainOf(1L, 101L) == "501>601>1>101")
+    // doc 2: no region mentioned -> place stacks straight on the country
+    assert(chainOf(2L, 101L) == "601>101")
+    // doc 3: no country mentioned -> region stacks straight on the continent
+    assert(chainOf(3L, 1L) == "501>1")
   }
 
   test("pre-clipped reverse PIP equals unclipped") {

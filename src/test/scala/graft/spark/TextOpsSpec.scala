@@ -99,7 +99,7 @@ class TextOpsSpec extends SparkTestBase {
     * ids 0..39) + 5 perturbed copies each (ids 40..239). A query's true
     * top-5 is its own cluster; random inter-cluster dot products are ~0
     * (components centered on 0). */
-  private def plantedEmb = {
+  private def plantedEmbN(nClusters: Int) = {
     import spark.implicits._
     def comp(seed: Long): Float =
       ((java.lang.Math.floorMod(Fingerprint.mix64(seed), 1000L) - 500L).toFloat / 1000.0f)
@@ -110,11 +110,13 @@ class TextOpsSpec extends SparkTestBase {
         v + 0.02f * comp((1000L + c * 8L + j) * 64L + i) }
     }
     val rows =
-      (0 until 40).map(c => (c.toLong, vec(c, 0))) ++
-      (for { c <- 0 until 40; j <- 1 to 5 }
-        yield ((40 + c * 5 + (j - 1)).toLong, vec(c, j)))
+      (0 until nClusters).map(c => (c.toLong, vec(c, 0))) ++
+      (for { c <- 0 until nClusters; j <- 1 to 5 }
+        yield ((nClusters + c * 5 + (j - 1)).toLong, vec(c, j)))
     rows.toDF("vec_id", "embedding")
   }
+
+  private def plantedEmb = plantedEmbN(40)
 
   test("LSH ANN: recall >= 0.9 on planted clusters, sub-quadratic candidates") {
     val emb = plantedEmb
@@ -138,6 +140,27 @@ class TextOpsSpec extends SparkTestBase {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("IVF derived nList keeps the cell self-join sub-quadratic at 10x corpus") {
+    // blocked pair count = Σ c_i·(c_i−1)/2 over cell occupancies — the cost
+    // of dedupEmbed's self-join. With the FROZEN nList=16 this is ~n²/16 at
+    // any n; with the derived √n sizing it must (a) beat frozen at the same
+    // corpus and (b) grow sub-quadratically across a 10× corpus scale-up.
+    def blockedPairs(emb: org.apache.spark.sql.DataFrame, nList: Int): Double =
+      Ann.assignCells(emb, nList).groupBy("cid").count()
+        .agg(sum(col("count") * (col("count") - lit(1)) / lit(2.0)))
+        .head().getDouble(0)
+    val small = plantedEmbN(40)   // n = 240
+    val big = plantedEmbN(400)    // n = 2400
+    val pSmall = blockedPairs(small, Ann.derivedNListDedup(240))
+    val pBigDerived = blockedPairs(big, Ann.derivedNListDedup(2400))
+    val pBigFrozen = blockedPairs(big, 16)
+    assert(pBigDerived < 0.7 * pBigFrozen,
+      s"derived nList must shrink the join: $pBigDerived vs frozen $pBigFrozen")
+    val growth = pBigDerived / pSmall
+    assert(growth < 60.0, // quadratic growth would be ~100; √n-list gives ~32
+      s"10x corpus grew blocked pairs ${growth}x — super-subquadratic bound violated")
   }
 
   test("mm_decode plumbing: schema and determinism") {
