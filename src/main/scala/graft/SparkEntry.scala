@@ -65,9 +65,10 @@ object SparkEntry {
     "place_name_fmt" -> ((s, d) => Queries.placeNameFmt(s, d)),
     "lang_fallback" -> ((s, d) => Queries.langFallback(s, d)),
     "raster_mask" -> ((s, d) =>
-      // deterministic tenth of the features: full-corpus rasterization is a
-      // batch-index job, not a per-round check (17 s at sf0.1 otherwise)
-      ops.Raster.rasterTiles(s, Synth.custFeatures(s, d).filter(col("feature_id") % 10 === 0), 8)
+      // FULL corpus (r2 sampled a tenth): the scanline kernel now skips
+      // rows outside the feature's lat extent and reuses its crossing
+      // scratch — warm full-corpus rasterization is ~4 s at sf0.1
+      ops.Raster.rasterTiles(s, Synth.custFeatures(s, d), 8)
         .select(col("cell"), col("n_features"), col("pop"))),
     // --- training-data pipeline ops ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s.read.parquet(s"$d/documents.parquet"))),
@@ -80,6 +81,8 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, d) =>
       TextOps.ngramJaccard(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
     "lang_id" -> ((s, d) => TextOps.langId(s.read.parquet(s"$d/documents.parquet"))),
+    "lang_id_ngram" -> ((s, d) =>
+      TextOps.langIdNgram(s.read.parquet(s"$d/documents.parquet"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s.read.parquet(s"$d/documents.parquet"))),
     "token_count" -> ((s, d) => TextOps.tokenCount(s.read.parquet(s"$d/documents.parquet"))),
     "doc_fingerprint" -> ((s, d) =>
@@ -164,9 +167,12 @@ object SparkEntry {
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "dedup_simhash" -> TextOps.dedupSimHashSql(),
     "lang_id" -> TextOps.langIdSql,
+    "lang_id_ngram" -> TextOps.langIdNgramSql,
     "quality_score" -> TextOps.qualityScoreSql,
     "token_count" -> TextOps.tokenCountSql,
     "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
+    // full mirror: integer hyperplane sign test + SQL-side mix64 planes
+    "ann_lsh" -> Ann.lshTopKSql(50, 5),
     "ann_ivf" -> Ann.ivfTopKSql(50, 5),
     "dedup_embed" -> Ann.dedupEmbedSql(),
     "mm_decode" -> Multimodal.decodeMetaSql,

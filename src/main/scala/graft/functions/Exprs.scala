@@ -361,9 +361,15 @@ object Exprs {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "lsh_buckets"
-    @transient private lazy val planes: Array[Array[Double]] =
+    // Plane components are the INTEGER numerators mix64(p·131+i) % 10^6
+    // (the real-valued plane is m/10^6, but sign(Σ (m_i/10^6)·q_i) =
+    // sign(Σ m_i·q_i) — so the sign test runs in exact integer arithmetic:
+    // order-independent AND SQL-expressible, which is what gives ann_lsh a
+    // full DuckDB oracle (Ann.lshTopKSql). |m| < 10^6, |q| ≲ 2·10^3 →
+    // 64 terms < 2^38, no overflow.
+    @transient private lazy val planes: Array[Array[Long]] =
       Array.tabulate(nTables * planesPerTable, 64) { (p, i) =>
-        (Fingerprint.mix64(p.toLong * 131 + i) % 1000000L).toDouble / 1000000.0
+        Fingerprint.mix64(p.toLong * 131 + i) % 1000000L
       }
     override def nullSafeEval(qa: Any): Any = {
       val q = qa.asInstanceOf[ArrayData].toLongArray()
@@ -374,7 +380,7 @@ object Exprs {
         var b = 0
         while (b < planesPerTable) {
           val h = planes(t * planesPerTable + b)
-          var dot = 0.0
+          var dot = 0L
           var i = 0
           val n = math.min(h.length, q.length)
           while (i < n) { dot += h(i) * q(i); i += 1 }

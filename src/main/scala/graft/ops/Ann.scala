@@ -282,6 +282,55 @@ object Ann {
        |WHERE dp > 0 AND CAST(dp AS DOUBLE) * CAST(dp AS DOUBLE) >= $t2 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)""".stripMargin
   }
 
+  /** FULL DuckDB mirror of [[lshTopK]] — possible because the hyperplane
+    * sign test is exact integer arithmetic (see Exprs.LshBuckets) and mix64
+    * is SQL-expressible via HUGEINT limbs ([[graft.queries.SqlHash]]):
+    * planes are derived IN SQL as mix64(p·131+i) % 10^6, bucket bits by
+    * integer dot sign, multi-probe by XOR over the ≤2-flip Hamming ball,
+    * then the same skinny candidate dedup + exact top-k re-rank. */
+  def lshTopKSql(nQueries: Int, k: Int,
+                 nTables: Int = 8, planesPerTable: Int = 16): String = {
+    import graft.queries.SqlHash._
+    val np = nTables * planesPerTable
+    val p16 = (0 until planesPerTable)
+      .map(b => s"CAST(${1L << b} AS BIGINT)").mkString("[", ", ", "]")
+    s"""WITH pidx AS (
+       |  SELECT p.p, i.i, CAST(p.p * 131 + i.i AS HUGEINT) AS z
+       |  FROM (SELECT unnest(generate_series(0, ${np - 1})) AS p) p,
+       |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+       |${mix64Ctes("pidx", "p, i", "pmix")},
+       |pl AS (SELECT p, list(CAST(${toSigned("z")} % 1000000 AS BIGINT) ORDER BY i) AS mv
+       |       FROM pmix GROUP BY p),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, pl.p,
+       |         list_sum(list_transform(generate_series(1, 64), i -> pl.mv[i] * e.q[i])) AS dot
+       |  FROM e, pl),
+       |cb AS (
+       |  SELECT vec_id, p // $planesPerTable AS t,
+       |         CAST(sum(CASE WHEN dot >= 0 THEN $p16[(p % $planesPerTable) + 1]
+       |                       ELSE 0 END) AS BIGINT) AS bits
+       |  FROM dots GROUP BY 1, 2),
+       |ck AS (SELECT vec_id, bits + t * 4294967296 AS bucket FROM cb),
+       |mb AS (SELECT unnest(generate_series(0, ${planesPerTable - 1})) AS b),
+       |masks AS (SELECT 0 AS mask
+       |          UNION ALL SELECT $p16[b + 1] FROM mb
+       |          UNION ALL SELECT $p16[a.b + 1] + $p16[c.b + 1] FROM mb a, mb c WHERE a.b < c.b),
+       |qk AS (SELECT cb.vec_id AS qid, xor(cb.bits, m.mask) + cb.t * 4294967296 AS bucket
+       |       FROM cb, masks m WHERE cb.vec_id < $nQueries),
+       |cand AS (SELECT DISTINCT q.qid, c.vec_id AS nid
+       |         FROM qk q JOIN ck c USING (bucket) WHERE c.vec_id <> q.qid),
+       |pairs AS (SELECT cand.qid, cand.nid, list_inner_product(a.q, b.q) AS dp
+       |          FROM cand JOIN e a ON a.vec_id = cand.qid
+       |          JOIN e b ON b.vec_id = cand.nid),
+       |ranked AS (
+       |  SELECT qid, nid, dp,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dp DESC, nid ASC) AS rank
+       |  FROM pairs)
+       |SELECT qid, nid, CAST(dp AS DOUBLE) AS dp, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Multi-table multi-probe LSH ANN: candidates from [[lshCandidates]],
     * exact int-quantized top-k among them. */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int,

