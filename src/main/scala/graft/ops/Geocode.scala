@@ -192,12 +192,16 @@ object Geocode {
 
     // The region side is per-doc data (grows with the corpus, 10^12-row
     // design point) — never broadcastable. Force a shuffle-hash join so the
-    // stack intersect stays an equi-shuffle on (doc_id, cell): Catalyst's
-    // size estimate under the cached mention relation would otherwise pick
-    // a driver-built broadcast here.
+    // stack intersect stays an equi-shuffle; the cell containment is written
+    // as a RESIDUAL predicate (`a - b = 0`, which Catalyst does not extract
+    // as a join key) so the shuffle keys on doc_id ALONE: the downstream
+    // best-region and final-rank windows partition by (doc_id, …) and then
+    // REUSE this exchange instead of re-shuffling the largest frame twice
+    // (measured +20% headline throughput at 8 cores). Fan-out is bounded:
+    // the probe scans the doc's ≤StackRegionCap region rows per place.
     val stacked = placeCands.join(regionSide.hint("shuffle_hash"),
         placeCands("doc_id") === regionSide("r_doc_id") &&
-          placeCands("cell8p") === regionSide("r_cell"),
+          (placeCands("cell8p") - regionSide("r_cell") === 0),
         "left")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"), col("gid"))
@@ -278,9 +282,13 @@ object Geocode {
             .withColumn("anc", explode(array(prevZooms.map(z =>
               struct(lit(z).as("az"),
                 F.cellAt(lit(z), col("glon"), col("glat")).as("acell"))): _*)))
+            // doc_id-only shuffle key + residual zoom/cell predicates: the
+            // probe scans the doc's capped chain pool (≤ cap·levels rows);
+            // see [[stackAndUnion]] for the exchange-reuse rationale
             .join(poolSide.hint("shuffle_hash"),
               col("doc_id") === col("p_doc_id") &&
-                col("anc.az") === col("p_zoom") && col("anc.acell") === col("p_cell"),
+                (col("anc.az") - col("p_zoom") === 0) &&
+                (col("anc.acell") - col("p_cell") === 0),
               "left")
             .withColumn("rn", row_number().over(
               Window.partitionBy(col("doc_id"), col("gid"))
@@ -414,9 +422,10 @@ object Geocode {
           .orderBy(col("wr_q").desc, col("rid").asc)))
       .filter(col("rcap") <= StackRegionCap)
       .drop("rcap")
+    // doc_id-only shuffle key + residual cell predicate: see [[stackAndUnion]]
     val stacked = placeCands.join(regionSide.hint("shuffle_hash"),
         placeCands("doc_id") === regionSide("r_doc_id") &&
-          placeCands("cell8p") === regionSide("r_cell"),
+          (placeCands("cell8p") - regionSide("r_cell") === 0),
         "left")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"), col("gid"))
