@@ -166,6 +166,8 @@ object SparkEntry {
     // arithmetic reproduces mix64/FNV-1a/SimHash bit-exactly (SqlHash)
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "dedup_simhash" -> TextOps.dedupSimHashSql(),
+    "dedup_minhash" -> TextOps.dedupMinHashSql(),
+    "dedup_winnow" -> TextOps.dedupWinnowSql(),
     "lang_id" -> TextOps.langIdSql,
     "lang_id_ngram" -> TextOps.langIdNgramSql,
     "quality_score" -> TextOps.qualityScoreSql,

@@ -107,6 +107,73 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Full DuckDB mirror of [[dedupMinHash]] ∘ [[withMutatedCopies]] — the
+    * whole MinHash pipeline in SQL: FNV-1a shingle hashes (nested
+    * list_reduce), 64 signature rows via mix64(h ⊕ C·(r+1)) staged through
+    * HUGEINT-limb CTEs with SIGNED min (Java Long order), band keys via the
+    * 8-step chained mix64 fold, bucket cap, band equi-join, signature-
+    * agreement verify. Verified bit-exact against the JVM kernel
+    * (prototype, 2026-08-17). */
+  def dedupMinHashSql(threshold: Double = 0.5, maxBucket: Int = 1000): String = {
+    import graft.queries.SqlHash._
+    val C = BigInt("2545f4914f6cdd1d", 16)
+    val A = BigInt("9e3779b97f4a7c15", 16)
+    val shingleFnv = fnv1a64("array_to_string(list_slice(tk, i, i + 2), ' ')")
+    val wholeFnv = fnv1a64("array_to_string(tk, ' ')")
+    // band chain: seed (b·A mod 2^64), then 8 × [xor signed-sig element,
+    // full mix64] staged as CTE columns
+    val bandCtes = new StringBuilder
+    var prev = "bseed"
+    (0 until 8).foreach { s =>
+      val sigU = s"(CASE WHEN sg[b*8+$s+1] < 0 THEN sg[b*8+$s+1] + $M64 ELSE sg[b*8+$s+1] END)"
+      bandCtes ++= s"bx$s AS (SELECT doc_id, b, sg, ${xor64("z", sigU)} AS z FROM $prev),\n"
+      bandCtes ++= mix64Ctes(s"bx$s", "doc_id, b, sg", s"bm$s") + ",\n"
+      prev = s"bm$s"
+    }
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |         array_to_string(list_slice(string_split(text, ' '), 1,
+       |           greatest(len(string_split(text, ' ')) - 1, 1)), ' ')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |reps AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text,
+       |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM aug) WHERE rn = 1),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM reps),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) < 3
+       |    THEN [$wholeFnv]
+       |    ELSE list_transform(generate_series(1, len(tk) - 2), i -> $shingleFnv)
+       |    END) AS h
+       |  FROM toks),
+       |rr AS (SELECT unnest(generate_series(0, 63)) AS r),
+       |z0 AS (SELECT sh.doc_id, rr.r,
+       |              ${xor64("sh.h", mul64("CAST(rr.r + 1 AS HUGEINT)", C))} AS z
+       |       FROM sh, rr),
+       |${mix64Ctes("z0", "doc_id, r", "zm")},
+       |sigr AS (SELECT doc_id, r, min(${toSigned("z")}) AS v
+       |         FROM zm GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(v ORDER BY r) AS sg FROM sigr GROUP BY 1),
+       |bseed AS (SELECT doc_id, b.b, sg, ${mul64("CAST(b.b AS HUGEINT)", A)} AS z
+       |          FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b) b),
+       |${bandCtes.toString.stripSuffix(",\n")},
+       |bands AS (SELECT doc_id, sg,
+       |                 ${toSigned("b * 72057594037927936 + (z // 256)")} AS band
+       |          FROM $prev),
+       |capped AS (SELECT doc_id, sg, band FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands)
+       |  WHERE bsz <= $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |         list_sum(list_transform(generate_series(1, 64),
+       |           i -> CASE WHEN x.sg[i] = y.sg[i] THEN 1 ELSE 0 END)) AS n_eq
+       |  FROM capped x JOIN capped y ON x.band = y.band AND x.doc_id < y.doc_id)
+       |SELECT a, b, n_eq / 64.0 AS est_jaccard
+       |FROM pairs WHERE n_eq / 64.0 >= $threshold""".stripMargin
+  }
+
   /** Token-set Jaccard near-dup pairs within (lang, length-bucket) blocks —
     * the exact-verify stage of the dedup family.
     *
@@ -191,6 +258,70 @@ object TextOps {
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+  }
+
+  /** Full DuckDB mirror of [[dedupWinnow]] ∘ [[withMutatedCopies]]: char
+    * k-gram rolling hashes (base-257 poly → mix64, staged HUGEINT CTEs),
+    * then the winnowing window scan as nested list lambdas — rightmost
+    * window minimum with consecutive-selection dedup (the selected index is
+    * non-decreasing as the window slides, so comparing each window's argmin
+    * with the previous window's reproduces the lastIdx dedup exactly) —
+    * then the same bucket-capped inverted-index pair join. Verified
+    * bit-exact against Fingerprint.winnow (prototype, 2026-08-17). */
+  def dedupWinnowSql(k: Int = 8, w: Int = 16, minShared: Int = 2,
+                     maxBucket: Int = 1000): String = {
+    import graft.queries.SqlHash._
+    val gramPoly =
+      s"list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        s"list_transform(list_filter(string_split(substr(text, i, $k), ''), ch -> ch <> ''), " +
+        s"ch -> CAST(unicode(ch) AS HUGEINT))), (h, c) -> (257*h + c) % $M64)"
+    def rm(lo: String, hi: String) =
+      s"list_max(list_filter(generate_series($lo, $hi), j -> hs[j] = list_min(list_slice(hs, $lo, $hi))))"
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |         array_to_string(list_slice(string_split(text, ' '), 1,
+       |           greatest(len(string_split(text, ' ')) - 1, 1)), ' ')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |reps AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text,
+       |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM aug) WHERE rn = 1),
+       |g0 AS (
+       |  SELECT doc_id, i.i, $gramPoly AS z
+       |  FROM reps, LATERAL (SELECT unnest(generate_series(1, length(text) - $k + 1)) AS i) i
+       |  WHERE length(text) >= $k),
+       |${mix64Ctes("g0", "doc_id, i", "gm")},
+       |hsl AS (SELECT doc_id, list(${toSigned("z")} ORDER BY i) AS hs
+       |        FROM gm GROUP BY 1),
+       |s0 AS (SELECT doc_id, ${fnv1a64("text")} AS z FROM reps
+       |       WHERE length(text) < $k AND length(text) > 0),
+       |${mix64Ctes("s0", "doc_id", "sm")},
+       |winfull AS (
+       |  SELECT doc_id, CASE WHEN len(hs) <= $w THEN [list_min(hs)]
+       |    ELSE list_filter(
+       |      list_transform(generate_series(1, len(hs) - $w + 1), s ->
+       |        CASE WHEN s = 1 OR
+       |          ${rm("s", s"s + $w - 1")} <> ${rm("s - 1", s"s + $w - 2")}
+       |        THEN hs[${rm("s", s"s + $w - 1")}]
+       |        END),
+       |      v -> v IS NOT NULL)
+       |    END AS fps
+       |  FROM hsl),
+       |allf AS (
+       |  SELECT doc_id, unnest(fps) AS fp FROM winfull
+       |  UNION ALL
+       |  SELECT doc_id, ${toSigned("z")} AS fp FROM sm),
+       |capped AS (SELECT doc_id, fp FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY fp) AS bsz FROM allf)
+       |  WHERE bsz <= $maxBucket),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+       |  FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(shared AS BIGINT) AS shared
+       |FROM pairs WHERE shared >= $minShared""".stripMargin
   }
 
   /** Stopword-profile language ID (n-gram heuristic over the fixed profiles;

@@ -54,6 +54,61 @@ object StreamingIndex {
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("text_sha")
 
+  /** Per-cell SESSION windows via flatMapGroupsWithState (the custom-state
+    * op the fixed-window aggregations can't express): consecutive page
+    * arrivals in a cell belong to one session while gaps stay under
+    * `gapMs`; a session closes — and emits (cell, start, end, n_pages) —
+    * either when a later event arrives past the gap or when the event-time
+    * watermark passes end+gap (EventTimeTimeout). State per cell is one
+    * {start, end, n} triple, bounded by the live-cell count, aged out by
+    * the timeout — never growing with the stream. */
+  final case class CellSession(cell: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp, n_pages: Long)
+  // NOT private: the state encoder's generated code must see the accessors
+  final case class SessState(start: Long, end: Long, n: Long)
+
+  def cellSessions(pages: DataFrame, z: Int = 6, gapMs: Long = 5 * 60 * 1000L,
+                   watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[CellSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    def toTs(ms: Long) = new java.sql.Timestamp(ms)
+    pages
+      .withColumn("cell", graft.functions.F.cellAt(lit(z), col("qlon"), col("qlat")))
+      .withWatermark("warc_ts", watermark)
+      .select(col("cell").as[Long], col("warc_ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, CellSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (cell, events, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(CellSession(cell, toTs(s.start), toTs(s.end), s.n))
+          } else {
+            val ts = events.map(_._2.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[CellSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t <= s.end + gapMs =>
+                  cur = Some(SessState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += CellSession(cell, toTs(s.start), toTs(s.end), s.n)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming per-cell page counts with watermarked event-time windows —
     * the hot-cell statistics (E5) maintained incrementally: arriving pages
     * carry a proximity point, the aggregation keys on its z6 cell. */

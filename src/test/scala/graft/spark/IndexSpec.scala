@@ -147,6 +147,32 @@ class IndexSpec extends SparkTestBase {
     assert((rows - 2L).size == 1, s"duplicate text must emit once, got $rows")
   }
 
+  test("streaming cell sessions: flatMapGroupsWithState gap windows close and emit") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val df = mem.toDF().toDF("warc_ts", "qlon", "qlat")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // cell A: two events 1 min apart (one session), then one 20 min later
+    // (second session); a far-future event advances the watermark past both
+    mem.addData((ts("2026-01-01 00:00:00"), 10.0, 20.0),
+      (ts("2026-01-01 00:01:00"), 10.0, 20.0))
+    mem.addData((ts("2026-01-01 00:21:00"), 10.0, 20.0))
+    val out = graft.streaming.StreamingIndex.cellSessions(df)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    mem.addData((ts("2026-01-01 02:00:00"), -150.0, -40.0)) // watermark push
+    out.processAllAvailable(); out.stop()
+    val cellA = CellMath.lonLatToCell(6, 10.0, 20.0)
+    val rows = spark.sql("SELECT cell, session_start, session_end, n_pages FROM sess_out")
+      .collect().filter(_.getLong(0) == cellA)
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("2026-01-01 00:00:00.0", "2026-01-01 00:01:00.0", 2L),
+      ("2026-01-01 00:21:00.0", "2026-01-01 00:21:00.0", 1L)), s"got ${rows.toSeq}")
+  }
+
   test("streaming cell rate: watermarked per-cell window counts") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
