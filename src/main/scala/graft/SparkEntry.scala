@@ -44,6 +44,7 @@ object SparkEntry {
       ops.Geocode.knnExpanding(Synth.eventPoints(s, d),
         Synth.custFeatures(s, d).select(col("feature_id"), col("flon"), col("flat")), 8)),
     "knn_disk" -> ((s, d) => Queries.knnDisk(s, d)),
+    "reverse_topk" -> ((s, d) => Queries.reverseTopK(s, d)),
     "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
     "context_assemble" -> ((s, d) => Queries.contextAssemble(s, d)),
     "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan
     "reverse_salted" -> Queries.reversePipSql, // same semantics, skew-salted plan
     "knn_disk" -> Queries.knnDiskSql,
+    "reverse_topk" -> Queries.reverseTopKSql,
     "context_chain" -> Queries.contextChainSql,
     "context_assemble" -> Queries.contextAssembleSql,
     "bbox_filter" -> Queries.bboxFilterSql,

@@ -25,7 +25,10 @@ final case class GeocodeOptions(
     bbox: Option[(Double, Double, Double, Double)] = None,
     stacks: Option[Seq[String]] = None,
     language: Option[String] = None,
-    dedupe: Boolean = false)
+    dedupe: Boolean = false,
+    /** Per-query proximity override (carmen `proximity: [lon, lat]`):
+      * replaces the pages' qlon/qlat columns for ranking. */
+    proximity: Option[(Double, Double)] = None)
 
 final class Geocoder(spark: SparkSession, gaz: DataFrame,
                      altNames: Option[DataFrame] = None) {
@@ -55,9 +58,29 @@ final class Geocoder(spark: SparkSession, gaz: DataFrame,
     * per-page window. place_name is "<name>, <context name>"
     * (geocoder_format default). */
   def forward(pages: DataFrame, opts: GeocodeOptions = GeocodeOptions()): DataFrame = {
-    val m = Geocode.mentions(pages, effectiveGaz(opts)).persist()
+    val pagesP = opts.proximity.map { case (plon, plat) =>
+      pages.withColumn("qlon", lit(plon)).withColumn("qlat", lit(plat))
+    }.getOrElse(pages)
+    val m = Geocode.mentions(pagesP, effectiveGaz(opts)).persist()
     val cands0 = Geocode.coalesce2(m)
-    val cands1 = opts.types.map(ts => cands0.filter(col("typ").isin(ts: _*))).getOrElse(cands0)
+    // C1 incl. SUBTYPE scoreranges (carmen `poi.landmark`): "<typ>.landmark"
+    // keeps candidates of that type within the top scorerange — the top 10%
+    // of the type's score scale, thresholds from a dim-sized gazetteer agg
+    val cands1 = opts.types.map { ts =>
+      val plain = ts.filterNot(_.contains("."))
+      val subs = ts.filter(_.contains(".")).map { s =>
+        val parts = s.split("\\.", 2); (parts(0), parts(1))
+      }
+      val maxByTyp: Map[String, Double] =
+        if (subs.isEmpty) Map.empty
+        else gaz.groupBy("typ").agg(max("score").as("mx")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val conds = plain.map(t => col("typ") === t) ++ subs.map {
+        case (t, "landmark") => col("typ") === t && col("score") >= lit(0.9 * maxByTyp(t))
+        case (t, sub) => throw new IllegalArgumentException(s"unknown scorerange $t.$sub")
+      }
+      cands0.filter(conds.reduce(_ || _))
+    }.getOrElse(cands0)
     val cands = opts.bbox.map { case (w, s, e, n) =>
       cands1.filter(col("glon") >= w && col("glon") < e && col("glat") >= s && col("glat") < n)
     }.getOrElse(cands1)
@@ -92,6 +115,16 @@ final class Geocoder(spark: SparkSession, gaz: DataFrame,
       .select(col("event_id"), lit(typed.last._1).as("typ"), col("feature_id"))
       .withColumn("via", lit("knn"))
     pip.unionByName(knn)
+  }
+
+  /** Reverse with `limit > 1` — carmen allows this only with a SINGLE type:
+    * up to `limit` features of that type per point, containing features
+    * first, then nearest by center distance. `feats` must carry
+    * (feature_id, geom_wkb, flon, flat). */
+  def reverseK(points: DataFrame, feats: DataFrame, limit: Int,
+               z: Int = 8, r: Int = 2): DataFrame = {
+    require(limit >= 1, "limit must be >= 1")
+    Geocode.reverseTopK(points, feats, z, r, limit)
   }
 }
 

@@ -563,6 +563,49 @@ object Geocode {
       .select(col("event_id"), col("feature_id"), round(col("dist"), 3).as("dist_km"))
   }
 
+  /** [[knnDisk]] generalized to top-k (carmen's reverse `limit > 1`, legal
+    * only with a single type): up to k nearest features per point within
+    * the disk, ranked by (haversine, id). */
+  def knnDiskK(points: DataFrame, featurePoints: DataFrame, z: Int, r: Int,
+               k: Int): DataFrame = {
+    val probes = points
+      .withColumn("cell0", F.cellAt(lit(z), col("elon"), col("elat")))
+      .withColumn("cell", explode(F.diskCells(col("cell0"), lit(r))))
+    val feats = featurePoints
+      .withColumn("cell", F.cellAt(lit(z), col("flon"), col("flat")))
+    probes.join(feats, "cell")
+      .withColumn("dist", F.haversineKm(col("elon"), col("elat"), col("flon"), col("flat")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("event_id")).orderBy(col("dist").asc, col("feature_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("event_id"), col("feature_id"), col("dist"), col("rank"))
+  }
+
+  /** Reverse with `limit > 1` (single-type semantics): containing features
+    * rank before nearby ones, then by center distance — the k best
+    * (containment desc, haversine asc, id) per point among PIP hits ∪ the
+    * Chebyshev-disk neighborhood. Mirrors carmen's multi-result reverse
+    * ordering; SQL-expressible end-to-end (driver oracle `reverse_topk`). */
+  def reverseTopK(points: DataFrame, features: DataFrame, z: Int, r: Int,
+                  limit: Int): DataFrame = {
+    val pip = reversePip(points, features, z)
+      .select(col("event_id"), col("feature_id"),
+        F.haversineKm(col("elon"), col("elat"), col("flon"), col("flat")).as("dist"),
+        lit(1).as("is_inside"))
+    val near = knnDiskK(points,
+        features.select(col("feature_id"), col("flon"), col("flat")), z, r, limit)
+      .select(col("event_id"), col("feature_id"), col("dist"), lit(0).as("is_inside"))
+    pip.unionByName(near)
+      .groupBy(col("event_id"), col("feature_id"))
+      .agg(max(col("is_inside")).as("is_inside"), min(col("dist")).as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("event_id"))
+          .orderBy(col("is_inside").desc, col("dist").asc, col("feature_id").asc)))
+      .filter(col("rank") <= limit)
+      .select(col("event_id"), col("feature_id"), round(col("dist"), 3).as("dist_km"),
+        col("is_inside"), col("rank"))
+  }
+
   /** [[reversePip]] with per-tile pre-clipped polygons (north star: "WKB
     * polygons pre-clipped to z14 tiles"): the cover-exploded index carries
     * the geometry clipped to each cell, so the PIP stage touches only the

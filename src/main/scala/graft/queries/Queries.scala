@@ -409,6 +409,53 @@ object Queries {
        |SELECT event_id, feature_id, round(dist, 3) AS dist_km FROM ranked WHERE rn = 1""".stripMargin
 
   // =================================================================
+  // D5/D6 composed: reverse with limit>1 (carmen single-type multi-result
+  // reverse) — containing features rank before nearby ones, then by center
+  // distance; k best per point among PIP hits ∪ the Chebyshev-disk
+  // neighborhood. Fully SQL-expressible.
+  // =================================================================
+
+  def reverseTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.reverseTopK(eventPoints(spark, sfDir), custFeatures(spark, sfDir),
+      z = 8, r = 2, limit = 3)
+
+  def reverseTopKSql: String =
+    s"""WITH cf AS (${custFeaturesSql}), pts AS (${eventPointsSql}),
+       |pip AS (
+       |  SELECT p.event_id, f.feature_id,
+       |         ${haversineSql("p.elon", "p.elat", "f.flon", "f.flat")} AS dist,
+       |         1 AS is_inside
+       |  FROM pts p JOIN cf f
+       |    ON p.elon >= f.west AND p.elon < f.east
+       |   AND p.elat >= f.south AND p.elat < f.north),
+       |pc AS (SELECT event_id, elon, elat,
+       |              ${tileXSql(8, "elon")} AS ex, ${tileYSql(8, "elat")} AS ey FROM pts),
+       |fc AS (SELECT feature_id, flon, flat,
+       |              ${tileXSql(8, "flon")} AS fx, ${tileYSql(8, "flat")} AS fy FROM cf),
+       |diskc AS (
+       |  SELECT p.event_id, f.feature_id,
+       |         ${haversineSql("p.elon", "p.elat", "f.flon", "f.flat")} AS dist,
+       |         row_number() OVER (PARTITION BY p.event_id
+       |                            ORDER BY ${haversineSql("p.elon", "p.elat", "f.flon", "f.flat")} ASC,
+       |                                     f.feature_id ASC) AS rn
+       |  FROM pc p, LATERAL (SELECT unnest(generate_series(-2, 2)) AS dx) dxs,
+       |       LATERAL (SELECT unnest(generate_series(-2, 2)) AS dy) dys
+       |  JOIN fc f ON f.fx = p.ex + dxs.dx AND f.fy = p.ey + dys.dy),
+       |near AS (SELECT event_id, feature_id, dist, 0 AS is_inside
+       |         FROM diskc WHERE rn <= 3),
+       |u AS (SELECT event_id, feature_id, max(is_inside) AS is_inside,
+       |             min(dist) AS dist
+       |      FROM (SELECT * FROM pip UNION ALL SELECT * FROM near)
+       |      GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_id
+       |                               ORDER BY is_inside DESC, dist ASC, feature_id ASC) AS rank
+       |  FROM u)
+       |SELECT event_id, feature_id, round(dist, 3) AS dist_km,
+       |       CAST(is_inside AS INTEGER) AS is_inside, rank
+       |FROM ranked WHERE rank <= 3""".stripMargin
+
+  // =================================================================
   // D6+G4: expanding-ring kNN oracle. The loop's semantics have a closed
   // form: with nested radii (1,2,4,8) a point is answered in the FIRST
   // round whose Chebyshev disk contains any feature — i.e. radius* =

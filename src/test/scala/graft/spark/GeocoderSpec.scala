@@ -49,6 +49,45 @@ class GeocoderSpec extends SparkTestBase {
     assert(knnEvents.intersect(pipEvents).isEmpty)
   }
 
+  test("forward options: proximity override re-ranks; subtype scorerange filters") {
+    import spark.implicits._
+    val g = Geocoder.default(spark)
+    // proximity near region "data" (gid 1) vs near region "spark" (gid 2):
+    // the scoredist decay must re-rank the two equally-relevant regions
+    val page = Seq((1L, "data spark", 10.0, 20.0)).toDF("doc_id", "text", "qlon", "qlat")
+    val r1 = Synth.regions(0); val r2 = Synth.regions(1)
+    val nearData = g.forward(page, GeocodeOptions(proximity = Some((r1.lon, r1.lat)))).collect()
+    val nearSpark = g.forward(page, GeocodeOptions(proximity = Some((r2.lon, r2.lat)))).collect()
+    def rankOf(rows: Array[org.apache.spark.sql.Row], gid: Long) =
+      rows.find(_.getLong(1) == gid).map(_.getInt(7)).get
+    assert(rankOf(nearData, r1.id) < rankOf(nearData, r2.id))
+    assert(rankOf(nearSpark, r2.id) < rankOf(nearSpark, r1.id))
+    // place.landmark: only places in the top 10% of the place score scale
+    val allText = Seq((2L, Synth.places.map(_.name).mkString(" "), 0.0, 0.0))
+      .toDF("doc_id", "text", "qlon", "qlat")
+    val lm = g.forward(allText, GeocodeOptions(types = Some(Seq("place.landmark")), limit = 50))
+      .collect()
+    val maxScore = Synth.places.map(_.score).max
+    val landmarkIds = Synth.places.filter(_.score >= 0.9 * maxScore).map(_.id).toSet
+    assert(lm.nonEmpty && lm.map(_.getLong(1)).toSet.subsetOf(landmarkIds))
+  }
+
+  test("reverseK: containing features rank before nearby, bounded by limit") {
+    val pts = Synth.eventPoints(spark, "/root/testdata/sf0.001").limit(500)
+    val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
+    val g = Geocoder.default(spark)
+    val out = g.reverseK(pts, feats, limit = 3).collect()
+    assert(out.nonEmpty)
+    val byEvent = out.groupBy(_.getLong(0))
+    assert(byEvent.values.forall(_.length <= 3))
+    // within an event, all is_inside=1 rows precede is_inside=0 rows in rank
+    byEvent.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(4))
+      val flags = sorted.map(_.getInt(3))
+      assert(flags.sameElements(flags.sortBy(-(_: Int))), s"containment must rank first")
+    }
+  }
+
   test("forward options: stacks prunes whole country stacks; language swaps alt names") {
     import spark.implicits._
     val g = Geocoder.default(spark)
