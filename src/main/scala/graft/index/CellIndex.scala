@@ -91,4 +91,25 @@ object CellIndex {
 
   def lookupCol(cell: Column, bc: Broadcast[CellIndexData]): Column =
     ColumnBridge.column(CellLookup(ColumnBridge.expression(cell), bc))
+
+  /** long_set_contains(key): membership in a broadcast SORTED long array —
+    * the semi-join reduction filter. Used to prune probe rows BEFORE they
+    * shuffle into a large equi-join (e.g. token windows vs the grid index:
+    * the distinct phrase-id set is dictionary-sized even when the index is
+    * not, so windows matching nothing — the overwhelming majority — die in
+    * the map stage instead of shuffling). Exact, not a bloom filter: 8 B ×
+    * 10^7 phrases = 80 MB, comfortably under the broadcast ceiling. */
+  case class LongSetContains(child: Expression, bc: Broadcast[Array[Long]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "long_set_contains"
+    override def nullSafeEval(key: Any): Any =
+      java.util.Arrays.binarySearch(bc.value, key.asInstanceOf[Long]) >= 0
+    override protected def withNewChildInternal(c: Expression): LongSetContains =
+      copy(child = c)
+  }
+
+  def longSetContains(key: Column, bc: Broadcast[Array[Long]]): Column =
+    ColumnBridge.column(LongSetContains(ColumnBridge.expression(key), bc))
 }

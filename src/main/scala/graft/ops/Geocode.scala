@@ -37,6 +37,12 @@ object Geocode {
   private def memoCount(df: DataFrame): Long =
     countMemo.computeIfAbsent(df.queryExecution.analyzed.canonicalized, _ => df.count())
 
+  /** Memoized sorted distinct phrase-id array of a grid index (the
+    * [[forwardIndexed]] semi-join prefilter — a per-index-epoch build, not
+    * a per-query collect). */
+  private val phraseIdMemo = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Array[Long]]()
+
   /** B4: the DISTINCT contiguous token windows (lengths 1..maxLen) of each
     * doc's text, one row per (doc, window phrase). Map-side only: built with
     * array higher-order functions + explode so the whole stage stays inside
@@ -507,11 +513,28 @@ object Geocode {
     */
   def forwardIndexed(docs: DataFrame, grid: DataFrame, features: DataFrame,
                      k: Int = 5, stackCap: Int = 64,
-                     dedupe: Boolean = false): DataFrame = {
+                     dedupe: Boolean = false,
+                     dictCeiling: Long = BroadcastDictCeiling): DataFrame = {
+    import graft.index.CellIndex
     val maxLen = maxNameTokens(features)
-    val hits = tokenWindows(docs, maxLen)
+    val windows = tokenWindows(docs, maxLen)
       .withColumn("phrase_id", xxhash64(col("phrase")))
-      .join(grid.hint("shuffle_hash"), "phrase_id")
+    // Semi-join reduction BEFORE the shuffle: the distinct phrase-id SET is
+    // dictionary-sized (8 B × 10^7 ≈ 80 MB) even when the grid index is
+    // tens of GB — broadcast it sorted and kill the windows that match
+    // nothing (the overwhelming majority) in the map stage, so only real
+    // candidate rows pay the phrase_id exchange. Exact membership, not a
+    // bloom: no false-positive rows ride the shuffle. Over-ceiling
+    // dictionaries skip the prefilter (the join itself stays correct).
+    val prefiltered =
+      if (memoCount(grid.select(col("phrase_id")).distinct()) <= dictCeiling) {
+        val ids = phraseIdMemo.computeIfAbsent(
+          grid.queryExecution.analyzed.canonicalized,
+          _ => grid.select(col("phrase_id")).distinct().collect().map(_.getLong(0)).sorted)
+        val bc = docs.sparkSession.sparkContext.broadcast(ids)
+        windows.filter(CellIndex.longSetContains(col("phrase_id"), bc))
+      } else windows
+    val hits = prefiltered.join(grid.hint("shuffle_hash"), "phrase_id")
     val pruned = hits
       .withColumn("gr", row_number().over(
         Window.partitionBy(col("doc_id"), col("phrase_id"), col("typ"))

@@ -65,6 +65,26 @@ class PlanSpec extends SparkTestBase {
     assert("ShuffledHashJoin".r.findAllIn(p).size == 1, "only the stack join may shuffle")
   }
 
+  test("fwd_geocode_multi: chain pool joins shuffle on doc_id, never broadcast; top-k pushed") {
+    val p = plan(Queries.fwdGeocodeMulti(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("ShuffledHashJoin"), "pool joins must shuffle-hash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "N-level coalesce must stay an equi-join on doc_id with residual cell predicates")
+    assert(p.contains("WindowGroupLimit"), "final top-k should push WindowGroupLimit")
+  }
+
+  test("fwd_autocomplete_fuzzy stays deletion-key blocked (no nested loop)") {
+    val p = plan(Queries.fwdAutocompleteFuzzy(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "prefix deletion-key dictionary join should hash")
+  }
+
+  test("fwd_geocode_indexed prunes windows with the broadcast phrase-id set pre-shuffle") {
+    val p = plan(Queries.fwdGeocodeIndexed(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("long_set_contains"),
+      "semi-join reduction filter must run before the grid shuffle")
+  }
+
   test("ngram_jaccard candidates come from the prefix-token equi-join") {
     import graft.ops.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
