@@ -99,11 +99,13 @@ object SparkEntry {
       Ann.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5, nList0 = 16)),
     "dedup_embed" -> ((s, d) =>
       Ann.dedupEmbed(s.read.parquet(s"$d/embeddings.parquet"), nList0 = 16)),
+    // REAL media decode (JDK ImageIO): deterministic PNG synthesis is the
+    // ground truth; decode/resize/frame-parse must recover it (oracles are
+    // closed forms over the synthesis parameters / pixel formula)
     "mm_decode" -> ((s, d) => Multimodal.decodeMeta(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_features" -> ((s, d) => Multimodal.features(s, s.read.parquet(s"$d/documents.parquet"))),
-    "mm_resize" -> ((s, d) => Multimodal.resize(s, s.read.parquet(s"$d/documents.parquet"))
-      .select(col("doc_id"), col("w"), col("h"))),
+    "mm_resize" -> ((s, d) => Multimodal.resize(s, s.read.parquet(s"$d/documents.parquet"))),
     // --- generic window/agg coverage (F2/F3 shape) ---
     "window_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -182,8 +184,7 @@ object SparkEntry {
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,
     "mm_features" -> Multimodal.featuresSql,
-    "mm_resize" ->
-      "SELECT doc_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h FROM documents",
+    "mm_resize" -> Multimodal.resizeSql,
     "window_topk" ->
       """SELECT user_id, event_id, value, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT user_id, event_id, value,

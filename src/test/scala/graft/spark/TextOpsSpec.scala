@@ -163,13 +163,30 @@ class TextOpsSpec extends SparkTestBase {
       s"10x corpus grew blocked pairs ${growth}x — super-subquadratic bound violated")
   }
 
-  test("mm_decode plumbing: schema and determinism") {
+  test("mm decode is REAL: ImageIO round-trip recovers the synthesis ground truth") {
+    import graft.ops.Multimodal
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val out = graft.ops.Multimodal.decodeMeta(spark, docs)
-    assert(out.columns.toSeq ==
-      Seq("doc_id", "byte_len", "width", "height", "channels", "est_frames"))
-    val r = out.filter(col("doc_id") === 0).head()
-    val n = docs.filter(col("doc_id") === 0).head().getAs[String]("text").getBytes("UTF-8").length
-    assert(r.getLong(1) == n && r.getLong(2) == n % 640 + 16)
+      .filter(col("doc_id") < 20)
+    val out = Multimodal.decodeMeta(spark, docs).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == Multimodal.imgW(id) && r.getLong(2) == Multimodal.imgH(id)
+        && r.getLong(3) == 3L)
+    }
+    // pixel-exact: the PAYLOAD decodes back to the exact mix64 pixels (PNG
+    // lossless) — a header-only "decoder" cannot pass this
+    val p = Multimodal.syntheticMedia(spark, docs).collect().find(_.doc_id == 5L).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+    for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+      assert((img.getRGB(x, y) & 0xffffff) == Multimodal.pixel(5L, 0L, x, y))
+    // frames: container parse + per-frame decode dimensions
+    val fr = Multimodal.frameSample(spark, docs).collect()
+      .filter(_.getLong(0) == 7L).sortBy(_.getLong(1))
+    assert(fr.length == Multimodal.nFrames(7L))
+    fr.foreach { r =>
+      val i = r.getLong(1)
+      assert(r.getLong(3) == Multimodal.imgW(7L, i) && r.getLong(4) == Multimodal.imgH(7L, i))
+    }
   }
 }
