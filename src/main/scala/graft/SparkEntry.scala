@@ -106,6 +106,7 @@ object SparkEntry {
     "mm_frames" -> ((s, d) => Multimodal.frameSample(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_features" -> ((s, d) => Multimodal.features(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, s.read.parquet(s"$d/documents.parquet"))),
+    "mm_audio" -> ((s, d) => Multimodal.decodeAudio(s, s.read.parquet(s"$d/documents.parquet"))),
     // --- generic window/agg coverage (F2/F3 shape) ---
     "window_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -185,6 +186,7 @@ object SparkEntry {
     "mm_frames" -> Multimodal.frameSampleSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_resize" -> Multimodal.resizeSql,
+    "mm_audio" -> Multimodal.decodeAudioSql,
     "window_topk" ->
       """SELECT user_id, event_id, value, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT user_id, event_id, value,

@@ -192,6 +192,97 @@ object Multimodal {
        |FROM documents d,
        |LATERAL (SELECT unnest(generate_series(0, CAST(d.doc_id % 5 AS BIGINT))) AS i) g""".stripMargin
 
+  // -----------------------------------------------------------------
+  // Audio: REAL WAV decode via the JDK's javax.sound.sampled — the
+  // synthesized payload is a genuine RIFF/WAVE container (16-bit signed PCM
+  // LE, mono, 8 kHz) whose samples come from the mix64 formula; decode
+  // parses it with AudioSystem and must recover format + samples exactly
+  // (position-weighted checksum, closed-form oracle).
+  // -----------------------------------------------------------------
+
+  final case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+                             bits: Long, n_samples: Long, checksum: Long)
+
+  def nSamples(docId: Long): Int = ((docId % 4 + 1) * 100).toInt
+
+  /** Ground-truth sample i of doc's audio: floorMod(mix64, 2^16) − 2^15. */
+  def audioSample(docId: Long, i: Int): Int =
+    (java.lang.Math.floorMod(Fingerprint.mix64(docId * 2000003L + i), 65536L) - 32768L).toInt
+
+  private def renderWav(docId: Long): Array[Byte] = {
+    val n = nSamples(docId)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = audioSample(docId, i)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    // RIFF/WAVE header (PCM, mono, 8 kHz, 16-bit LE) — written by hand so
+    // the DECODE side (AudioSystem) does the real parsing work
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def le32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
+    def le16(v: Int): Unit = out.writeShort(java.lang.Short.reverseBytes(v.toShort))
+    out.writeBytes("RIFF"); le32(36 + data.length); out.writeBytes("WAVE")
+    out.writeBytes("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
+    le16(2); le16(16)
+    out.writeBytes("data"); le32(data.length); out.write(data)
+    bos.toByteArray
+  }
+
+  def syntheticAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaPayload(id, renderWav(id))))
+  }
+
+  def decodeAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, docs).mapPartitions { it =>
+      it.map { p =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p.payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          // 16-bit signed little-endian
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          sum += (i + 1).toLong * s
+          i += 1
+        }
+        AudioMeta(p.doc_id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+          fmt.getSampleSizeInBits.toLong, n.toLong, sum)
+      }
+    }.toDF()
+  }
+
+  /** Closed-form mirror: format from the synthesis contract, checksum from
+    * the mix64 sample formula (floorMod == unsigned % here). */
+  def decodeAudioSql: String = {
+    import graft.queries.SqlHash._
+    s"""WITH pos AS (
+       |  SELECT d.doc_id, g.i,
+       |         CAST((d.doc_id % 4 + 1) * 100 AS BIGINT) AS n
+       |  FROM documents d,
+       |  LATERAL (SELECT unnest(generate_series(0,
+       |    CAST((d.doc_id % 4 + 1) * 100 - 1 AS BIGINT))) AS i) g),
+       |seed AS (SELECT doc_id, i, n,
+       |                CAST(doc_id * 2000003 + i AS HUGEINT) % $M64 AS z FROM pos),
+       |${mix64Ctes("seed", "doc_id, i, n", "am")},
+       |samp AS (SELECT doc_id, i, n,
+       |                CAST(z % 65536 AS BIGINT) - 32768 AS s FROM am)
+       |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+       |       CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+       |       CAST(max(n) AS BIGINT) AS n_samples,
+       |       CAST(sum((i + 1) * s) AS BIGINT) AS checksum
+       |FROM samp GROUP BY doc_id""".stripMargin
+  }
+
   final case class FeatureVec(doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long,
                               f4: Long, f5: Long, f6: Long, f7: Long)
 
