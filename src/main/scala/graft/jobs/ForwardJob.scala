@@ -45,6 +45,26 @@ object ForwardJob {
       ranges, outDir, failAfter)
   }
 
+  /** N-level variant: the 4-level stack coalesce (continent→country→region→
+    * place chains) under the same per-Hilbert-range checkpoint + resume
+    * machinery — the job surface of `fwd_geocode_multi`. */
+  def runMulti(spark: SparkSession, sfDir: String, outDir: String,
+               nRanges: Int = 8, failAfter: Option[Int] = None): Seq[Int] = {
+    val m = Geocode.mentions(Synth.docPages(spark, sfDir), Synth.gazMultiDf(spark)).persist()
+    // multi-level results carry cells at each LEAF's own zoom (z4..z12), so
+    // the range key comes from the feature center's z8 cell, not an
+    // ancestor of the result cell (parentCell to a finer zoom is undefined)
+    val results = Geocode.rank(Geocode.coalesceN(m),
+        extraCols = Seq("chain", "glon", "glat"))
+      .withColumn("hkey", F.hilbertCell(F.cellAt(lit(8), col("glon"), col("glat"))))
+      .drop("glon", "glat")
+      .persist()
+    val ranges = Checkpoint.uniformRanges(8, nRanges)
+    Checkpoint.runResumable(spark,
+      (lo, hi) => results.filter(col("hkey") >= lo && col("hkey") < hi),
+      ranges, outDir, failAfter)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_forward_out")

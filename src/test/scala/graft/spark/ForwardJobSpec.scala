@@ -33,6 +33,23 @@ class ForwardJobSpec extends SparkTestBase {
     assert(fromJob == direct)
   }
 
+  test("multi-level forward job (coalesceN) resumes to the same result set") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("fwdjob_multi").toString
+    intercept[RuntimeException] {
+      ForwardJob.runMulti(spark, sf, out, nRanges = 8, failAfter = Some(2))
+    }
+    val resumed = ForwardJob.runMulti(spark, sf, out)
+    assert(resumed.size == 6)
+    val fromJob = Checkpoint.readAll(spark, out)
+      .select("doc_id", "feature_id", "chain", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    val m = Geocode.mentions(Synth.docPages(spark, sf), Synth.gazMultiDf(spark))
+    val direct = Geocode.rank(Geocode.coalesceN(m), extraCols = Seq("chain"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(6), r.getInt(8))).toSet
+    assert(fromJob == direct && fromJob.nonEmpty)
+  }
+
   test("indexed forward job (grid-index path) resumes to the same result set") {
     val sf = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("fwdjob_idx").toString
