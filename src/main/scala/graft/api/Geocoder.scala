@@ -31,7 +31,12 @@ final case class GeocodeOptions(
     proximity: Option[(Double, Double)] = None)
 
 final class Geocoder(spark: SparkSession, gaz: DataFrame,
-                     altNames: Option[DataFrame] = None) {
+                     altNames: Option[DataFrame] = None,
+                     /** When set, forward() stacks over these index levels
+                       * (coarse→fine) via the N-level coalesce; results gain
+                       * a `chain` column with the full id path. Default:
+                       * the 2-level region/place stack. */
+                     levels: Option[Seq[Geocode.IndexLevel]] = None) {
 
   /** The effective gazetteer under the options: C2 stacks filter prunes
     * whole country stacks BEFORE matching; the language option substitutes
@@ -62,7 +67,7 @@ final class Geocoder(spark: SparkSession, gaz: DataFrame,
       pages.withColumn("qlon", lit(plon)).withColumn("qlat", lit(plat))
     }.getOrElse(pages)
     val m = Geocode.mentions(pagesP, effectiveGaz(opts)).persist()
-    val cands0 = Geocode.coalesce2(m)
+    val cands0 = levels.map(ls => Geocode.coalesceN(m, ls)).getOrElse(Geocode.coalesce2(m))
     // C1 incl. SUBTYPE scoreranges (carmen `poi.landmark`): "<typ>.landmark"
     // keeps candidates of that type within the top scorerange — the top 10%
     // of the type's score scale, thresholds from a dim-sized gazetteer agg
@@ -84,7 +89,8 @@ final class Geocoder(spark: SparkSession, gaz: DataFrame,
     val cands = opts.bbox.map { case (w, s, e, n) =>
       cands1.filter(col("glon") >= w && col("glon") < e && col("glat") >= s && col("glat") < n)
     }.getOrElse(cands1)
-    val ranked = Geocode.rank(cands, opts.limit, opts.dedupe)
+    val ranked = Geocode.rank(cands, opts.limit, opts.dedupe,
+      extraCols = if (levels.isDefined) Seq("chain") else Nil)
     // context names: resolve ctx ids against the (broadcastable) gazetteer
     val names = gaz.select(col("gid"), col("name"))
     val ctxNames = names.select(col("gid").as("ctx"), col("name").as("ctx_name"))
@@ -94,8 +100,9 @@ final class Geocoder(spark: SparkSession, gaz: DataFrame,
       .withColumn("place_name",
         when(col("ctx") === -1L, col("name"))
           .otherwise(concat(col("name"), lit(", "), col("ctx_name"))))
-      .select(col("doc_id"), col("feature_id"), col("typ"), col("relev"),
-        col("cell"), col("ctx"), col("sd"), col("rank"), col("place_name"))
+      .select(Seq(col("doc_id"), col("feature_id"), col("typ"), col("relev"),
+        col("cell"), col("ctx"), col("sd"), col("rank"), col("place_name")) ++
+        (if (levels.isDefined) Seq(col("chain")) else Nil): _*)
   }
 
   /** Reverse geocode: context chain of containing features per type plus a
@@ -133,4 +140,11 @@ object Geocoder {
   def default(spark: SparkSession): Geocoder =
     new Geocoder(spark, graft.synth.Synth.gazDf(spark),
       Some(graft.synth.Synth.altNamesDf(spark)))
+
+  /** 4-level Geocoder (continent→country→region→place) over the multi
+    * gazetteer — results carry the chain id path. */
+  def multi(spark: SparkSession): Geocoder =
+    new Geocoder(spark, graft.synth.Synth.gazMultiDf(spark),
+      Some(graft.synth.Synth.altNamesDf(spark)),
+      levels = Some(Geocode.DefaultLevels))
 }

@@ -190,6 +190,22 @@ class GeocoderSpec extends SparkTestBase {
     assert(unc.filter(_.getLong(1) == 101L).head.getLong(5) == 17L)
   }
 
+  test("multi-level Geocoder surfaces the chain path through the options pipeline") {
+    import spark.implicits._
+    val g = Geocoder.multi(spark)
+    val page = Seq((1L, "customer value slow line data hash join", 0.0, 0.0))
+      .toDF("doc_id", "text", "qlon", "qlat")
+    val out = g.forward(page, GeocodeOptions(limit = 20)).collect()
+    assert(out.nonEmpty && out.head.schema.fieldNames.contains("chain"))
+    val hj = out.find(_.getLong(1) == 101L).get
+    assert(hj.getAs[String]("chain") == "501>601>1>101")
+    assert(hj.getAs[String]("place_name") == "hash join, data") // ctx = immediate parent
+    // options still compose: types filter over the 4-level candidates
+    val onlyCountries = g.forward(page,
+      GeocodeOptions(types = Some(Seq("country")), limit = 20)).collect()
+    assert(onlyCountries.nonEmpty && onlyCountries.forall(_.getString(2) == "country"))
+  }
+
   test("coalesceN at 2 levels is row-identical to coalesce2") {
     val docs = Synth.docPages(spark, "/root/testdata/sf0.001")
     val gaz = Synth.gazDf(spark)
