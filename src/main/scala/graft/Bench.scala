@@ -175,8 +175,10 @@ object Bench {
       }
       (median(a.toSeq), median(b.toSeq), a.toSeq, b.toSeq)
     }
-    // at-scale forward path (grid-index equi-join, no gazetteer broadcast)
-    // measured at 4N for comparison with the broadcast-path headline
+    // at-scale forward paths (grid-index equi-join, no gazetteer broadcast)
+    // measured at 4N for comparison with the broadcast-path headline:
+    // skinny index (3 exchanges, feature verify-join) and fat index
+    // (payload denormalized, verify in-row, 2 exchanges)
     def headlineIndexed(cores: String): Double = {
       val s = session(cores, headlineParts(cores))
       try {
@@ -188,6 +190,20 @@ object Bench {
         val sec = (1 to 3).map { _ =>
           s.catalog.clearCache()
           time(Geocode.forwardIndexed(pages, grid, feats).count())
+        }.min
+        nDocs / sec
+      } finally s.stop()
+    }
+    def headlineFat(cores: String): Double = {
+      val s = session(cores, headlineParts(cores))
+      try {
+        def grid = graft.queries.Queries.gazGridFatParquet(s)
+        def pages = s.read.parquet(pagesPath)
+        Geocode.forwardIndexedFat(pages.limit(10000), grid).count()
+        val nDocs = pages.count()
+        val sec = (1 to 3).map { _ =>
+          s.catalog.clearCache()
+          time(Geocode.forwardIndexedFat(pages, grid).count())
         }.min
         nDocs / sec
       } finally s.stop()
@@ -222,12 +238,13 @@ object Bench {
       }
 
     val rateIdx = headlineIndexed((4 * n).toString)
+    val rateFat = headlineFat((4 * n).toString)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"geocode-join throughput (docs/sec)","value":${f"$rate4N%.1f"},"unit":"docs/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"scale_n":$n,"docs_per_sec_n":${f"$rateN%.1f"},"docs_per_sec_4n":${f"$rate4N%.1f"},"scaling_efficiency":${f"$eff%.3f"},"samples_n":${arr(sN)},"samples_4n":${arr(s4N)},"estimator":"median_of_$samplesPerConfig-interleaved","load_probe_worst_ratio":${f"$probeWorst%.2f"}$wide,"docs_per_sec_indexed_4n":${f"$rateIdx%.1f"},"amplification":$amp,"sf":"$sfDir"}""")
+      s"""{"metric":"geocode-join throughput (docs/sec)","value":${f"$rate4N%.1f"},"unit":"docs/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"scale_n":$n,"docs_per_sec_n":${f"$rateN%.1f"},"docs_per_sec_4n":${f"$rate4N%.1f"},"scaling_efficiency":${f"$eff%.3f"},"samples_n":${arr(sN)},"samples_4n":${arr(s4N)},"estimator":"median_of_$samplesPerConfig-interleaved","load_probe_worst_ratio":${f"$probeWorst%.2f"}$wide,"docs_per_sec_indexed_4n":${f"$rateIdx%.1f"},"docs_per_sec_fat_4n":${f"$rateFat%.1f"},"amplification":$amp,"sf":"$sfDir"}""")
   }
 }
 

@@ -21,6 +21,7 @@ object SparkEntry {
     // --- geocoding core (SURVEY.md §2.B/C/D/E/F/H) ---
     "fwd_geocode" -> ((s, d) => Queries.fwdGeocode(s, d)),
     "fwd_geocode_indexed" -> ((s, d) => Queries.fwdGeocodeIndexed(s, d)),
+    "fwd_geocode_fat" -> ((s, d) => Queries.fwdGeocodeFat(s, d)),
     "fwd_geocode_multi" -> ((s, d) => Queries.fwdGeocodeMulti(s, d)),
     "fwd_dedup" -> ((s, d) => Queries.fwdDedup(s, d)),
     "fwd_stacks" -> ((s, d) => Queries.fwdStacks(s, d)),
@@ -119,15 +120,17 @@ object SparkEntry {
   )
 
   /** DuckDB mirrors over the bare table names (driver registers views).
-    * Omitted: dedup_minhash / dedup_simhash / doc_fingerprint / ann_lsh /
-    * knn_expand-style sketch hashing that is not SQL-expressible — i.e.
-    * minhash/simhash/LSH band math and raster masks get rows-only checks +
-    * ScalaTest goldens instead. (knn_expand and ann_ivf ARE mirrored: the
-    * ring expansion has a closed form and IVF is exact integer math.) */
+    * EVERY query has a bit-exact mirror — including the sketch family
+    * (mix64/FNV-1a/SimHash/MinHash/winnowing via queries.SqlHash HUGEINT
+    * limb arithmetic), LSH (SQL-side hyperplane sign tests), IVF (exact
+    * integer dot products), and rect rasterization (closed-form box union —
+    * rasterMaskSql). */
   def oracleSql: Map[String, String] = Map(
     "fwd_geocode" -> Queries.fwdGeocodeSql,
-    // indexed path is row-identical to fwd_geocode by D4-verify equivalence
+    // indexed + fat-indexed paths are row-identical to fwd_geocode by
+    // D4-verify equivalence
     "fwd_geocode_indexed" -> Queries.fwdGeocodeSql,
+    "fwd_geocode_fat" -> Queries.fwdGeocodeSql,
     "fwd_geocode_multi" -> Queries.fwdGeocodeMultiSql,
     "fwd_dedup" -> Queries.fwdDedupSql,
     "fwd_stacks" -> Queries.fwdStacksSql,
@@ -161,6 +164,9 @@ object SparkEntry {
     "fwd_autocomplete_fuzzy" -> Queries.fwdAutocompleteFuzzySql,
     "place_name_fmt" -> Queries.placeNameFmtSql,
     "lang_fallback" -> Queries.langFallbackSql,
+    // rect-feature rasterization has a closed form: row-range × col-range
+    // boxes per (tile, feature), popcount = per-scanline interval union
+    "raster_mask" -> Queries.rasterMaskSql,
     "dedup_exact" ->
       """SELECT doc_id, CAST(cnt AS BIGINT) AS group_n FROM (
         |  SELECT doc_id, count(*) OVER (PARTITION BY text) AS cnt,

@@ -55,6 +55,26 @@ object IndexBuild {
       scoreQ(col("score")).as("score_q"))
       .withColumn("hkey", F.hilbertCell(col("cell")))
 
+  /** [[gazetteerGrid]] with the rank-time feature payload (name, score, lon,
+    * lat) DENORMALIZED into the index row — the "fat" index. D4 name-verify
+    * becomes an in-row `phrase = name` filter and the per-candidate feature
+    * join — a full shuffle of the candidate frame on feature_id — disappears
+    * from the query plan ([[graft.ops.Geocode.forwardIndexedFat]]). Index
+    * rows grow by one string + three doubles (~40 B); at the 10^7-feature
+    * design point that is well under 1 GB extra table for one fewer big-side
+    * exchange on EVERY query — the classic index-only-scan trade. */
+  def gazetteerGridFat(gaz: DataFrame, zPlace: Int, zRegion: Int): DataFrame =
+    gaz.select(
+      phraseId(col("name")).as("phrase_id"),
+      col("typ"),
+      F.cellAt(when(col("typ") === "place", lit(zPlace)).otherwise(lit(zRegion)),
+        col("glon"), col("glat")).as("cell"),
+      col("gid").as("feature_id"),
+      relevQ(lit(1.0)).as("relev_q"),
+      scoreQ(col("score")).as("score_q"),
+      col("name"), col("score"), col("glon"), col("glat"))
+      .withColumn("hkey", F.hilbertCell(col("cell")))
+
   /** C3 scale path: bbox query against the sorted index — the bbox becomes
     * merged Hilbert-key ranges (CellMath.bboxToHilbertRanges) OR-ed into a
     * pushable range predicate, so parquet file/row-group min-max stats on

@@ -556,6 +556,65 @@ object Geocode {
     rank(stackAndUnion(placeCands, regionCands, maskRelev = true), k, dedupe)
   }
 
+  /** [[forwardIndexed]] over a FAT grid index
+    * ([[graft.index.IndexBuild.gazetteerGridFat]]): the index row carries the
+    * rank-time payload (name, typ, score, glon, glat), so D4 verify is an
+    * in-row `phrase = name` FILTER and the feature-table join — a second
+    * full shuffle of the per-doc candidate frame, on feature_id — is gone.
+    * Exchanges on the doc lineage drop 3 → 2: the phrase_id match join and
+    * the doc_id stack join (whose exchange the rank windows then reuse).
+    * The grid-prune window needs no exchange of its own: its partition keys
+    * (doc_id, phrase_id, typ) are a superset of the join's phrase_id
+    * hash-partitioning, which therefore already clusters them.
+    *
+    * Row-identical to [[forward]] and [[forwardIndexed]] under the same
+    * `stackCap`-exceeds-per-phrase-fanout condition (GeocoderSpec); verify
+    * runs BEFORE the cap here (it is free in-row), so hash-collision ghosts
+    * can never crowd real candidates out of the cap window. */
+  def forwardIndexedFat(docs: DataFrame, fatGrid: DataFrame,
+                        k: Int = 5, stackCap: Int = 64,
+                        dedupe: Boolean = false,
+                        dictCeiling: Long = BroadcastDictCeiling): DataFrame = {
+    import graft.index.CellIndex
+    val maxLen = maxNameTokens(fatGrid)
+    val windows = tokenWindows(docs, maxLen)
+      .withColumn("phrase_id", xxhash64(col("phrase")))
+    // same semi-join prefilter as [[forwardIndexed]]: the distinct phrase-id
+    // SET stays dictionary-sized no matter how fat the index rows are
+    val prefiltered =
+      if (memoCount(fatGrid.select(col("phrase_id")).distinct()) <= dictCeiling) {
+        val ids = phraseIdMemo.computeIfAbsent(
+          fatGrid.queryExecution.analyzed.canonicalized,
+          _ => fatGrid.select(col("phrase_id")).distinct().collect().map(_.getLong(0)).sorted)
+        val bc = docs.sparkSession.sparkContext.broadcast(ids)
+        windows.filter(CellIndex.longSetContains(col("phrase_id"), bc))
+      } else windows
+    // D4 verify, in-row. Written as a RANGE pair (<= AND >=), not `===`:
+    // Catalyst extracts any one-side-each equality into the join KEYS, which
+    // would re-key the exchange on (phrase_id, phrase) — and the grid-prune
+    // window below (clustered by doc_id, phrase_id, typ) would then need an
+    // exchange of its own. As residual predicates the join stays keyed on
+    // phrase_id alone and the window reuses its exchange (same trick as the
+    // doc_id-keyed stack join — see [[stackAndUnion]]).
+    val verified = prefiltered.join(fatGrid.hint("shuffle_hash"),
+        prefiltered("phrase_id") === fatGrid("phrase_id") &&
+          col("phrase") <= col("name") && col("phrase") >= col("name"))
+      .drop(fatGrid("phrase_id"))
+      .withColumn("gr", row_number().over(
+        Window.partitionBy(col("doc_id"), col("phrase_id"), col("typ"))
+          .orderBy(col("relev_q").desc, col("score_q").desc, col("feature_id").asc)))
+      .filter(col("gr") <= stackCap)
+      .select(col("doc_id"), col("qlon"), col("qlat"),
+        col("feature_id").as("gid"), col("name"), col("typ"), col("score"),
+        col("glon"), col("glat"), col("cell"),
+        (size(split(col("name"), " ")) / lit(3.0)).as("w"))
+      .persist()
+    val placeCands = verified.filter(col("typ") === "place")
+      .withColumn("cell8p", F.parentCell(col("cell"), lit(ZRegion)))
+    val regionCands = verified.filter(col("typ") === "region")
+    rank(stackAndUnion(placeCands, regionCands, maskRelev = true), k, dedupe)
+  }
+
   /** D5+C4: reverse geocode join — probe points equi-joined on the z-cell to
     * cover-exploded polygon features, then exact ray-cast PIP over WKB.
     * The cover explode happens on the (smaller) feature side; the probe side

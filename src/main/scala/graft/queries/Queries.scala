@@ -214,6 +214,32 @@ object Queries {
   def fwdGeocodeIndexed(spark: SparkSession, sfDir: String): DataFrame =
     Geocode.forwardIndexed(docPages(spark, sfDir), gazGridParquet(spark), gazDf(spark))
 
+  private val gazGridFatPath = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** The FAT gazetteer grid index on disk (payload columns denormalized —
+    * [[graft.index.IndexBuild.gazetteerGridFat]]); same location policy as
+    * [[gazGridParquet]]. */
+  def gazGridFatParquet(spark: SparkSession): DataFrame = this.synchronized {
+    var p = gazGridFatPath.get
+    if (p == null) {
+      p = sys.env.get("SPARK_GRAFT_TMP")
+        .map(t => s"$t/gazgridfat")
+        .getOrElse(java.nio.file.Files.createTempDirectory("graft-gazgridfat")
+          .resolve("gazgridfat").toString)
+      graft.index.IndexBuild.gazetteerGridFat(gazDf(spark), Geocode.ZPlace, Geocode.ZRegion)
+        .coalesce(1).sortWithinPartitions("phrase_id", "cell", "feature_id")
+        .write.mode("overwrite").parquet(p)
+      gazGridFatPath.set(p)
+    }
+    spark.read.parquet(p)
+  }
+
+  /** Forward geocode over the FAT grid index: D4 verify in-row, no feature
+    * join — one fewer big-side exchange than fwd_geocode_indexed. Row-
+    * identical to fwd_geocode, shares its oracle. */
+  def fwdGeocodeFat(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.forwardIndexedFat(docPages(spark, sfDir), gazGridFatParquet(spark))
+
   // =================================================================
   // E4: result-level dedupe — gazetteer with duplicate-name clones;
   // same-place candidates (name, cell) collapse before the limit.
@@ -364,6 +390,60 @@ object Queries {
        |FROM cf f,
        |LATERAL (SELECT unnest(generate_series(${tileXSql(8, "f.west")}, ${tileXSql(8, "f.east")})) AS x) xs,
        |LATERAL (SELECT unnest(generate_series(${tileYSql(8, "f.north")}, ${tileYSql(8, "f.south")})) AS y) ys""".stripMargin
+
+  // =================================================================
+  // H9: per-tile raster masks — closed-form oracle. The scanline kernel
+  // over RECT features has an exact arithmetic form: per (tile, feature)
+  // the lit pixels are a [row range] × [col range] box — rows are the
+  // pixel-center latitudes in [south, north) (the rect ring's vertical
+  // edges cross a scanline iff s <= lat < n), cols the pixel centers in
+  // [west, east] via the same ceil/floor fill arithmetic as the kernel.
+  // popcount(tile) = |union of boxes|, computed per scan row as a classic
+  // sorted-interval union (running-max window). DuckDB lacks sinh, so the
+  // inverse-mercator row latitude is written (exp(y)-exp(-y))/2 — a ≤1-ulp
+  // difference vs java.lang.Math.sinh that only matters if a pixel-center
+  // latitude lands within an ulp of a rect boundary (verified exact at
+  // sf0.001/0.01/0.1).
+  // =================================================================
+
+  def rasterMaskSql: String = {
+    // pixel-center lat of scan row py in tile row cy at z=8 (mirrors
+    // Raster.rowLats token-for-token modulo the sinh expansion)
+    val yy = "(pi() * (1.0 - 2.0 * (t.cy + (ps.py + 0.5) / 256.0) / 256.0))"
+    val rowLat = s"atan((exp($yy) - exp(-$yy)) / 2.0) * 180.0 / pi()"
+    // tile lon bounds; col fill = [ceil((w-W)/(E-W)*256-0.5), floor((e-W)/(E-W)*256-0.5)]
+    val tw = "(cx / 256.0 * 360.0 - 180.0)"
+    val te = "((cx+1) / 256.0 * 360.0 - 180.0)"
+    s"""WITH cf AS (${custFeaturesSql}),
+       |cov AS (
+       |  SELECT f.*, (8::BIGINT * 72057594037927936 + xs.x * 268435456 + ys.y) AS cell,
+       |         xs.x AS cx, ys.y AS cy
+       |  FROM cf f,
+       |  LATERAL (SELECT unnest(generate_series(${tileXSql(8, "f.west")}, ${tileXSql(8, "f.east")})) AS x) xs,
+       |  LATERAL (SELECT unnest(generate_series(${tileYSql(8, "f.north")}, ${tileYSql(8, "f.south")})) AS y) ys),
+       |px AS (
+       |  SELECT cell, cy, feature_id, south, north,
+       |         GREATEST(0, CAST(ceil((west - $tw) / ($te - $tw) * 256 - 0.5) AS INTEGER)) AS c0,
+       |         LEAST(255, CAST(floor((east - $tw) / ($te - $tw) * 256 - 0.5) AS INTEGER)) AS c1
+       |  FROM cov),
+       |rows_ AS (
+       |  SELECT p.cell, p.py, i.c0, i.c1
+       |  FROM (SELECT t.cell, t.cy, ps.py, $rowLat AS lat
+       |        FROM (SELECT DISTINCT cell, cy FROM px) t,
+       |             (SELECT unnest(generate_series(0, 255)) AS py) ps) p
+       |  JOIN px i ON i.cell = p.cell AND i.c0 <= i.c1
+       |           AND p.lat >= i.south AND p.lat < i.north),
+       |merged AS (
+       |  SELECT cell, py, GREATEST(0, c1 - GREATEST(c0, COALESCE(mp, -1) + 1) + 1) AS contrib
+       |  FROM (SELECT cell, py, c0, c1,
+       |               max(c1) OVER (PARTITION BY cell, py ORDER BY c0, c1
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+       |        FROM rows_)),
+       |nf AS (SELECT cell, count(*) AS n_features FROM cov GROUP BY 1),
+       |pop AS (SELECT cell, CAST(sum(contrib) AS BIGINT) AS pop FROM merged GROUP BY 1)
+       |SELECT n.cell, n.n_features, COALESCE(p.pop, 0) AS pop
+       |FROM nf n LEFT JOIN pop p USING (cell)""".stripMargin
+  }
 
   // =================================================================
   // D5+C4: reverse geocode join (cell equi-join + ray-cast PIP)

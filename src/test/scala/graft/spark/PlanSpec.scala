@@ -39,6 +39,32 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ShuffledHashJoin"), "phrase_id/verify joins should shuffle-hash")
   }
 
+  test("fwd_geocode_fat: verify is in-row — one fewer join/exchange than the skinny index") {
+    // FormattedMode lists each physical node ONCE in the details section
+    // (the simple toString re-prints the persisted subtree per
+    // InMemoryTableScan consumer, triple-counting the cached match join)
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pFat = fmt(Queries.fwdGeocodeFat(spark, "/root/testdata/sf0.001"))
+    val pSkinny = fmt(Queries.fwdGeocodeIndexed(spark, "/root/testdata/sf0.001"))
+    assert(!pFat.contains("BroadcastHashJoin") && !pFat.contains("BroadcastNestedLoopJoin"),
+      "fat-index path must not broadcast the index in any form")
+    assert(pFat.contains("long_set_contains"),
+      "semi-join reduction filter must run before the grid shuffle")
+    def nJoins(p: String) = "\\(\\d+\\) ShuffledHashJoin".r.findAllIn(p).size
+    def nExch(p: String) = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(nJoins(pFat) == 2,
+      s"fat path should have exactly 2 shuffle joins (match, stack); got ${nJoins(pFat)}")
+    assert(nJoins(pSkinny) == 3, "skinny path pays the feature verify-join")
+    assert(nExch(pFat) < nExch(pSkinny),
+      s"fat path must shuffle strictly less (${nExch(pFat)} vs ${nExch(pSkinny)})")
+    // the grid-prune window must REUSE the match join's phrase_id exchange:
+    // verify stays a residual predicate, never a join key (re-keying the
+    // shuffle on (phrase_id, phrase) would force a window exchange of its own)
+    assert("hashpartitioning\\([^)]*phrase#".r.findAllIn(pFat).isEmpty,
+      "phrase must not become a shuffle key (verify is residual)")
+  }
+
   test("fuzzy joins are deletion-blocked equi-joins, not nested loops") {
     val pm = plan(Queries.fuzzyMatch(spark, "/root/testdata/sf0.001"))
     val pn = plan(Queries.fuzzyMentions(spark, "/root/testdata/sf0.001"))
