@@ -384,12 +384,46 @@ object TextOps {
     "sv" -> Seq("en ", "et ", " de", "och", " oc", "ch ", "ar ", "att", " at",
       "tt ", "det", " ha", "som", " so", "om ", "der", "ill", " ti", "ing", "an "))
 
-  /** Char-trigram language ID: doc score per language = Σ over the doc's
-    * character trigrams of the profile weight; argmax with alphabetical
-    * tie-break. Docs matching NO profile trigram emit no row (both sides).
-    * The profile ships as a broadcast dim join — the corpus side is one
-    * explode, no shuffle besides the per-doc re-group. */
+  /** Char-trigram language ID, computed fully IN-ROW: the 160-entry profile
+    * is a compile-time constant, so each language's score (Σ over the doc's
+    * trigram positions of the profile weight) is a closed-form expression
+    * over the doc's trigram array, and the argmax folds over the
+    * alphabetical language list with strict `>` (ties keep the
+    * alphabetically-first language). Docs matching NO profile trigram emit
+    * no row. Zero joins, zero shuffles, zero windows — at corpus scale this
+    * is a pure codegen'd map over the documents table; the broadcast-join
+    * formulation ([[langIdNgramJoin]]) pays an explode ×|text| plus a
+    * per-doc re-group for the identical answer (equivalence-tested in
+    * TextOpsSpec; both match the same DuckDB oracle). */
   def langIdNgram(docs: DataFrame): DataFrame = {
+    def q(t: String) = "'" + t.replace("'", "''") + "'"
+    val scoreCols = langNgramProfiles.map { case (l, ts) =>
+      val terms = ts.zipWithIndex.map { case (t, i) =>
+        s"${ts.size - i}L * size(filter(tris, x -> x = ${q(t)}))"
+      }.mkString(" + ")
+      expr(s"CAST($terms AS BIGINT)").as(s"s_$l")
+    }
+    val cands = langNgramProfiles.map { case (l, _) =>
+      s"named_struct('score', s_$l, 'plang', '$l')"
+    }.mkString(", ")
+    docs
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")
+        .as("tris"))
+      .select(col("doc_id") +: scoreCols: _*)
+      .withColumn("best", expr(
+        s"aggregate(array($cands), named_struct('score', CAST(-1 AS BIGINT), 'plang', ''), " +
+          "(acc, x) -> IF(x.score > acc.score, x, acc))"))
+      .filter(col("best.score") > 0)
+      .select(col("doc_id"), col("best.plang").as("pred_lang"),
+        col("best.score").as("score"))
+  }
+
+  /** The broadcast-dim-join formulation of [[langIdNgram]] (explode the
+    * doc's trigrams, join the 160-row profile, re-group per doc) — kept for
+    * the equivalence test and as the shape that generalizes when the
+    * profile is data (not a literal): e.g. per-domain learned profiles. */
+  def langIdNgramJoin(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val profRows = for {

@@ -60,6 +60,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(pairs.head.getLong(0) == 0L && pairs.head.getLong(1) == 10L)
   }
 
+  test("in-row langIdNgram ≡ broadcast-join formulation (incl. overlapping trigrams)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "s", 1L),
+      (1L, "der schnelle braune fuchs springt und die hunde", "de", "s", 1L),
+      (2L, "le renard brun rapide saute par dessus le chien", "fr", "s", 1L),
+      // self-overlapping profile trigram ("ede", period 2): position-based
+      // counting must score "ededede" as 3 occurrences, not replace()'s 2
+      (3L, "ededede van het een", "nl", "s", 1L),
+      (4L, "zzz qqq xxx", "xx", "s", 1L), // matches no profile trigram: no row
+      (5L, "", "xx", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val inRow = rows(TextOps.langIdNgram(docs))
+    val joined = rows(TextOps.langIdNgramJoin(docs))
+    assert(inRow == joined, s"in-row $inRow vs join $joined")
+    assert(!inRow.exists(r => r._1 == 4L || r._1 == 5L))
+  }
+
   test("winnowing finds a copied passage between otherwise-different docs") {
     import spark.implicits._
     val passage = "the five boxing wizards jump quickly over the lazy dog tonight"
