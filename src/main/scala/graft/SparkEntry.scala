@@ -93,6 +93,10 @@ object SparkEntry {
       Ann.bruteForceTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
     "ann_lsh" -> ((s, d) =>
       Ann.lshTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
+    // occupancy-adaptive multi-probe: probe list per (query, table) cut once
+    // the probed buckets already hold `budget` corpus vectors
+    "ann_lsh_adaptive" -> ((s, d) =>
+      Ann.lshTopKAdaptive(s.read.parquet(s"$d/embeddings.parquet"), 50, 5, budget = 8)),
     // nList=16 is the frozen ORACLE variant (the SQL mirror's centroid CTE);
     // the library default derives nList from the corpus count — see
     // Ann.derivedNList* and the AnnSpec sub-quadratic guard
@@ -186,6 +190,7 @@ object SparkEntry {
     "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
     // full mirror: integer hyperplane sign test + SQL-side mix64 planes
     "ann_lsh" -> Ann.lshTopKSql(50, 5),
+    "ann_lsh_adaptive" -> Ann.lshTopKAdaptiveSql(50, 5, budget = 8),
     "ann_ivf" -> Ann.ivfTopKSql(50, 5),
     "dedup_embed" -> Ann.dedupEmbedSql(),
     "mm_decode" -> Multimodal.decodeMetaSql,

@@ -295,6 +295,28 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(child = c)
   }
 
+  /** char_ngrams(text, n): the array of all length-n character substrings
+    * (one per position — overlapping). One virtual call per ROW; the
+    * `transform(sequence(...), i -> substring(...))` formulation it
+    * replaces pays an interpreted lambda per POSITION (HOFs have no
+    * doGenCode), measured 2× the whole langid query cost. UTF-16 code-unit
+    * semantics, same as Spark's substring for BMP text. */
+  case class CharNgrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "char_ngrams"
+    override def nullSafeEval(s: Any): Any = {
+      val str = s.toString
+      val len = math.max(str.length - n + 1, 0)
+      val out = new Array[AnyRef](len)
+      var i = 0
+      while (i < len) { out(i) = UTF8String.fromString(str.substring(i, i + n)); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): CharNgrams = copy(child = c)
+  }
+
   case class SimHash(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -440,6 +462,7 @@ object F {
                      bc: org.apache.spark.broadcast.Broadcast[Seq[String]]): Column =
     c(AcMentionsLazy(x(s), bc))
   def docFingerprint(s: Column): Column = c(DocFingerprint(x(s)))
+  def charNgrams(s: Column, n: Int): Column = c(CharNgrams(x(s), n))
   def simhash64(s: Column): Column = c(SimHash(x(s)))
   def minhashBands(s: Column, k: Column, numHashes: Column, rowsPerBand: Column): Column =
     c(MinHashBands(x(s), x(k), x(numHashes), x(rowsPerBand)))

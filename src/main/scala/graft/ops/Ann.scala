@@ -114,6 +114,74 @@ object Ann {
       .distinct()
   }
 
+  /** Adaptive multi-probe (occupancy-cut): each query's probe list — the
+    * Hamming-ball masks in (flips, mask) order — is cut off per (query,
+    * table) once the buckets probed so far already hold `budget` corpus
+    * vectors. Dense home buckets (hot clusters) stop at the first probes;
+    * sparse ones keep probing the full ball to recover recall. Occupancy is
+    * a corpus aggregate whose size is CAPPED at nTables·2^planesPerTable
+    * rows (≤524k at the defaults) — a broadcastable dim at any corpus size —
+    * and the cut itself is a window over the QUERY-side probe rows only, so
+    * the corpus is never exploded or rescanned. Deterministic integer
+    * arithmetic end-to-end (driver oracle `ann_lsh_adaptive`). */
+  def lshCandidatesAdaptive(emb: DataFrame, nQueries: Int,
+                            nTables: Int = 8, planesPerTable: Int = 16,
+                            probeFlips: Int = 2, budget: Long = 8): DataFrame =
+    candidatesAdaptiveFromBase(quantBase(emb).persist(), nQueries, nTables,
+      planesPerTable, probeFlips, budget)
+
+  private def candidatesAdaptiveFromBase(base: DataFrame, nQueries: Int,
+                                         nTables: Int, planesPerTable: Int,
+                                         probeFlips: Int, budget: Long): DataFrame = {
+    require(planesPerTable <= 24, "bucket key uses the low 32 bits")
+    import graft.functions.F
+    val masksOrdered = probeMasks(planesPerTable, probeFlips)
+      .sortBy(m => (java.lang.Long.bitCount(m), m))
+    val corpusBuckets = base
+      .withColumn("bucket", explode(F.lshBuckets(col("q"), nTables, planesPerTable)))
+      .select(col("bucket"), col("vec_id"))
+    val occ = corpusBuckets.groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+    val probeStructs = array(masksOrdered.zipWithIndex.map { case (m, i) =>
+      struct(lit(i).as("pr"), lit(m).as("mask"))
+    }: _*)
+    val queryProbes = base.filter(col("vec_id") < nQueries)
+      .withColumn("b0", explode(F.lshBuckets(col("q"), nTables, planesPerTable)))
+      .withColumn("p", explode(probeStructs))
+      .select(col("vec_id").as("qid"), col("b0"), col("p.pr").as("pr"),
+        col("b0").bitwiseXOR(col("p.mask")).as("bucket"))
+    // running occupancy of the buckets probed BEFORE this one; the probe
+    // that crosses the budget is still taken (home probe always is)
+    val w = Window.partitionBy(col("qid"), col("b0")).orderBy(col("pr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = queryProbes
+      .join(broadcast(occ), Seq("bucket"), "left")
+      .withColumn("cum", coalesce(sum(col("occ")).over(w), lit(0L)))
+      .filter(col("cum") < budget)
+      .select(col("bucket"), col("qid"))
+    corpusBuckets.join(kept, "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+  }
+
+  /** [[lshTopK]] over the occupancy-cut candidate set. */
+  def lshTopKAdaptive(emb: DataFrame, nQueries: Int, k: Int,
+                      nTables: Int = 8, planesPerTable: Int = 16,
+                      probeFlips: Int = 2, budget: Long = 8): DataFrame = {
+    val base = quantBase(emb).persist()
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    candidatesAdaptiveFromBase(base, nQueries, nTables, planesPerTable,
+      probeFlips, budget)
+      .join(base.select(col("vec_id").as("nid"), col("q")), "nid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("nid"), dot(col("qv"), col("q")).as("dp"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("dp").cast("double").as("dp"), col("rank"))
+  }
+
   // ---------------------------------------------------------------
   // IVF (inverted-file) ANN — the second scale path: coarse-quantize the
   // corpus into nList cells (argmax dot against fixed centroids), queries
@@ -319,6 +387,65 @@ object Ann {
        |          UNION ALL SELECT $p16[a.b + 1] + $p16[c.b + 1] FROM mb a, mb c WHERE a.b < c.b),
        |qk AS (SELECT cb.vec_id AS qid, xor(cb.bits, m.mask) + cb.t * 4294967296 AS bucket
        |       FROM cb, masks m WHERE cb.vec_id < $nQueries),
+       |cand AS (SELECT DISTINCT q.qid, c.vec_id AS nid
+       |         FROM qk q JOIN ck c USING (bucket) WHERE c.vec_id <> q.qid),
+       |pairs AS (SELECT cand.qid, cand.nid, list_inner_product(a.q, b.q) AS dp
+       |          FROM cand JOIN e a ON a.vec_id = cand.qid
+       |          JOIN e b ON b.vec_id = cand.nid),
+       |ranked AS (
+       |  SELECT qid, nid, dp,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dp DESC, nid ASC) AS rank
+       |  FROM pairs)
+       |SELECT qid, nid, CAST(dp AS DOUBLE) AS dp, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Full DuckDB mirror of [[lshTopKAdaptive]]: same plane/bucket CTEs as
+    * [[lshTopKSql]], plus the occupancy aggregate and the per-(query, table)
+    * probe-rank window with the running-occupancy cut — all exact integer
+    * arithmetic, so the adaptive probe set is reproduced decision-for-
+    * decision. */
+  def lshTopKAdaptiveSql(nQueries: Int, k: Int,
+                         nTables: Int = 8, planesPerTable: Int = 16,
+                         budget: Long = 8): String = {
+    import graft.queries.SqlHash._
+    val np = nTables * planesPerTable
+    val p16 = (0 until planesPerTable)
+      .map(b => s"CAST(${1L << b} AS BIGINT)").mkString("[", ", ", "]")
+    s"""WITH pidx AS (
+       |  SELECT p.p, i.i, CAST(p.p * 131 + i.i AS HUGEINT) AS z
+       |  FROM (SELECT unnest(generate_series(0, ${np - 1})) AS p) p,
+       |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+       |${mix64Ctes("pidx", "p, i", "pmix")},
+       |pl AS (SELECT p, list(CAST(${toSigned("z")} % 1000000 AS BIGINT) ORDER BY i) AS mv
+       |       FROM pmix GROUP BY p),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, pl.p,
+       |         list_sum(list_transform(generate_series(1, 64), i -> pl.mv[i] * e.q[i])) AS dot
+       |  FROM e, pl),
+       |cb AS (
+       |  SELECT vec_id, p // $planesPerTable AS t,
+       |         CAST(sum(CASE WHEN dot >= 0 THEN $p16[(p % $planesPerTable) + 1]
+       |                       ELSE 0 END) AS BIGINT) AS bits
+       |  FROM dots GROUP BY 1, 2),
+       |ck AS (SELECT vec_id, bits + t * 4294967296 AS bucket FROM cb),
+       |occ AS (SELECT bucket, count(*) AS occ FROM ck GROUP BY 1),
+       |mb AS (SELECT unnest(generate_series(0, ${planesPerTable - 1})) AS b),
+       |masksf AS (SELECT 0 AS flips, 0 AS mask
+       |           UNION ALL SELECT 1, $p16[b + 1] FROM mb
+       |           UNION ALL SELECT 2, $p16[a.b + 1] + $p16[c.b + 1] FROM mb a, mb c WHERE a.b < c.b),
+       |qp AS (SELECT cb.vec_id AS qid, cb.t,
+       |              xor(cb.bits, m.mask) + cb.t * 4294967296 AS bucket,
+       |              row_number() OVER (PARTITION BY cb.vec_id, cb.t
+       |                                 ORDER BY m.flips, m.mask) AS pr
+       |       FROM cb, masksf m WHERE cb.vec_id < $nQueries),
+       |qpo AS (SELECT qp.*, COALESCE(o.occ, 0) AS occ
+       |        FROM qp LEFT JOIN occ o USING (bucket)),
+       |qk AS (SELECT qid, bucket FROM (
+       |         SELECT *, COALESCE(sum(occ) OVER (PARTITION BY qid, t ORDER BY pr
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |         FROM qpo) WHERE cum < $budget),
        |cand AS (SELECT DISTINCT q.qid, c.vec_id AS nid
        |         FROM qk q JOIN ck c USING (bucket) WHERE c.vec_id <> q.qid),
        |pairs AS (SELECT cand.qid, cand.nid, list_inner_product(a.q, b.q) AS dp

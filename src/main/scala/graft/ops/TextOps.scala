@@ -384,39 +384,44 @@ object TextOps {
     "sv" -> Seq("en ", "et ", " de", "och", " oc", "ch ", "ar ", "att", " at",
       "tt ", "det", " ha", "som", " so", "om ", "der", "ill", " ti", "ing", "an "))
 
-  /** Char-trigram language ID, computed fully IN-ROW: the 160-entry profile
-    * is a compile-time constant, so each language's score (Σ over the doc's
-    * trigram positions of the profile weight) is a closed-form expression
-    * over the doc's trigram array, and the argmax folds over the
-    * alphabetical language list with strict `>` (ties keep the
-    * alphabetically-first language). Docs matching NO profile trigram emit
-    * no row. Zero joins, zero shuffles, zero windows — at corpus scale this
-    * is a pure codegen'd map over the documents table; the broadcast-join
-    * formulation ([[langIdNgramJoin]]) pays an explode ×|text| plus a
-    * per-doc re-group for the identical answer (equivalence-tested in
-    * TextOpsSpec; both match the same DuckDB oracle). */
+  /** Char-trigram language ID: doc score per language = Σ over the doc's
+    * character trigram POSITIONS of the profile weight (overlap-correct);
+    * argmax with alphabetical tie-break; docs matching no profile trigram
+    * emit no row. Shape: one explode + broadcast dim join (narrow), then a
+    * SINGLE `groupBy(doc_id)` of 8 conditional sums — the per-language
+    * scores pivot into columns during the map-side partial aggregate, so
+    * exactly one shuffle of ≤|docs| rows and NO window; the argmax folds
+    * in-row over the 8 score columns (codegen'd CASE chain, same pattern as
+    * [[langId]]). A fully in-row variant (160 `size(filter(tris, ...))`
+    * closed forms, zero shuffles) was tried and measured 100× SLOWER:
+    * higher-order-function lambdas are interpreted (no doGenCode), and each
+    * filter re-derived the trigram array — the Generator lesson from
+    * BENCH.md applies to HOF pile-ups too. */
   def langIdNgram(docs: DataFrame): DataFrame = {
-    def q(t: String) = "'" + t.replace("'", "''") + "'"
-    val scoreCols = langNgramProfiles.map { case (l, ts) =>
-      val terms = ts.zipWithIndex.map { case (t, i) =>
-        s"${ts.size - i}L * size(filter(tris, x -> x = ${q(t)}))"
-      }.mkString(" + ")
-      expr(s"CAST($terms AS BIGINT)").as(s"s_$l")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profRows = for {
+      (l, ts) <- langNgramProfiles
+      (t, i) <- ts.zipWithIndex
+    } yield (l, t, (ts.size - i).toLong)
+    val prof = profRows.toDF("plang", "tri", "wt")
+    val tris = docs.select(col("doc_id"),
+      explode(F.charNgrams(col("text"), 3)).as("tri"))
+    val langs = langNgramProfiles.map(_._1)
+    val scored = tris.join(broadcast(prof), "tri")
+      .groupBy(col("doc_id"))
+      .agg(langs.head match { case h =>
+        sum(when(col("plang") === h, col("wt")).otherwise(0L)).as(s"s_$h")
+      }, langs.tail.map(l =>
+        sum(when(col("plang") === l, col("wt")).otherwise(0L)).as(s"s_$l")): _*)
+    // fold in alphabetical order with strict >: ties keep the first language
+    val best = langs.foldLeft((lit(""), lit(-1L))) { case ((bl, bs), l) =>
+      val better = col(s"s_$l") > bs
+      (when(better, lit(l)).otherwise(bl), when(better, col(s"s_$l")).otherwise(bs))
     }
-    val cands = langNgramProfiles.map { case (l, _) =>
-      s"named_struct('score', s_$l, 'plang', '$l')"
-    }.mkString(", ")
-    docs
-      .select(col("doc_id"), expr(
-        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")
-        .as("tris"))
-      .select(col("doc_id") +: scoreCols: _*)
-      .withColumn("best", expr(
-        s"aggregate(array($cands), named_struct('score', CAST(-1 AS BIGINT), 'plang', ''), " +
-          "(acc, x) -> IF(x.score > acc.score, x, acc))"))
-      .filter(col("best.score") > 0)
-      .select(col("doc_id"), col("best.plang").as("pred_lang"),
-        col("best.score").as("score"))
+    scored
+      .select(col("doc_id"), best._1.as("pred_lang"), best._2.as("score"))
+      .filter(col("score") > 0)
   }
 
   /** The broadcast-dim-join formulation of [[langIdNgram]] (explode the
@@ -431,9 +436,8 @@ object TextOps {
       (t, i) <- ts.zipWithIndex
     } yield (l, t, (ts.size - i).toLong)
     val prof = profRows.toDF("plang", "tri", "wt")
-    val tris = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
-      .as("tri"))
+    val tris = docs.select(col("doc_id"),
+      explode(F.charNgrams(col("text"), 3)).as("tri"))
     tris.join(broadcast(prof), "tri")
       .groupBy(col("doc_id"), col("plang")).agg(sum("wt").as("score"))
       .withColumn("rn", row_number().over(

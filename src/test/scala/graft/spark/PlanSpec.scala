@@ -117,4 +117,16 @@ class PlanSpec extends SparkTestBase {
     val p = plan(TextOps.ngramJaccard(TextOps.withMutatedCopies(docs)))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("lang_id_ngram: one shuffle (doc_id pivot-agg), profile broadcasts, no window") {
+    import graft.ops.TextOps
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = fmt(TextOps.langIdNgram(docs))
+    assert(p.contains("BroadcastHashJoin"), "trigram profile dim must broadcast")
+    assert(!p.contains(") Window"), "argmax must fold in-row, not via a window")
+    val nExch = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(nExch == 1, s"expected exactly 1 exchange (final doc_id agg); got $nExch:\n$p")
+  }
 }

@@ -152,6 +152,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(nCand < 0.2 * 40 * 239, s"candidates=$nCand — bucketing degenerated")
   }
 
+  test("adaptive LSH: occupancy cut prunes probes on dense buckets, ≡ full at ∞ budget") {
+    val emb = plantedEmb
+    val full = Ann.lshCandidates(emb, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbounded = Ann.lshCandidatesAdaptive(emb, 40, budget = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded == full, "∞ budget must reproduce the full multi-probe candidate set")
+    // clusters make home buckets dense (≈6 mates): a small budget stops
+    // probing after the earliest (lowest-flip) probes, shrinking candidates
+    val cut = Ann.lshCandidatesAdaptive(emb, 40, budget = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut.subsetOf(full), "cut candidates must be a subset of the full ball")
+    assert(cut.size < full.size,
+      s"budget=4 should prune probes on the planted clusters (full=${full.size}, cut=${cut.size})")
+    // recall survives: cluster mates share the HOME bucket (flips=0, always
+    // probed), so the true top-5 neighbours stay reachable
+    val brute = Ann.bruteForceTopK(emb, 40, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adapt = Ann.lshTopKAdaptive(emb, 40, 5, budget = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(adapt).size.toDouble / brute.size
+    assert(recall >= 0.9, s"adaptive recall=$recall")
+  }
+
   test("IVF ANN finds cluster neighbors through probed cells") {
     val emb = plantedEmb
     val brute = Ann.bruteForceTopK(emb, 40, 5)
