@@ -39,19 +39,48 @@ object Multimodal {
   def pixel(docId: Long, frame: Long, x: Int, y: Int): Int =
     (Fingerprint.mix64(docId * 1000003L + frame * 16777259L + y * 4096L + x) & 0xffffff).toInt
 
-  private def renderPng(docId: Long, frame: Long): Array[Byte] = {
+  /** Per-partition PNG codec. `ImageIO.read`/`write` on raw byte streams
+    * re-discover a codec per call AND default to a DISK-backed stream cache
+    * (a temp file per image) — per-image overhead that dwarfs the decode of
+    * a ≤32×24 tile. One reader/writer per partition with memory-cached
+    * streams is the same per-partition-init discipline as a batched Arrow
+    * decoder. NOT thread-safe — one instance per partition iterator. */
+  private final class PngCodec {
+    private val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    private val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, true, true)
+      val img = reader.read(0)
+      iis.close()
+      img
+    }
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
+      bos.toByteArray
+    }
+  }
+
+  private def renderPng(docId: Long, frame: Long, codec: PngCodec): Array[Byte] = {
     val w = imgW(docId, frame); val h = imgH(docId, frame)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // bulk store into the INT_RGB backing buffer (setRGB pays a per-pixel
+    // color-model conversion; the 24-bit pixel formula IS the packed layout)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(docId, frame, x, y)); x += 1 }
+      while (x < w) { buf(y * w + x) = pixel(docId, frame, x, y); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    codec.encode(img)
   }
 
   /** (doc_id, media) — one REAL PNG per doc (media is genuinely opaque
@@ -60,23 +89,29 @@ object Multimodal {
   def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => MediaPayload(id, renderPng(id, 0L))))
+      .mapPartitions { it =>
+        val codec = new PngCodec
+        it.map(id => MediaPayload(id, renderPng(id, 0L, codec)))
+      }
   }
 
   /** Length-prefixed multi-frame container (4-byte big-endian length per
     * frame, frames are PNGs) — the deterministic "video" payload. */
   def syntheticVideo(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
-      val bos = new java.io.ByteArrayOutputStream()
-      val out = new java.io.DataOutputStream(bos)
-      (0 until nFrames(id)).foreach { f =>
-        val png = renderPng(id, f)
-        out.writeInt(png.length)
-        out.write(png)
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val codec = new PngCodec
+      it.map { id =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(bos)
+        (0 until nFrames(id)).foreach { f =>
+          val png = renderPng(id, f, codec)
+          out.writeInt(png.length)
+          out.write(png)
+        }
+        MediaPayload(id, bos.toByteArray)
       }
-      MediaPayload(id, bos.toByteArray)
-    })
+    }
   }
 
   /** REAL decode: ImageIO parses the PNG; output must match the synthesis
@@ -85,8 +120,9 @@ object Multimodal {
   def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     syntheticMedia(spark, docs).mapPartitions { it =>
+      val codec = new PngCodec
       it.map { p =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+        val img = codec.decode(p.payload)
         MediaMeta(p.doc_id, img.getWidth.toLong, img.getHeight.toLong,
           img.getColorModel.getNumComponents.toLong)
       }
@@ -110,8 +146,9 @@ object Multimodal {
   def resize(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     syntheticMedia(spark, docs).mapPartitions { it =>
+      val codec = new PngCodec
       it.map { p =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+        val img = codec.decode(p.payload)
         val w = img.getWidth; val h = img.getHeight
         var sum = 0L
         var i = 0
@@ -168,6 +205,7 @@ object Multimodal {
   def frameSample(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     syntheticVideo(spark, docs).mapPartitions { it =>
+      val codec = new PngCodec
       it.flatMap { p =>
         val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(p.payload))
         val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
@@ -176,7 +214,7 @@ object Multimodal {
           val len = in.readInt()
           val buf = new Array[Byte](len)
           in.readFully(buf)
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(buf))
+          val img = codec.decode(buf)
           out += Frame(p.doc_id, idx, idx * 40L, img.getWidth.toLong, img.getHeight.toLong)
           idx += 1
         }
