@@ -33,6 +33,40 @@ object StreamingIndex {
       }
       .start()
 
+  /** Streaming forward geocode, stage 1: candidate mentions as pages
+    * arrive. A PURE stream-static join (no state, append mode, runs
+    * continuously): token windows explode on the stream side, the gazetteer
+    * is the static broadcast side — the same plan [[graft.ops.Geocode
+    * .mentions]] produces in batch, so every mention the batch path finds
+    * appears on the stream the micro-batch its page arrives in. */
+  def mentionStream(pages: DataFrame, gaz: DataFrame): DataFrame =
+    graft.ops.Geocode.mentions(pages, gaz)
+
+  /** Streaming forward geocode, stage 2: full ranked results per
+    * micro-batch. Ranking needs windows over the batch's candidate set
+    * (per-doc top-k is not append-streamable — a later row can never demote
+    * an emitted one), so the complete forward pipeline runs per micro-batch
+    * via foreachBatch with the SAME idempotence contract as the incremental
+    * index: output lands in a `batch=<id>` dir, reprocessing overwrites.
+    * Correct because forward geocoding is per-doc: a doc's result depends
+    * only on its own page row and the static gazetteer, so batch boundaries
+    * can't change answers (asserted row-identical to the batch path in
+    * IndexSpec). */
+  def geocodeStream(pages: DataFrame, gaz: DataFrame,
+                    outDir: String, checkpointDir: String, k: Int = 5): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Geocode.forward(batch, gaz, k)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** Watermarked per-window mention-rate aggregation over a stream of
     * (warc_ts, url) page arrivals — the streaming-side E6 metrics shape. */
   def pageRate(pages: DataFrame, watermark: String = "10 minutes",

@@ -173,6 +173,47 @@ class IndexSpec extends SparkTestBase {
       ("2026-01-01 00:21:00.0", "2026-01-01 00:21:00.0", 1L)), s"got ${rows.toSeq}")
   }
 
+  test("streaming forward geocode: batch-identical results, idempotent per-batch dirs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val pagesBatch = Synth.docPages(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "qlon", "qlat").limit(200)
+    val rows = pagesBatch.as[(Long, String, Double, Double)].collect()
+    val gaz = Synth.gazDf(spark)
+
+    // stage 1: pure stream-static mention join across TWO micro-batches
+    val mem = MemoryStream[(Long, String, Double, Double)]
+    val df = mem.toDF().toDF("doc_id", "text", "qlon", "qlat")
+    mem.addData(rows.take(100).toSeq)
+    val mstream = graft.streaming.StreamingIndex.mentionStream(df, gaz)
+      .writeStream.format("memory").queryName("mention_out")
+      .outputMode("append").start()
+    mstream.processAllAvailable()
+    mem.addData(rows.drop(100).toSeq)
+    mstream.processAllAvailable(); mstream.stop()
+    val got = spark.sql("SELECT doc_id, gid FROM mention_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Geocode.mentions(pagesBatch, gaz)
+      .select("doc_id", "gid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"stream mentions diverge: ${got.size} vs ${expect.size}")
+
+    // stage 2: full ranked geocode per micro-batch (foreachBatch)
+    val out = Files.createTempDirectory("sgeo").toString
+    val ckpt = Files.createTempDirectory("sgeo_ckpt").toString
+    val mem2 = MemoryStream[(Long, String, Double, Double)]
+    val df2 = mem2.toDF().toDF("doc_id", "text", "qlon", "qlat")
+    mem2.addData(rows.toSeq)
+    val q = graft.streaming.StreamingIndex.geocodeStream(df2, gaz, out, ckpt)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id", "feature_id", "relev").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Geocode.forward(pagesBatch, gaz)
+      .select("doc_id", "feature_id", "relev").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"streamed forward diverges: ${streamed.size} vs ${batch.size}")
+  }
+
   test("streaming cell rate: watermarked per-cell window counts") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
