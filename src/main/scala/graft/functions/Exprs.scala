@@ -359,6 +359,33 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** sorted_inter_count(a, b): |a ∩ b| for two SORTED array<long> inputs —
+    * a single merge pass, no hash set, no output array allocation. The
+    * verify kernel of set-similarity joins: with token arrays pre-hashed to
+    * sorted longs, per-pair cost is O(|a|+|b|) primitive compares vs
+    * array_intersect's per-element hashing of strings. */
+  case class SortedInterCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_inter_count"
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData]
+      val xb = b.asInstanceOf[ArrayData]
+      val na = xa.numElements(); val nb = xb.numElements()
+      var i = 0; var j = 0; var n = 0
+      while (i < na && j < nb) {
+        val va = xa.getLong(i); val vb = xb.getLong(j)
+        if (va < vb) i += 1
+        else if (va > vb) j += 1
+        else { n += 1; i += 1; j += 1 }
+      }
+      n
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedInterCount =
+      copy(left = l, right = r)
+  }
+
   /** winnow_fps(text): MOSS winnowing fingerprints (char k-grams, window w)
     * — the substring-robust document sketch for near-dup candidate
     * generation (any shared run >= w+k-1 chars shares a fingerprint). */
@@ -472,6 +499,8 @@ object F {
     c(LshBandsFromSig(x(sig), x(rowsPerBand)))
   def lshBuckets(q: Column, nTables: Int, planesPerTable: Int): Column =
     c(LshBuckets(x(q), nTables, planesPerTable))
+  def sortedInterCount(a: Column, b: Column): Column =
+    c(SortedInterCount(x(a), x(b)))
   def winnowFps(s: Column, k: Int = 8, w: Int = 16): Column =
     c(WinnowFps(x(s), k, w))
 

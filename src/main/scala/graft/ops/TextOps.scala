@@ -189,9 +189,20 @@ object TextOps {
     * the 100 TB design point. [Bayardo et al., WWW'07 "Scaling Up All
     * Pairs Similarity Search" — public construction.] */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // Token arrays carry BOTH forms: strings (df counting + prefix
+    // selection, which orders by the string token) and sorted 64-bit
+    // hashes (candidate-join keys + the verify merge). Hashing shrinks the
+    // shuffled payload (8 B/token, no offsets) and turns verify into a
+    // primitive merge-intersect — measured 4.6× faster than string
+    // array_intersect at sf0.1 (551k output pairs). A cross-doc hash
+    // collision can only ADD a candidate (verify re-checks) or, in theory,
+    // perturb an intersection count (P ≈ vocab²/2⁶⁵ — negligible; the
+    // DuckDB oracle would catch it at test scale).
     val t = docs.select(col("doc_id"), col("lang"),
       (col("n_chars") / 100).cast("long").as("bucket"),
       array_distinct(F.tokenize(col("text"))).as("toks"))
+      .withColumn("h", sort_array(transform(col("toks"), x => xxhash64(x))))
+      .withColumn("nt", size(col("toks")))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .persist()
     val df_ = t.select(explode(col("toks")).as("tok"))
@@ -201,17 +212,19 @@ object TextOps {
     val bc = docs.sparkSession.sparkContext.broadcast(graft.index.TermStats.build(df_))
     val pref = t
       .select(col("lang"), col("bucket"), col("doc_id"),
-        explode(graft.index.TermStats.prefixTokens(col("toks"), threshold, bc)).as("tok"))
+        explode(transform(
+          graft.index.TermStats.prefixTokens(col("toks"), threshold, bc),
+          x => xxhash64(x))).as("tok"))
     val cand = pref.select(col("lang"), col("bucket"), col("tok"), col("doc_id").as("a"))
       .join(pref.select(col("lang"), col("bucket"), col("tok"), col("doc_id").as("b")),
         Seq("lang", "bucket", "tok"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     cand
-      .join(t.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
-      .join(t.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-      .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
+      .join(t.select(col("doc_id").as("a"), col("h").as("ha"), col("nt").as("na")), "a")
+      .join(t.select(col("doc_id").as("b"), col("h").as("hb"), col("nt").as("nb")), "b")
+      .withColumn("inter", F.sortedInterCount(col("ha"), col("hb")))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
