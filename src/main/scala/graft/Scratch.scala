@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling main (not part of the library surface). */
@@ -17,46 +17,56 @@ object Scratch {
       val n = f
       println(f"[scratch] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s  rows=$n")
     }
-    import graft.ops.TextOps
-    val docs = TextOps.withMutatedCopies(graft.synth.Synth.docPages(spark, sfDir))
-    docs.persist().count()
-    // stage 1: candidates only
-    val t = docs.select(col("doc_id"), col("lang"),
-      (col("n_chars") / 100).cast("long").as("bucket"),
-      array_distinct(graft.functions.F.tokenize(col("text"))).as("toks"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .persist()
-    t.count()
-    val df_ = t.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    val bc = spark.sparkContext.broadcast(graft.index.TermStats.build(df_))
-    val pref = t.select(col("lang"), col("bucket"), col("doc_id"),
-      explode(graft.index.TermStats.prefixTokens(col("toks"), 0.5, bc)).as("tok"))
-    time("prefix explode")(pref.count())
-    val cand = pref.select(col("lang"), col("bucket"), col("tok"), col("doc_id").as("a"))
-      .join(pref.select(col("lang"), col("bucket"), col("tok"), col("doc_id").as("b")),
-        Seq("lang", "bucket", "tok"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct().persist()
-    time("candidates")(cand.count())
-    time("verify join (strings)")(
-      cand.join(t.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
-        .join(t.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
-        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-        .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
-        .filter(col("inter") / col("uni").cast("double") >= 0.5).count())
-    val th = t.select(col("doc_id"),
-      sort_array(transform(col("toks"), x => xxhash64(x))).as("h"),
-      size(col("toks")).as("nt")).persist()
-    th.count()
-    time("verify join (hashed)")(
-      cand.join(th.select(col("doc_id").as("a"), col("h").as("ha"), col("nt").as("na")), "a")
-        .join(th.select(col("doc_id").as("b"), col("h").as("hb"), col("nt").as("nb")), "b")
-        .withColumn("inter", graft.functions.F.sortedInterCount(col("ha"), col("hb")))
-        .withColumn("uni", col("na") + col("nb") - col("inter"))
-        .filter(col("inter") / col("uni").cast("double") >= 0.5).count())
-    // full query for reference
-    time("full ngramJaccard")(TextOps.ngramJaccard(docs).count())
+    for (q <- Seq("fuzzy_mentions"); rep <- 1 to 2)
+      time(s"$q#$rep")(SparkEntry.queries(q)(spark, sfDir).count())
+    // stage breakdown of fuzzyMentions
+    import graft.functions.F
+    import graft.queries.Queries
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val gaz = graft.synth.Synth.gazDf(spark)
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(F.tokenize(col("text")))).as("tok"))
+    time("single toks explode")(toks.count())
+    val multi = gaz.filter(col("name").contains(" "))
+      .withColumn("ntoks", split(col("name"), " "))
+      .withColumn("len_l", size(col("ntoks")))
+    val lengths = multi.select(col("len_l")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    println(s"[scratch] lengths=$lengths gazMulti=${multi.count()} gazSingle=${gaz.filter(!col("name").contains(" ")).count()}")
+    val wins = docs
+      .select(col("doc_id"), explode(F.windowStrings(col("text"), lengths)).as("w"))
+      .withColumn("wtoks", split(col("w"), " "))
+      .withColumn("len_l", size(col("wtoks")))
+    time("wins")(wins.count())
+    val winKeys = wins
+      .withColumn("p", explode(sequence(lit(0), col("len_l") - 1)))
+      .withColumn("btok", element_at(col("wtoks"), col("p") + 1))
+      .select(col("doc_id"), col("w"), col("len_l"), col("p"),
+        explode(graft.functions.F.delKeys(col("btok"))).as("dk"))
+    time("winKeys")(winKeys.count())
+    val freq = Queries.freqIndex(spark, sfDir)
+    time("freqIndex")(freq.count())
+    // ORIGINAL wins construction (per-length unions + dropDuplicates)
+    val dtoks = docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
+    val winsOld = lengths.map { l =>
+      dtoks.select(col("doc_id"),
+        explode(when(size(col("toks")) >= l,
+          transform(sequence(lit(1), size(col("toks")) - lit(l - 1)),
+            i => slice(col("toks"), i, lit(l))))
+          .otherwise(array().cast("array<array<string>>"))).as("wtoks"))
+        .withColumn("len_l", lit(l))
+    }.reduce(_ unionByName _)
+      .withColumn("w", array_join(col("wtoks"), " "))
+      .dropDuplicates("doc_id", "w")
+    time("winsOld")(winsOld.count())
+    val winKeysOld = winsOld
+      .withColumn("p", explode(sequence(lit(0), col("len_l") - 1)))
+      .withColumn("btok", element_at(col("wtoks"), col("p") + 1))
+      .select(col("doc_id"), col("w"), col("len_l"), col("p"),
+        explode(graft.functions.F.delKeys(col("btok"))).as("dk"))
+    time("winKeysOld")(winKeysOld.count())
+    for (rep <- 1 to 2)
+      time(s"fuzzy_mentions_again#$rep")(SparkEntry.queries("fuzzy_mentions")(spark, sfDir).count())
     spark.stop()
   }
 }

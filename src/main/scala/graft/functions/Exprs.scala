@@ -230,6 +230,70 @@ object Exprs {
       copy(child = c)
   }
 
+  /** window_strings(text): the DISTINCT space-joined token windows of the
+    * given EXACT lengths — native single pass feeding a built-in explode
+    * (the array-HOF form — nested transform/array_join/array_distinct
+    * lambdas — is interpreted and was measured at 2.5× the whole consuming
+    * query). Distinctness is per row, which equals per (doc_id, w)
+    * dedup downstream without any exchange. */
+  case class WindowStrings(child: Expression, lengths: Seq[Int])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "window_strings"
+    override def nullSafeEval(s: Any): Any = {
+      val toks = Text.tokenize(s.toString)
+      val seen = new java.util.LinkedHashSet[String]()
+      lengths.foreach { len =>
+        var i = 0
+        while (i + len <= toks.length) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < len) { sb.append(' ').append(toks(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WindowStrings =
+      copy(child = c)
+  }
+
+  /** del_keys(token): the DISTINCT deletion-1 neighborhood of a token —
+    * token with position i removed, for every i, plus the token itself
+    * (SymSpell symmetric-delete blocking keys). Native form of the
+    * interpreted transform(sequence(...), i -> concat(left, substr)) HOF,
+    * which dominated the fuzzy-join key stage (~8 interpreted evals per
+    * token × millions of tokens). First-occurrence order, matching
+    * array_distinct. */
+  case class DelKeys(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "del_keys"
+    override def nullSafeEval(s: Any): Any = {
+      val str = s.toString
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i < str.length) {
+        seen.add(str.substring(0, i) + str.substring(i + 1))
+        i += 1
+      }
+      seen.add(str)
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): DelKeys = copy(child = c)
+  }
+
   /** ac_mentions(text): UDTF emitting the DISTINCT gazetteer phrases that
     * occur in the text as contiguous token subsequences, via a broadcast
     * Aho–Corasick automaton — one pass over the token stream regardless of
@@ -357,6 +421,61 @@ object Exprs {
         sig.asInstanceOf[ArrayData].toLongArray(), rpb.asInstanceOf[Int]))
     override protected def withNewChildrenInternal(l: Expression, r: Expression): LshBandsFromSig =
       copy(left = l, right = r)
+  }
+
+  /** lang_ngram_best(text): per-language Σ of profile weights over the
+    * text's char-trigram POSITIONS (same UTF-16 window semantics as
+    * [[CharNgrams]]), argmax folded IN the expression — returns a 0/1-element
+    * array<struct<pred_lang,score>> meant to be exploded (empty = no profile
+    * trigram matched; ties keep the first language in profile order). The
+    * in-row form of explode-trigrams ⋈ profile-dim ⋈ re-group when the
+    * profile is frozen at plan time: one string pass, trigram keys packed
+    * into a long (3 × 16-bit units), transient hash-map lookups. Emitting
+    * through a Generator (not a scalar struct) is load-bearing: scalar
+    * results get re-substituted per reference by CollapseProject/predicate
+    * pushdown — a nested argmax CASE chain re-evaluated the scorer
+    * exponentially (measured 511 copies in the plan) — while generator
+    * output attributes can never be inlined. */
+  case class LangNgramBest(child: Expression, langs: Seq[String],
+                           profile: Seq[(Long, Array[Long])])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pred_lang", StringType, nullable = false),
+      StructField("score", LongType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "lang_ngram_best"
+    @transient private lazy val jmap = {
+      val m = new java.util.HashMap[java.lang.Long, Array[Long]](profile.size * 2)
+      profile.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    @transient private lazy val langU8 = langs.map(UTF8String.fromString).toArray
+    override def nullSafeEval(s: Any): Any = {
+      val str = s.toString
+      val sums = new Array[Long](langs.size)
+      var i = 0
+      val n = str.length - 2
+      while (i < n) {
+        val key = (str.charAt(i).toLong << 32) |
+          (str.charAt(i + 1).toLong << 16) | str.charAt(i + 2).toLong
+        val hits = jmap.get(key)
+        if (hits != null) {
+          var j = 0
+          while (j < hits.length) {
+            val p = hits(j)
+            sums((p >>> 32).toInt) += (p & 0xffffffffL)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var best = 0; i = 1
+      while (i < sums.length) { if (sums(i) > sums(best)) best = i; i += 1 }
+      if (sums(best) <= 0L) new GenericArrayData(Array.empty[Any])
+      else new GenericArrayData(Array[Any](
+        InternalRow(langU8(best), sums(best))))
+    }
+    override protected def withNewChildInternal(c: Expression): LangNgramBest = copy(child = c)
   }
 
   /** sorted_inter_count(a, b): |a ∩ b| for two SORTED array<long> inputs —
@@ -501,6 +620,25 @@ object F {
     c(LshBuckets(x(q), nTables, planesPerTable))
   def sortedInterCount(a: Column, b: Column): Column =
     c(SortedInterCount(x(a), x(b)))
+  def windowStrings(text: Column, lengths: Seq[Int]): Column =
+    c(WindowStrings(x(text), lengths))
+  def delKeys(tok: Column): Column = c(DelKeys(x(tok)))
+  /** Builds the packed trigram→(langIdx, weight) profile for
+    * [[Exprs.LangNgramBest]] (weight = profile length − rank). Trigrams
+    * longer/shorter than 3 UTF-16 units are rejected (the packing is
+    * 3×16-bit). */
+  def langNgramBest(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val packed = profiles.zipWithIndex.flatMap { case ((_, tris), li) =>
+      tris.zipWithIndex.map { case (t, r) =>
+        require(t.length == 3, s"trigram profile entry '$t' must be 3 chars")
+        val key = (t.charAt(0).toLong << 32) | (t.charAt(1).toLong << 16) | t.charAt(2).toLong
+        val wt = (tris.size - r).toLong
+        key -> ((li.toLong << 32) | wt)
+      }
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, vs) => (k, vs.map(_._2).toArray) }
+    c(LangNgramBest(x(text), profiles.map(_._1), packed))
+  }
   def winnowFps(s: Column, k: Int = 8, w: Int = 16): Column =
     c(WinnowFps(x(s), k, w))
 

@@ -48,5 +48,7 @@ object Register {
     mk("minhash_sig", Seq(StringType, IntegerType, IntegerType),
       a => Exprs.MinHashSig(a(0), a(1), a(2)))
     mk("lsh_bands", Seq(AL, IntegerType), a => Exprs.LshBandsFromSig(a(0), a(1)))
+    mk("del_keys", Seq(StringType), a => Exprs.DelKeys(a(0)))
+    mk("sorted_inter_count", Seq(AL, AL), a => Exprs.SortedInterCount(a(0), a(1)))
   }
 }

@@ -400,42 +400,24 @@ object TextOps {
   /** Char-trigram language ID: doc score per language = Σ over the doc's
     * character trigram POSITIONS of the profile weight (overlap-correct);
     * argmax with alphabetical tie-break; docs matching no profile trigram
-    * emit no row. Shape: one explode + broadcast dim join (narrow), then a
-    * SINGLE `groupBy(doc_id)` of 8 conditional sums — the per-language
-    * scores pivot into columns during the map-side partial aggregate, so
-    * exactly one shuffle of ≤|docs| rows and NO window; the argmax folds
-    * in-row over the 8 score columns (codegen'd CASE chain, same pattern as
-    * [[langId]]). A fully in-row variant (160 `size(filter(tris, ...))`
-    * closed forms, zero shuffles) was tried and measured 100× SLOWER:
-    * higher-order-function lambdas are interpreted (no doGenCode), and each
-    * filter re-derived the trigram array — the Generator lesson from
-    * BENCH.md applies to HOF pile-ups too. */
-  def langIdNgram(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val profRows = for {
-      (l, ts) <- langNgramProfiles
-      (t, i) <- ts.zipWithIndex
-    } yield (l, t, (ts.size - i).toLong)
-    val prof = profRows.toDF("plang", "tri", "wt")
-    val tris = docs.select(col("doc_id"),
-      explode(F.charNgrams(col("text"), 3)).as("tri"))
-    val langs = langNgramProfiles.map(_._1)
-    val scored = tris.join(broadcast(prof), "tri")
-      .groupBy(col("doc_id"))
-      .agg(langs.head match { case h =>
-        sum(when(col("plang") === h, col("wt")).otherwise(0L)).as(s"s_$h")
-      }, langs.tail.map(l =>
-        sum(when(col("plang") === l, col("wt")).otherwise(0L)).as(s"s_$l")): _*)
-    // fold in alphabetical order with strict >: ties keep the first language
-    val best = langs.foldLeft((lit(""), lit(-1L))) { case ((bl, bs), l) =>
-      val better = col(s"s_$l") > bs
-      (when(better, lit(l)).otherwise(bl), when(better, col(s"s_$l")).otherwise(bs))
-    }
-    scored
-      .select(col("doc_id"), best._1.as("pred_lang"), best._2.as("score"))
-      .filter(col("score") > 0)
-  }
+    * emit no row. Shape: a pure per-row map — ZERO exchanges. The scorer is
+    * one native expression pass over the text (trigram keys packed into a
+    * long, hash-map lookups against the frozen profile); the argmax folds
+    * in-row over the 8 array slots (codegen'd CASE chain, same pattern as
+    * [[langId]]). A fully in-row HOF variant (160 `size(filter(tris, ...))`
+    * closed forms) was tried and measured 100× SLOWER — interpreted lambdas
+    * re-deriving the trigram array per language. The NATIVE single-pass
+    * expression ([[F.langNgramScores]]: one string scan, packed-long trigram
+    * lookups) has neither problem: zero exchanges, measured well under the
+    * join+pivot shape. The join+pivot form survives as
+    * [[langIdNgramJoin]] — the shape that generalizes when the profile is
+    * DATA (learned per-domain profiles) rather than a frozen literal. */
+  def langIdNgram(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(F.langNgramBest(col("text"), langNgramProfiles)).as("b"))
+      .select(col("doc_id"), col("b.pred_lang").as("pred_lang"),
+        col("b.score").as("score"))
 
   /** The broadcast-dim-join formulation of [[langIdNgram]] (explode the
     * doc's trigrams, join the 160-row profile, re-group per doc) — kept for

@@ -939,9 +939,10 @@ object Queries {
     * distance ≤ 1 ALWAYS share a key (delete the edited position on the
     * longer/both sides), so the fuzzy join is an equi-join on the key with
     * levenshtein only as a verify filter — never a nested-loop θ-join.
-    * Keys per token = length+1 (the string itself at i = length). */
-  private def delKeys(c: String): Column =
-    expr(s"array_distinct(transform(sequence(0, length($c)), i -> concat(left($c, i), substr($c, i+2))))")
+    * Keys per token = length+1 (the string itself last). Native expression
+    * ([[F.delKeys]]): the interpreted HOF form cost ~8 lambda evals per
+    * token across millions of exploded tokens. */
+  private def delKeys(c: String): Column = F.delKeys(col(c))
 
   /** B5+D1 fused: fuzzy mention candidates — FULL-phrase fuzzy matching
     * (carmen's fuzzy phrasematch feeding spatialmatch), both arms
@@ -984,17 +985,16 @@ object Queries {
     // maxNameTokens (dim-sized driver agg, not a corpus job)
     val lengths = multi.select(col("len_l")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val dtoks = docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
-    val wins = lengths.map { l =>
-      dtoks.select(col("doc_id"),
-        explode(when(size(col("toks")) >= l,
-          transform(sequence(lit(1), size(col("toks")) - lit(l - 1)),
-            i => slice(col("toks"), i, lit(l))))
-          .otherwise(array().cast("array<array<string>>"))).as("wtoks"))
-        .withColumn("len_l", lit(l))
-    }.reduce(_ unionByName _)
-      .withColumn("w", array_join(col("wtoks"), " "))
-      .dropDuplicates("doc_id", "w")
+    // All lengths' windows in ONE native pass per doc, deduped in-row (a
+    // window string uniquely determines its tokens and length, since tokens
+    // contain no spaces, so per-row distinctness equals the per (doc_id, w)
+    // dedup). Replaces per-length unions (L scans + L tokenize passes) and
+    // a full dropDuplicates SHUFFLE of every window row with zero exchanges
+    // before the broadcast join.
+    val wins = docs
+      .select(col("doc_id"), explode(F.windowStrings(col("text"), lengths)).as("w"))
+      .withColumn("wtoks", split(col("w"), " "))
+      .withColumn("len_l", size(col("wtoks")))
     val winKeys = wins
       .withColumn("p", explode(sequence(lit(0), col("len_l") - 1)))
       .withColumn("btok", element_at(col("wtoks"), col("p") + 1))

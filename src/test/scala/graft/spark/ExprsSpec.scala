@@ -92,6 +92,52 @@ class ExprsSpec extends SparkTestBase {
     assert(viaGen == viaHof)
   }
 
+  test("del_keys equals the HOF deletion-neighborhood derivation") {
+    import spark.implicits._
+    val toks = Seq("paris", "a", "", "tokyo", "aa").toDF("tok")
+    val viaNative = toks.select(col("tok"), F.delKeys(col("tok")).as("dk"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    val viaHof = toks.select(col("tok"),
+        expr("array_distinct(transform(sequence(0, length(tok)), i -> concat(left(tok, i), substr(tok, i+2))))").as("dk"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    // same SET of keys suffices for blocking; the HOF emits the identity
+    // key at i=length, the native form appends it last — orders align too
+    assert(viaNative.view.mapValues(_.toSet).toMap == viaHof.view.mapValues(_.toSet).toMap)
+  }
+
+  test("sorted_inter_count equals size(array_intersect) on sorted distinct longs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { _ =>
+      (Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted,
+       Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted)
+    }
+    val got = rows.toDF("a", "b")
+      .select(F.sortedInterCount(col("a"), col("b")).as("n"),
+        size(array_intersect(col("a"), col("b"))).as("m"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("window_strings equals per-length slicing with per-doc dedup") {
+    import spark.implicits._
+    val docs = Seq("the hash join data pipeline", "one", "a a a b", "").toDF("text")
+    val lengths = Seq(2, 3)
+    val viaNative = docs.select(col("text"),
+        explode(F.windowStrings(col("text"), lengths)).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaSlices = docs
+      .withColumn("toks", F.tokenize(col("text")))
+      .select(col("text"), explode(flatten(transform(
+        array(lengths.map(lit): _*), l =>
+          when(size(col("toks")) >= l,
+            transform(sequence(lit(1), size(col("toks")) - l + lit(1)),
+              i => array_join(slice(col("toks"), i, l), " ")))
+            .otherwise(array().cast("array<string>"))))).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaNative == viaSlices)
+  }
+
   test("haversine column mirrors core within 1e-9 (London-Paris ~343.5km)") {
     import spark.implicits._
     val d = Seq((-0.1276, 51.5072, 2.3522, 48.8566)).toDF("a", "b", "c", "d")

@@ -118,15 +118,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("lang_id_ngram: one shuffle (doc_id pivot-agg), profile broadcasts, no window") {
+  test("lang_id_ngram: pure per-row map — zero exchanges, no join, no window") {
     import graft.ops.TextOps
     def fmt(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = fmt(TextOps.langIdNgram(docs))
-    assert(p.contains("BroadcastHashJoin"), "trigram profile dim must broadcast")
+    assert(!p.contains("Join"), "frozen-profile scorer must not join")
     assert(!p.contains(") Window"), "argmax must fold in-row, not via a window")
     val nExch = "\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(nExch == 1, s"expected exactly 1 exchange (final doc_id agg); got $nExch:\n$p")
+    assert(nExch == 0, s"expected zero exchanges (in-row scorer); got $nExch:\n$p")
+    // the non-cheap scorer evaluates ONCE per row, behind a Generator —
+    // scalar forms got re-substituted per reference by pushdown/collapse
+    // (a nested argmax CASE chain reached 511 copies of the scorer)
+    val nScorer = "lang_ngram_best".r.findAllIn(p).size
+    assert(nScorer <= 2, s"scorer duplicated by project collapse ($nScorer):\n$p")
   }
 }
