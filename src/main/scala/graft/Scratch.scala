@@ -1,7 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.ops.TextOps
 
 /** Throwaway profiling main (not part of the library surface). */
 object Scratch {
@@ -17,56 +20,26 @@ object Scratch {
       val n = f
       println(f"[scratch] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s  rows=$n")
     }
-    for (q <- Seq("fuzzy_mentions"); rep <- 1 to 2)
-      time(s"$q#$rep")(SparkEntry.queries(q)(spark, sfDir).count())
-    // stage breakdown of fuzzyMentions
-    import graft.functions.F
-    import graft.queries.Queries
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val gaz = graft.synth.Synth.gazDf(spark)
-    val toks = docs
-      .select(col("doc_id"), explode(array_distinct(F.tokenize(col("text")))).as("tok"))
-    time("single toks explode")(toks.count())
-    val multi = gaz.filter(col("name").contains(" "))
-      .withColumn("ntoks", split(col("name"), " "))
-      .withColumn("len_l", size(col("ntoks")))
-    val lengths = multi.select(col("len_l")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    println(s"[scratch] lengths=$lengths gazMulti=${multi.count()} gazSingle=${gaz.filter(!col("name").contains(" ")).count()}")
-    val wins = docs
-      .select(col("doc_id"), explode(F.windowStrings(col("text"), lengths)).as("w"))
-      .withColumn("wtoks", split(col("w"), " "))
-      .withColumn("len_l", size(col("wtoks")))
-    time("wins")(wins.count())
-    val winKeys = wins
-      .withColumn("p", explode(sequence(lit(0), col("len_l") - 1)))
-      .withColumn("btok", element_at(col("wtoks"), col("p") + 1))
-      .select(col("doc_id"), col("w"), col("len_l"), col("p"),
-        explode(graft.functions.F.delKeys(col("btok"))).as("dk"))
-    time("winKeys")(winKeys.count())
-    val freq = Queries.freqIndex(spark, sfDir)
-    time("freqIndex")(freq.count())
-    // ORIGINAL wins construction (per-length unions + dropDuplicates)
-    val dtoks = docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
-    val winsOld = lengths.map { l =>
-      dtoks.select(col("doc_id"),
-        explode(when(size(col("toks")) >= l,
-          transform(sequence(lit(1), size(col("toks")) - lit(l - 1)),
-            i => slice(col("toks"), i, lit(l))))
-          .otherwise(array().cast("array<array<string>>"))).as("wtoks"))
-        .withColumn("len_l", lit(l))
-    }.reduce(_ unionByName _)
-      .withColumn("w", array_join(col("wtoks"), " "))
-      .dropDuplicates("doc_id", "w")
-    time("winsOld")(winsOld.count())
-    val winKeysOld = winsOld
-      .withColumn("p", explode(sequence(lit(0), col("len_l") - 1)))
-      .withColumn("btok", element_at(col("wtoks"), col("p") + 1))
-      .select(col("doc_id"), col("w"), col("len_l"), col("p"),
-        explode(graft.functions.F.delKeys(col("btok"))).as("dk"))
-    time("winKeysOld")(winKeysOld.count())
-    for (rep <- 1 to 2)
-      time(s"fuzzy_mentions_again#$rep")(SparkEntry.queries("fuzzy_mentions")(spark, sfDir).count())
+    def winnow(docs: DataFrame, rr: Boolean): DataFrame = {
+      val k = 8; val w = 16; val minShared = 2; val maxBucket = 1000
+      val base = TextOps.exactReps(docs)
+        .select(col("doc_id"), explode(F.winnowFps(col("text"), k, w)).as("fp"))
+      val fps = (if (rr) base.repartition(spark.sparkContext.defaultParallelism) else base)
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("bsz") <= maxBucket)
+        .drop("bsz")
+        .persist()
+      fps.select(col("fp"), col("doc_id").as("a"))
+        .join(fps.select(col("fp"), col("doc_id").as("b")), "fp")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+    }
+    val docs = TextOps.withMutatedCopies(spark.read.parquet(s"$sfDir/documents.parquet"))
+    for (rep <- 1 to 2; rr <- Seq(true, false)) {
+      spark.catalog.clearCache()
+      time(s"winnow rr=$rr #$rep")(winnow(docs, rr).count())
+    }
     spark.stop()
   }
 }

@@ -65,8 +65,9 @@ object TextOps {
     // pre-collapse a still-oversized bucket means a degenerate band (e.g.
     // boilerplate shingles); those pairs are dropped, bounded loss traded
     // for a bounded join (the other 7 bands still cover the pair).
+    // no round-robin repartition before the window: hash(band) distributes
+    // (same reasoning as [[dedupWinnow]])
     val banded = sigs.select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
@@ -88,9 +89,10 @@ object TextOps {
     * exact Hamming distance. */
   def dedupSimHash(docs: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 1000): DataFrame = {
+    // simhash runs at the exactReps exchange's parallelism already; the
+    // band window's own exchange distributes downstream (see [[dedupWinnow]])
     val hashed = exactReps(docs)
       .select(col("doc_id"), F.simhash64(col("text")).as("sh"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .persist()
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>
@@ -198,12 +200,16 @@ object TextOps {
     // collision can only ADD a candidate (verify re-checks) or, in theory,
     // perturb an intersection count (P ≈ vocab²/2⁶⁵ — negligible; the
     // DuckDB oracle would catch it at test scale).
-    val t = docs.select(col("doc_id"), col("lang"),
-      (col("n_chars") / 100).cast("long").as("bucket"),
-      array_distinct(F.tokenize(col("text"))).as("toks"))
+    // repartition BEFORE the projection: projections pipeline into the
+    // stage that writes the exchange, so repartitioning after tokenize
+    // would run the tokenize+hash pass at the SOURCE's split count (a
+    // one-split parquet = one task) and shuffle the fatter tokenized rows
+    val t = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast("long").as("bucket"),
+        array_distinct(F.tokenize(col("text"))).as("toks"))
       .withColumn("h", sort_array(transform(col("toks"), x => xxhash64(x))))
       .withColumn("nt", size(col("toks")))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .persist()
     val df_ = t.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -259,9 +265,14 @@ object TextOps {
     * quotation detector of the dedup family. */
   def dedupWinnow(docs: DataFrame, k: Int = 8, w: Int = 16,
                   minShared: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    // no repartition between the explode and the bucket-size window: the
+    // window's own hash(fp) exchange distributes the stream, and the
+    // fingerprinting itself already runs at the exactReps exchange's
+    // parallelism — a round-robin shuffle here was a pure extra pass over
+    // the largest intermediate (and the fp-keyed cache partitioning lets
+    // the self-join below reuse the exchange)
     val fps = exactReps(docs)
       .select(col("doc_id"), explode(F.winnowFps(col("text"), k, w)).as("fp"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
