@@ -156,24 +156,42 @@ object Bench {
     }
     val probeBase = (1 to 3).map(_ => probeSec()).min
     var probeWorst = 1.0
-    def loadGate(): Unit = {
+    def loadGate(): Double = {
       var r = probeSec() / probeBase
       var tries = 0
       while (r > 1.5 && tries < 3) { // box busy: wait for the spike to pass
         Thread.sleep(5000); r = probeSec() / probeBase; tries += 1
       }
       probeWorst = math.max(probeWorst, r)
+      r
     }
     val samplesPerConfig = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "5").toInt
+    /** Interleaved sample pairs, each tagged with the worse of its two
+      * pre-sample probe ratios. The estimator is the median over CLEAN
+      * pairs (ratio ≤ 1.25 — no measurable external load right before the
+      * sample); when external load contaminates most of the run, up to 2
+      * make-up pairs are taken, and if fewer than 2 clean pairs exist even
+      * then, the median falls back to all pairs (and the reported
+      * `load_probe_worst_ratio` flags the run as load-bound). The r3 driver
+      * run measured the same config 2.2× apart across 5 samples on a box
+      * whose probe read 1.46 — a median over all samples still tracks the
+      * box, not the plan; discarding tagged-dirty samples is the only
+      * estimator here that recovers the quiet-box number. */
     def headlinePair(coresA: String, coresB: String,
                      samples: Int = samplesPerConfig): (Double, Double, Seq[Double], Seq[Double]) = {
       val a = scala.collection.mutable.ArrayBuffer.empty[Double]
       val b = scala.collection.mutable.ArrayBuffer.empty[Double]
-      (1 to samples).foreach { i =>
-        loadGate(); a += sampleRate(coresA, warm = i == 1)
-        loadGate(); b += sampleRate(coresB, warm = i == 1)
+      val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def cleanIdx = ratios.indices.filter(ratios(_) <= 1.25)
+      var i = 0
+      while (i < samples || (i < samples + 2 && cleanIdx.size < 2)) {
+        val r1 = loadGate(); a += sampleRate(coresA, warm = i == 0)
+        val r2 = loadGate(); b += sampleRate(coresB, warm = i == 0)
+        ratios += math.max(r1, r2)
+        i += 1
       }
-      (median(a.toSeq), median(b.toSeq), a.toSeq, b.toSeq)
+      val sel = if (cleanIdx.size >= 2) cleanIdx else ratios.indices
+      (median(sel.map(a).toSeq), median(sel.map(b).toSeq), a.toSeq, b.toSeq)
     }
     // at-scale forward paths (grid-index equi-join, no gazetteer broadcast)
     // measured at 4N for comparison with the broadcast-path headline:
@@ -244,7 +262,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"geocode-join throughput (docs/sec)","value":${f"$rate4N%.1f"},"unit":"docs/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"scale_n":$n,"docs_per_sec_n":${f"$rateN%.1f"},"docs_per_sec_4n":${f"$rate4N%.1f"},"scaling_efficiency":${f"$eff%.3f"},"samples_n":${arr(sN)},"samples_4n":${arr(s4N)},"estimator":"median_of_$samplesPerConfig-interleaved","load_probe_worst_ratio":${f"$probeWorst%.2f"}$wide,"docs_per_sec_indexed_4n":${f"$rateIdx%.1f"},"docs_per_sec_fat_4n":${f"$rateFat%.1f"},"amplification":$amp,"sf":"$sfDir"}""")
+      s"""{"metric":"geocode-join throughput (docs/sec)","value":${f"$rate4N%.1f"},"unit":"docs/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"scale_n":$n,"docs_per_sec_n":${f"$rateN%.1f"},"docs_per_sec_4n":${f"$rate4N%.1f"},"scaling_efficiency":${f"$eff%.3f"},"samples_n":${arr(sN)},"samples_4n":${arr(s4N)},"estimator":"median_of_clean_probe_le_1.25-interleaved-$samplesPerConfig","load_probe_worst_ratio":${f"$probeWorst%.2f"}$wide,"docs_per_sec_indexed_4n":${f"$rateIdx%.1f"},"docs_per_sec_fat_4n":${f"$rateFat%.1f"},"amplification":$amp,"sf":"$sfDir"}""")
   }
 }
 
