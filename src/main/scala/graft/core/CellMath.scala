@@ -125,6 +125,42 @@ object CellMath {
   def diskCells(cell: Long, r: Int): Array[Long] =
     (0 to r).iterator.flatMap(ringCells(cell, _)).toArray
 
+  /** Cells with Chebyshev distance in (rIn, rOut] — the annulus between two
+    * disks (rIn = -1 degenerates to the full disk). One pass over the outer
+    * square, skipping the inner square, same clamping as [[ringCells]].
+    * Used by the expanding-ring kNN: a residual point's previous disk is
+    * provably feature-free, so the next round probes only the new annulus
+    * (ring explode volume drops ~30% across the 1,2,4,8 schedule). */
+  def annulusCells(cell: Long, rIn: Int, rOut: Int): Array[Long] = {
+    require(rIn < rOut, s"annulus needs rIn < rOut, got ($rIn, $rOut)")
+    val z = zOf(cell); val x = xOf(cell); val y = yOf(cell)
+    val max = (1L << z) - 1
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](
+      (2 * rOut + 1) * (2 * rOut + 1) - (2 * math.max(rIn, -1) + 1) * (2 * math.max(rIn, -1) + 1))
+    var d = rIn + 1
+    // ring-by-ring (coarse→fine ordering matches diskCells for rIn = -1)
+    while (d <= rOut) {
+      if (d == 0) buf += cell
+      else {
+        var dx = -d
+        while (dx <= d) {
+          var dy = -d
+          while (dy <= d) {
+            if (math.max(math.abs(dx), math.abs(dy)) == d) {
+              val nx = x + dx; val ny = y + dy
+              if (nx >= 0 && nx <= max && ny >= 0 && ny <= max)
+                buf += pack(z, nx, ny)
+            }
+            dy += 1
+          }
+          dx += 1
+        }
+      }
+      d += 1
+    }
+    buf.toArray
+  }
+
   // ---- Hilbert curve (sort/partition key; SURVEY.md §2.H4) ----
   /** Hilbert distance of (x,y) on the 2^z × 2^z grid. Bijection on
     * [0, 4^z). Standard Lam–Shapiro xy2d. */

@@ -92,6 +92,21 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** annulus_cells(cell, r_in, r_out): cells with Chebyshev distance in
+    * (r_in, r_out] — the expanding-kNN probe set (the previous disk is
+    * already known empty for residual points; see Geocode.knnExpanding). */
+  case class AnnulusCells(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "annulus_cells"
+    override def nullSafeEval(cell: Any, rIn: Any, rOut: Any): Any =
+      new GenericArrayData(CellMath.annulusCells(
+        cell.asInstanceOf[Long], rIn.asInstanceOf[Int], rOut.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): AnnulusCells =
+      copy(first = f, second = s, third = t)
+  }
+
   // ---------------------------------------------------------------
   // Geometry (C4 PIP, H2 tile cover) — CodegenFallback
   // ---------------------------------------------------------------
@@ -591,6 +606,8 @@ object F {
   def hilbertCell(cell: Column): Column = c(HilbertOfCell(x(cell)))
   def ringCells(cell: Column, r: Column): Column = c(RingCells(x(cell), x(r)))
   def diskCells(cell: Column, r: Column): Column = c(DiskCells(x(cell), x(r)))
+  def annulusCells(cell: Column, rIn: Column, rOut: Column): Column =
+    c(AnnulusCells(x(cell), x(rIn), x(rOut)))
   def pipWkb(wkb: Column, lon: Column, lat: Column): Column = c(PipWkb(x(wkb), x(lon), x(lat)))
   def tileCover(wkb: Column, z: Column): Column = c(TileCoverExpr(x(wkb), x(z)))
   def clipToCell(wkb: Column, cell: Column): Column = c(ClipToCellWkb(x(wkb), x(cell)))

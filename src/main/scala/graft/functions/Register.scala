@@ -34,6 +34,8 @@ object Register {
     mk("hilbert_cell", Seq(LongType), a => Exprs.HilbertOfCell(a(0)))
     mk("ring_cells", Seq(LongType, IntegerType), a => Exprs.RingCells(a(0), a(1)))
     mk("disk_cells", Seq(LongType, IntegerType), a => Exprs.DiskCells(a(0), a(1)))
+    mk("annulus_cells", Seq(LongType, IntegerType, IntegerType),
+      a => Exprs.AnnulusCells(a(0), a(1), a(2)))
     mk("pip_wkb", Seq(BinaryType, DoubleType, DoubleType),
       a => Exprs.PipWkb(a(0), a(1), a(2)))
     mk("tile_cover", Seq(BinaryType, IntegerType), a => Exprs.TileCoverExpr(a(0), a(1)))

@@ -636,11 +636,19 @@ object Geocode {
 
   /** D6: kNN nearest feature within a Chebyshev disk of radius r at zoom z —
     * carmen's nearest-within-tile/radius semantics. Join keys are the point's
-    * disk cells vs the feature's single cell; ranked by (haversine, id). */
-  def knnDisk(points: DataFrame, featurePoints: DataFrame, z: Int, r: Int): DataFrame = {
+    * disk cells vs the feature's single cell; ranked by (haversine, id).
+    *
+    * `rIn` (default -1 = full disk) restricts the probe to the annulus
+    * (rIn, r]: [[knnExpanding]] passes the previous round's radius — a
+    * residual point's previous disk is PROVABLY feature-free (it produced
+    * zero join candidates, or the point would have matched), so skipping it
+    * is row-identical while cutting the ring-explode volume (disk(8) = 289
+    * cells vs annulus(4,8] = 208). */
+  def knnDisk(points: DataFrame, featurePoints: DataFrame, z: Int, r: Int,
+              rIn: Int = -1): DataFrame = {
     val probes = points
       .withColumn("cell0", F.cellAt(lit(z), col("elon"), col("elat")))
-      .withColumn("cell", explode(F.diskCells(col("cell0"), lit(r))))
+      .withColumn("cell", explode(F.annulusCells(col("cell0"), lit(rIn), lit(r))))
     val feats = featurePoints
       .withColumn("cell", F.cellAt(lit(z), col("flon"), col("flat")))
     probes.join(feats, "cell")
@@ -771,10 +779,12 @@ object Geocode {
     var residual = points
     val residuals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var acc: Option[DataFrame] = None
+    var prevR = -1 // residual points' disk(prevR) is known feature-free
     radii.foreach { r =>
-      val matched = knnDisk(residual, featurePoints, z, r)
+      val matched = knnDisk(residual, featurePoints, z, r, rIn = prevR)
         .withColumn("radius", lit(r))
         .persist()
+      prevR = r
       matched.count()
       acc = Some(acc.map(_.unionByName(matched)).getOrElse(matched))
       residual = residual.join(matched.select("event_id"), Seq("event_id"), "left_anti")

@@ -67,6 +67,17 @@ object StreamingIndex {
       }
       .start()
 
+  /** Streaming REVERSE geocode: points arrive as a stream, features are the
+    * static side. A pure stream-static equi-join on the z-cell against the
+    * cover-exploded feature frame + exact PIP filter — stateless, append
+    * mode, runs CONTINUOUSLY (no foreachBatch needed, unlike the forward
+    * path whose per-doc top-k windows force micro-batch ranking): each
+    * point's containing features depend only on its own row and the static
+    * index, so the plan is [[graft.ops.Geocode.reversePip]] verbatim and
+    * row-identical to the batch path (IndexSpec). */
+  def reverseStream(points: DataFrame, features: DataFrame, z: Int): DataFrame =
+    graft.ops.Geocode.reversePip(points, features, z)
+
   /** Watermarked per-window mention-rate aggregation over a stream of
     * (warc_ts, url) page arrivals — the streaming-side E6 metrics shape. */
   def pageRate(pages: DataFrame, watermark: String = "10 minutes",

@@ -82,6 +82,25 @@ class CellMathSpec extends AnyFunSuite {
     assert(diskCells(c, 2).length == 1 + 8 + 16)
   }
 
+  test("annulusCells == diskCells(rOut) minus diskCells(rIn), incl. clamped edges") {
+    val r = rnd
+    for (_ <- 1 to 500) {
+      val z = 2 + r.nextInt(13)
+      val rOut = 1 + r.nextInt(8)
+      val rIn = -1 + r.nextInt(rOut + 1) // -1 .. rOut-1
+      val lon = r.nextDouble() * 359.8 - 179.9
+      val lat = r.nextDouble() * 169.8 - 84.9
+      val c = lonLatToCell(z, lon, lat)
+      val ann = annulusCells(c, rIn, rOut)
+      val expected = diskCells(c, rOut).toSet --
+        (if (rIn < 0) Set.empty[Long] else diskCells(c, rIn).toSet)
+      assert(ann.toSet == expected)
+      assert(ann.distinct.length == ann.length)
+      // rIn = -1 degenerates to the disk, element order included
+      if (rIn == -1) assert(ann.sameElements(diskCells(c, rOut)))
+    }
+  }
+
   test("hilbert is a bijection on [0, 4^z) with unit steps") {
     val z = 5
     val n = 1L << z

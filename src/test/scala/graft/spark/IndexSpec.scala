@@ -58,6 +58,17 @@ class IndexSpec extends SparkTestBase {
     assert(expRows.map(_.getLong(0)).distinct.length == expRows.length)
     val radii = expRows.map(_.getInt(3)).distinct.sorted
     assert(radii.head >= 1)
+    // annulus probing (rIn = previous radius) is row-identical to the full
+    // disk per round: the residual's previous disk is provably feature-free
+    var residual = pts
+    var full: Option[org.apache.spark.sql.DataFrame] = None
+    Seq(1, 2, 4, 8).foreach { r =>
+      val m = Geocode.knnDisk(residual, feats, 8, r).withColumn("radius", lit(r))
+      full = Some(full.map(_.unionByName(m)).getOrElse(m))
+      residual = residual.join(m.select("event_id"), Seq("event_id"), "left_anti")
+    }
+    val fullRows = full.get.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(expRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet == fullRows)
   }
 
   test("sorted index scan: hkey range predicate reaches the parquet scan") {
@@ -212,6 +223,32 @@ class IndexSpec extends SparkTestBase {
       .select("doc_id", "feature_id", "relev").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == batch, s"streamed forward diverges: ${streamed.size} vs ${batch.size}")
+  }
+
+  test("streaming reverse geocode: continuous stream-static join, batch-identical") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ptsBatch = Synth.eventPoints(spark, "/root/testdata/sf0.001").limit(300)
+    val feats = Synth.custFeatures(spark, "/root/testdata/sf0.001")
+    val rows = ptsBatch.select("event_id", "elon", "elat")
+      .as[(Long, Double, Double)].collect()
+
+    val mem = MemoryStream[(Long, Double, Double)]
+    val df = mem.toDF().toDF("event_id", "elon", "elat")
+    mem.addData(rows.take(150).toSeq)
+    val q = graft.streaming.StreamingIndex.reverseStream(df, feats, 8)
+      .select("event_id", "feature_id")
+      .writeStream.format("memory").queryName("srev_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(150).toSeq) // second micro-batch: stateless, no cross-batch effects
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT event_id, feature_id FROM srev_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Geocode.reversePip(ptsBatch, feats, 8)
+      .select("event_id", "feature_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"stream reverse diverges: ${got.size} vs ${expect.size}")
   }
 
   test("streaming cell rate: watermarked per-cell window counts") {

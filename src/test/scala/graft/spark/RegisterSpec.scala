@@ -16,7 +16,8 @@ class RegisterSpec extends SparkTestBase {
         |       phrase_form('North Street') AS pf,
         |       simhash64('the quick brown fox') AS sh,
         |       pip_wkb(rect_wkb(0.0d, 0.0d, 10.0d, 10.0d), 5.0d, 5.0d) AS inside,
-        |       size(tile_cover(rect_wkb(8.3d, 47.2d, 11.7d, 49.9d), 8)) AS ncover
+        |       size(tile_cover(rect_wkb(8.3d, 47.2d, 11.7d, 49.9d), 8)) AS ncover,
+        |       annulus_cells(cell_at(8, 2.3522d, 48.8566d), 1, 3) AS ann
         |""".stripMargin).head()
     val c = CellMath.lonLatToCell(14, 2.3522, 48.8566)
     assert(r.getLong(0) == c)
@@ -26,6 +27,8 @@ class RegisterSpec extends SparkTestBase {
     assert(r.getString(4) == Text.phraseForm("North Street"))
     assert(r.getBoolean(6))
     assert(r.getInt(7) > 0)
+    assert(r.getSeq[Long](8) ==
+      CellMath.annulusCells(CellMath.lonLatToCell(8, 2.3522, 48.8566), 1, 3).toSeq)
   }
 
   test("arguments are coerced to the expected input types") {
