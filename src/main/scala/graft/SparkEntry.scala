@@ -102,6 +102,10 @@ object SparkEntry {
     // Ann.derivedNList* and the AnnSpec sub-quadratic guard
     "ann_ivf" -> ((s, d) =>
       Ann.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5, nList0 = 16)),
+    // one-Lloyd-round trained centroids (spherical k-means step, exact
+    // reproducible arithmetic — the oracle replays the training round)
+    "ann_ivf_trained" -> ((s, d) =>
+      Ann.ivfTopKTrained(s.read.parquet(s"$d/embeddings.parquet"), 50, 5, nList0 = 16)),
     "dedup_embed" -> ((s, d) =>
       Ann.dedupEmbed(s.read.parquet(s"$d/embeddings.parquet"), nList0 = 16)),
     // REAL media decode (JDK ImageIO): deterministic PNG synthesis is the
@@ -192,6 +196,7 @@ object SparkEntry {
     "ann_lsh" -> Ann.lshTopKSql(50, 5),
     "ann_lsh_adaptive" -> Ann.lshTopKAdaptiveSql(50, 5, budget = 8),
     "ann_ivf" -> Ann.ivfTopKSql(50, 5),
+    "ann_ivf_trained" -> Ann.ivfTopKTrainedSql(50, 5),
     "dedup_embed" -> Ann.dedupEmbedSql(),
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,

@@ -287,6 +287,120 @@ object Ann {
        |SELECT qid, nid, CAST(dp AS DOUBLE) AS dp, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // Trained centroids (k-means-lite): one Lloyd round of spherical k-means
+  // over the corpus — assign every vector to its best frozen seed, replace
+  // each seed by the ROUNDED MEAN of its assigned vectors (empty clusters
+  // keep their seed). Every step is reproducible bit-exactly in the DuckDB
+  // mirror: per-component sums are integer (order-independent), the mean is
+  // ONE IEEE double division + floor(x + 0.5) (single-op determinism — the
+  // FP hazards are accumulation order and float/double promotion, neither
+  // occurs here), and the re-assignment argmax is integer dots with a cid
+  // tiebreak. At the 10^9-vector design point this replaces the "frozen
+  // pseudo-random centroids" asterisk with data-adapted cells at the cost
+  // of one extra corpus pass (assignment) and a nList·64-row aggregate.
+  // ---------------------------------------------------------------
+
+  /** One Lloyd round from the frozen seeds: (cid, cv) trained centroid
+    * frame, nList rows. Distributed end-to-end — the per-component agg is
+    * a (cid, i) groupBy, never a driver collect. */
+  def trainCentroids(base: DataFrame, nList: Int): DataFrame = {
+    val assigned = centroidRanks(base, nList).filter(col("crn") === 1)
+      .select(col("cid"), col("q"))
+    val means = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("cid"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .withColumn("m",
+        floor(col("s").cast("double") / col("c").cast("double") + lit(0.5)).cast("long"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        x => x.getField("m")).as("mv"))
+    // empty clusters keep their seed (left join from the full seed list)
+    val seeds = base.sparkSession.range(nList).toDF("cid")
+      .withColumn("sv", element_at(centroidStructs(nList), col("cid").cast("int") + 1).getField("cv"))
+    seeds.join(means, Seq("cid"), "left")
+      .select(col("cid").cast("int").as("cid"), coalesce(col("mv"), col("sv")).as("cv"))
+  }
+
+  /** Per-vector ranking against TRAINED centroids: broadcast cross-join
+    * (nList rows — a dim at any corpus size) instead of a literal array. */
+  private def centroidRanksTrained(base: DataFrame, cent: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("q"), col("cid"), dot(col("q"), col("cv")).as("cdp"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdp").desc, col("cid").asc)))
+
+  /** [[ivfTopK]] with one-Lloyd-round trained centroids. `nList <= 0`
+    * derives √(n·nProbe); the driver oracle passes nList=16 (the mirror
+    * reproduces the training round in SQL). */
+  def ivfTopKTrained(emb: DataFrame, nQueries: Int, k: Int,
+                     nList0: Int = 0, nProbe: Int = 4): DataFrame = {
+    val base = quantBase(emb).persist()
+    val nList = if (nList0 > 0) nList0 else derivedNListTopK(base.count(), nProbe)
+    val cent = trainCentroids(base, nList)
+    val ranks = centroidRanksTrained(base, cent).persist()
+    val corpusCells = ranks.filter(col("crn") === 1)
+      .select(col("cid"), col("vec_id"), col("q"))
+    val queryCells = ranks.filter(col("vec_id") < nQueries && col("crn") <= nProbe)
+      .select(col("cid"), col("vec_id").as("qid"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    corpusCells.join(queryCells, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("q"))
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("nid"), dot(col("qv"), col("q")).as("dp"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("dp").cast("double").as("dp"), col("rank"))
+  }
+
+  /** Full DuckDB mirror of [[ivfTopKTrained]]: seed CTE → seed assignment →
+    * per-component rounded-mean CTE (same single-division floor(x+0.5)) →
+    * re-assignment → probe/top-k, all exact integer dots. */
+  def ivfTopKTrainedSql(nQueries: Int, k: Int, nList: Int = 16, nProbe: Int = 4): String = {
+    val centRows = (0 until nList).map(c =>
+      s"($c, [${ivfCentroid(c).mkString(", ")}])").mkString(", ")
+    s"""WITH seed(cid, cv) AS (VALUES $centRows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |seedrank AS (
+       |  SELECT e.vec_id, e.q, s.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_inner_product(e.q, s.cv) DESC, s.cid ASC) AS crn
+       |  FROM e CROSS JOIN seed s),
+       |assigned AS (SELECT cid, q FROM seedrank WHERE crn = 1),
+       |comp AS (
+       |  SELECT cid, i.i, sum(q[i.i]) AS s, count(*) AS c
+       |  FROM assigned, (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY cid, i.i),
+       |means AS (
+       |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) + 0.5) AS BIGINT) ORDER BY i) AS mv
+       |  FROM comp GROUP BY cid),
+       |cent AS (SELECT seed.cid, COALESCE(m.mv, seed.cv) AS cv
+       |         FROM seed LEFT JOIN means m ON m.cid = seed.cid),
+       |ranks AS (
+       |  SELECT e.vec_id, e.q, c.cid, list_inner_product(e.q, c.cv) AS cdp,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_inner_product(e.q, c.cv) DESC, c.cid ASC) AS crn
+       |  FROM e CROSS JOIN cent c),
+       |corpus AS (SELECT cid, vec_id, q FROM ranks WHERE crn = 1),
+       |probes AS (SELECT cid, vec_id AS qid FROM ranks
+       |           WHERE vec_id < $nQueries AND crn <= $nProbe),
+       |qs AS (SELECT vec_id AS qid, q AS qv FROM e WHERE vec_id < $nQueries),
+       |pairs AS (
+       |  SELECT p.qid, c.vec_id AS nid, list_inner_product(qs.qv, c.q) AS dp
+       |  FROM corpus c JOIN probes p ON p.cid = c.cid AND c.vec_id <> p.qid
+       |  JOIN qs ON qs.qid = p.qid),
+       |ranked AS (
+       |  SELECT qid, nid, dp,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dp DESC, nid ASC) AS rank
+       |  FROM pairs)
+       |SELECT qid, nid, CAST(dp AS DOUBLE) AS dp, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Deterministic duplicate planting for the embedding-dedup op: every
     * 10th vector cloned under id+10^7 with the IDENTICAL float payload
     * (near-dup pairs exist by construction; the id offset matches the text

@@ -186,6 +186,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("trained IVF: one Lloyd round moves centroids to the data and holds recall") {
+    val emb = plantedEmb
+    // training must actually move centroids: with pseudo-random seeds over
+    // clustered data, at least one cluster's rounded mean differs from its seed
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+    val trained = Ann.trainCentroids(base, 16).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(trained.size == 16, "every cid must survive (empty clusters keep their seed)")
+    assert((0 until 16).exists(c => trained(c) != Ann.ivfCentroid(c).toSeq),
+      "one Lloyd round left every centroid at its seed — training is a no-op")
+    val brute = Ann.bruteForceTopK(emb, 40, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopKTrained(emb, 40, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"trained-IVF recall=$recall")
+  }
+
   test("IVF derived nList keeps the cell self-join sub-quadratic at 10x corpus") {
     // blocked pair count = Σ c_i·(c_i−1)/2 over cell occupancies — the cost
     // of dedupEmbed's self-join. With the FROZEN nList=16 this is ~n²/16 at
