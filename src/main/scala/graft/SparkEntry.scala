@@ -22,6 +22,7 @@ object SparkEntry {
     "fwd_geocode" -> ((s, d) => Queries.fwdGeocode(s, d)),
     "fwd_geocode_indexed" -> ((s, d) => Queries.fwdGeocodeIndexed(s, d)),
     "fwd_geocode_fat" -> ((s, d) => Queries.fwdGeocodeFat(s, d)),
+    "fwd_geocode_bucketed" -> ((s, d) => Queries.fwdGeocodeBucketed(s, d)),
     "fwd_geocode_multi" -> ((s, d) => Queries.fwdGeocodeMulti(s, d)),
     "fwd_dedup" -> ((s, d) => Queries.fwdDedup(s, d)),
     "fwd_stacks" -> ((s, d) => Queries.fwdStacks(s, d)),
@@ -139,6 +140,7 @@ object SparkEntry {
     // D4-verify equivalence
     "fwd_geocode_indexed" -> Queries.fwdGeocodeSql,
     "fwd_geocode_fat" -> Queries.fwdGeocodeSql,
+    "fwd_geocode_bucketed" -> Queries.fwdGeocodeSql,
     "fwd_geocode_multi" -> Queries.fwdGeocodeMultiSql,
     "fwd_dedup" -> Queries.fwdDedupSql,
     "fwd_stacks" -> Queries.fwdStacksSql,

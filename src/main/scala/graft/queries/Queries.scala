@@ -240,6 +240,38 @@ object Queries {
   def fwdGeocodeFat(spark: SparkSession, sfDir: String): DataFrame =
     Geocode.forwardIndexedFat(docPages(spark, sfDir), gazGridFatParquet(spark))
 
+  private val GazGridBucketedTable = "graft_gazgrid_fat_bucketed"
+
+  /** The fat grid index as a BUCKETED table (32 buckets on phrase_id): the
+    * index side of the match join arrives pre-hash-partitioned from disk, so
+    * the join plans ZERO exchange above the index scan — only the doc side
+    * shuffles (to the bucket count). At the design point this is the
+    * co-location story for the 10s-of-GB index: bucketing is decided once
+    * per index epoch at WRITE time, and every query against that epoch
+    * saves the index-side shuffle. Registered in the session catalog
+    * (bucket metadata lives there); rebuilt lazily per catalog. */
+  def gazGridFatBucketed(spark: SparkSession): DataFrame = this.synchronized {
+    if (!spark.catalog.tableExists(GazGridBucketedTable)) {
+      val p = sys.env.get("SPARK_GRAFT_TMP")
+        .map(t => s"$t/gazgridfatb")
+        .getOrElse(java.nio.file.Files.createTempDirectory("graft-gazgridfatb")
+          .resolve("gazgridfatb").toString)
+      graft.index.IndexBuild.gazetteerGridFat(gazDf(spark), Geocode.ZPlace, Geocode.ZRegion)
+        .write.mode("overwrite")
+        .bucketBy(32, "phrase_id").sortBy("phrase_id")
+        .option("path", p)
+        .format("parquet")
+        .saveAsTable(GazGridBucketedTable)
+    }
+    spark.table(GazGridBucketedTable)
+  }
+
+  /** [[fwdGeocodeFat]] over the bucketed index table — same operator, the
+    * index-side exchange now eliminated by the table layout (PlanSpec pins
+    * it). Row-identical to fwd_geocode, shares its oracle. */
+  def fwdGeocodeBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.forwardIndexedFat(docPages(spark, sfDir), gazGridFatBucketed(spark))
+
   // =================================================================
   // E4: result-level dedupe — gazetteer with duplicate-name clones;
   // same-place candidates (name, cell) collapse before the limit.

@@ -65,6 +65,23 @@ class PlanSpec extends SparkTestBase {
       "phrase must not become a shuffle key (verify is residual)")
   }
 
+  test("fwd_geocode_bucketed: the bucketed index arrives pre-partitioned — one fewer exchange") {
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pBuck = fmt(Queries.fwdGeocodeBucketed(spark, "/root/testdata/sf0.001"))
+    val pFat = fmt(Queries.fwdGeocodeFat(spark, "/root/testdata/sf0.001"))
+    def nExch(p: String) = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(pBuck.contains("SelectedBucketsCount"),
+      s"index scan must be a bucketed scan:\n${pBuck.take(800)}")
+    assert(nExch(pBuck) == nExch(pFat) - 1,
+      s"bucket layout must eliminate exactly the index-side exchange (${nExch(pBuck)} vs ${nExch(pFat)})")
+    // row-identity with the parquet fat path (both share fwd_geocode's oracle,
+    // but the bucketed catalog table never reaches the DuckDB gate directly)
+    val a = Queries.fwdGeocodeBucketed(spark, "/root/testdata/sf0.001").collect().toSet
+    val b = Queries.fwdGeocodeFat(spark, "/root/testdata/sf0.001").collect().toSet
+    assert(a == b, "bucketed path must be row-identical to the fat parquet path")
+  }
+
   test("fuzzy joins are deletion-blocked equi-joins, not nested loops") {
     val pm = plan(Queries.fuzzyMatch(spark, "/root/testdata/sf0.001"))
     val pn = plan(Queries.fuzzyMentions(spark, "/root/testdata/sf0.001"))
