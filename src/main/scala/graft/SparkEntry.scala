@@ -30,6 +30,7 @@ object SparkEntry {
     "cell_assign" -> ((s, d) => Queries.cellAssign(s, d)),
     "parent_cells" -> ((s, d) => Queries.parentCells(s, d)),
     "tile_cover_rect" -> ((s, d) => Queries.tileCoverRect(s, d)),
+    "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
       ops.Geocode.reverseBcast(s, Synth.eventPoints(s, d), Synth.custFeatures(s, d), 8,
@@ -87,6 +88,12 @@ object SparkEntry {
     "lang_id_ngram" -> ((s, d) =>
       TextOps.langIdNgram(s.read.parquet(s"$d/documents.parquet"))),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s.read.parquet(s"$d/documents.parquet"))),
+    "quality_repetition" -> ((s, d) =>
+      TextOps.qualityRepetition(s.read.parquet(s"$d/documents.parquet"))),
+    "pii_scrub" -> ((s, d) =>
+      TextOps.piiScrub(TextOps.withPiiPlanted(s.read.parquet(s"$d/documents.parquet")))),
+    "url_dedup" -> ((s, d) =>
+      TextOps.urlDedup(TextOps.syntheticUrls(s.read.parquet(s"$d/documents.parquet")))),
     "token_count" -> ((s, d) => TextOps.tokenCount(s.read.parquet(s"$d/documents.parquet"))),
     "doc_fingerprint" -> ((s, d) =>
       TextOps.docFingerprints(s.read.parquet(s"$d/documents.parquet"))),
@@ -149,6 +156,7 @@ object SparkEntry {
     "cell_assign" -> Queries.cellAssignSql,
     "parent_cells" -> Queries.parentCellsSql,
     "tile_cover_rect" -> Queries.tileCoverRectSql,
+    "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan
     "reverse_salted" -> Queries.reversePipSql, // same semantics, skew-salted plan
@@ -192,6 +200,9 @@ object SparkEntry {
     "lang_id" -> TextOps.langIdSql,
     "lang_id_ngram" -> TextOps.langIdNgramSql,
     "quality_score" -> TextOps.qualityScoreSql,
+    "quality_repetition" -> TextOps.qualityRepetitionSql(),
+    "pii_scrub" -> TextOps.piiScrubSql,
+    "url_dedup" -> TextOps.urlDedupSql,
     "token_count" -> TextOps.tokenCountSql,
     "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
     // full mirror: integer hyperplane sign test + SQL-side mix64 planes

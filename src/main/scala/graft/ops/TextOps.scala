@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F
@@ -583,4 +583,194 @@ object TextOps {
        |SELECT a, b, CAST(hamming AS INTEGER) AS hamming
        |FROM pairs WHERE hamming <= $maxHamming""".stripMargin
   }
+
+  // =================================================================
+  // Repetition-based quality metrics (Gopher-style filters, Rae et al.
+  // 2021 "Scaling Language Models" §A1.1; C4, Raffel et al. 2020) —
+  // fraction of tokens that are the single most frequent word, and the
+  // duplicate word-bigram fraction. Pure per-row map: zero shuffles at
+  // any corpus size, fully codegen'd built-ins.
+  // =================================================================
+
+  /** Per-doc repetition metrics + keep/drop gate. `top_word_frac` is the
+    * count of the most frequent token over n_tok; `dup_bigram_frac` is
+    * 1 − distinct/total over adjacent word bigrams. Thresholds (0.30 /
+    * 0.50) follow the Gopher repetition-filter family; the gate is emitted
+    * as 0/1 so the oracle compare is type-stable. */
+  def qualityRepetition(docs: DataFrame,
+                        maxTopWordFrac: Double = 0.30,
+                        maxDupBigramFrac: Double = 0.50): DataFrame = {
+    val base = docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("top_word", array_max(transform(array_distinct(col("toks")),
+        d => size(filter(col("toks"), t => t === d)))).cast("long"))
+      .withColumn("bi",
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_bi", size(col("bi")).cast("long"))
+      .withColumn("twf", round(col("top_word").cast("double") / col("n_tok"), 6))
+      .withColumn("dbf",
+        when(col("n_bi") > 0,
+          round((col("n_bi") - size(array_distinct(col("bi"))).cast("long")).cast("double") /
+            col("n_bi"), 6))
+          .otherwise(lit(0.0)))
+    base.select(col("doc_id"), col("n_tok"),
+      col("twf").as("top_word_frac"), col("dbf").as("dup_bigram_frac"),
+      (col("twf") <= maxTopWordFrac && col("dbf") <= maxDupBigramFrac)
+        .cast("int").as("keep"))
+  }
+
+  def qualityRepetitionSql(maxTopWordFrac: Double = 0.30,
+                           maxDupBigramFrac: Double = 0.50): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, toks,
+       |             CASE WHEN len(toks) >= 2
+       |                  THEN list_transform(generate_series(1, len(toks) - 1),
+       |                                      i -> toks[i] || ' ' || toks[i + 1])
+       |                  ELSE CAST([] AS VARCHAR[]) END AS bi
+       |      FROM t),
+       |m AS (SELECT doc_id,
+       |             CAST(len(toks) AS BIGINT) AS n_tok,
+       |             CAST(list_max(list_transform(list_distinct(toks),
+       |                    d -> len(list_filter(toks, x -> x = d)))) AS BIGINT) AS top_word,
+       |             CAST(len(bi) AS BIGINT) AS n_bi,
+       |             CAST(len(list_distinct(bi)) AS BIGINT) AS n_bi_uniq
+       |      FROM b),
+       |f AS (SELECT doc_id, n_tok,
+       |             round(CAST(top_word AS DOUBLE) / n_tok, 6) AS twf,
+       |             CASE WHEN n_bi > 0
+       |                  THEN round(CAST(n_bi - n_bi_uniq AS DOUBLE) / n_bi, 6)
+       |                  ELSE 0.0 END AS dbf
+       |      FROM m)
+       |SELECT doc_id, n_tok, twf AS top_word_frac, dbf AS dup_bigram_frac,
+       |       CAST(CASE WHEN twf <= $maxTopWordFrac AND dbf <= $maxDupBigramFrac
+       |                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM f""".stripMargin
+
+  // =================================================================
+  // PII scrubbing — regex redaction of emails and phone-like tokens, the
+  // standard pre-training hygiene pass. Per-row regexp_replace (codegen'd,
+  // no shuffle); the regexes are written in the Java∩RE2-compatible subset
+  // so the DuckDB mirror is literally the same pattern.
+  // =================================================================
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Deterministic PII planting (the synth corpus has none): docs with
+    * doc_id % 7 == 0 gain an email, % 11 == 0 a 555-prefixed phone —
+    * mirrored token-for-token in the oracle so redaction counts have
+    * ground truth. */
+  def withPiiPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+        .as("text"))
+
+  /** Redacted text + per-doc match counts. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("clean"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"))
+
+  def piiScrubSql: String = {
+    // same patterns; DuckDB needs the 'g' flag for replace-all (Java
+    // regexp_replace is global by default)
+    val email = EmailRe
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         text ||
+       |         CASE WHEN doc_id % 7 = 0
+       |              THEN ' contact user' || doc_id || '@example.com now'
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 11 = 0
+       |              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |              ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |       regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |                      '$PhoneRe', '<PHONE>', 'g') AS clean,
+       |       CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone
+       |FROM aug""".stripMargin
+  }
+
+  // =================================================================
+  // URL canonicalization + dedup — collapse crawl URLs that differ only
+  // by scheme/host case, a www. prefix, tracking params, fragments, or a
+  // trailing slash (the standard crawl-frontier normalization). The
+  // group key is the canonical url: one shuffle on a short string key.
+  // =================================================================
+
+  /** Canonical form: lowercase, fragment stripped, `utm_*`-only query
+    * strings dropped, `://www.` collapsed, trailing slash removed. Built
+    * from codegen'd string built-ins only. */
+  def canonicalUrl(url: Column): Column = {
+    val lower0 = lower(url)
+    val noFrag = regexp_replace(lower0, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "\\?utm_[a-z_]+=[^#]*$", "")
+    val noWww = regexp_replace(noUtm, "://www\\.", "://")
+    regexp_replace(noWww, "/$", "")
+  }
+
+  /** Group pages by canonical url; keep the lowest doc_id as the
+    * representative and report the collapse factor. */
+  def urlDedup(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("canon_url", canonicalUrl(col("url")))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_dup"), min(col("doc_id")).as("rep_doc"))
+
+  /** Deterministic messy-URL synthesis over doc_id (5 docs share a path;
+    * scheme/host case, www., utm params, fragments and trailing slashes
+    * vary) — mirrored in [[urlDedupSql]]. */
+  def syntheticUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 2 === 0, lit("www.Example.org")).otherwise(lit("example.org")),
+        lit("/doc/"), (col("doc_id") / 5).cast("long").cast("string"),
+        when(col("doc_id") % 4 === 1, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&utm_campaign=c"), (col("doc_id") % 3).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 4, concat(lit("#sec"), (col("doc_id") % 7).cast("string")))
+          .otherwise(lit("")))
+        .as("url"))
+
+  def urlDedupSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |         (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+       |         (CASE WHEN doc_id % 2 = 0 THEN 'www.Example.org' ELSE 'example.org' END) ||
+       |         '/doc/' || CAST(doc_id // 5 AS VARCHAR) ||
+       |         (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+       |         (CASE WHEN doc_id % 2 = 0
+       |               THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+       |               ELSE '' END) ||
+       |         (CASE WHEN doc_id % 6 = 4 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+       |               ELSE '' END) AS url
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |             regexp_replace(
+       |               regexp_replace(
+       |                 regexp_replace(
+       |                   regexp_replace(lower(url), '#.*$$', ''),
+       |                   '\\?utm_[a-z_]+=[^#]*$$', ''),
+       |                 '://www\\.', '://'),
+       |               '/$$', '') AS canon_url
+       |      FROM u)
+       |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dup,
+       |       min(doc_id) AS rep_doc
+       |FROM c GROUP BY 1""".stripMargin
 }

@@ -424,6 +424,65 @@ object Queries {
        |LATERAL (SELECT unnest(generate_series(${tileYSql(8, "f.north")}, ${tileYSql(8, "f.south")})) AS y) ys""".stripMargin
 
   // =================================================================
+  // H3b: cover compaction (the S2/H3 `compact` analogue over the z/x/y
+  // grid): replace every fully-covered aligned 2^dz × 2^dz block of cover
+  // cells with its single ancestor cell. Closed form — NO fixpoint loop:
+  // a base cell's compacted id is its COARSEST complete ancestor, where
+  // ancestor a at zoom g is complete iff all 4^(8−g) base cells under a
+  // are in the feature's cover (iterated sibling-merge reaches parent a
+  // exactly when every leaf below a is present, so the two definitions
+  // coincide). At 10^12 scale this is a bounded ≤4× explode plus two
+  // keyed aggregations — no driver iteration, no recursion.
+  // =================================================================
+
+  private val CompactMinZ = 5 // coarsest ancestor considered (8×8 blocks)
+
+  def cellCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val cov = custFeatures(spark, sfDir)
+      .select(col("feature_id"), explode(F.tileCover(col("geom_wkb"), lit(8))).as("cell"))
+    val anc = cov
+      .withColumn("g", explode(sequence(lit(CompactMinZ), lit(8))))
+      .withColumn("anc", F.parentCell(col("cell"), col("g")))
+    // complete ⇔ the ancestor's full leaf block is present: 4^(8-g) cells
+    val complete = anc.groupBy(col("feature_id"), col("g"), col("anc"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === expr("CAST(shiftleft(1, (8 - g) * 2) AS BIGINT)"))
+      .select(col("feature_id"), col("g"), col("anc"))
+    anc.join(complete, Seq("feature_id", "g", "anc"))
+      .groupBy(col("feature_id"), col("cell"))
+      .agg(min(col("g")).as("z"))
+      .select(col("feature_id"), F.parentCell(col("cell"), col("z")).as("cell"), col("z"))
+      .distinct()
+  }
+
+  def cellCompactSql: String =
+    s"""WITH cf AS (${custFeaturesSql}),
+       |cov AS (
+       |  SELECT f.feature_id, xs.x AS cx, ys.y AS cy
+       |  FROM cf f,
+       |  LATERAL (SELECT unnest(generate_series(${tileXSql(8, "f.west")}, ${tileXSql(8, "f.east")})) AS x) xs,
+       |  LATERAL (SELECT unnest(generate_series(${tileYSql(8, "f.north")}, ${tileYSql(8, "f.south")})) AS y) ys),
+       |anc AS (
+       |  SELECT feature_id, cx, cy, gs.g,
+       |         (gs.g * 72057594037927936 + (cx // (1::BIGINT << (8 - gs.g))) * 268435456
+       |          + (cy // (1::BIGINT << (8 - gs.g)))) AS anc
+       |  FROM cov, (SELECT unnest(generate_series($CompactMinZ, 8)) AS g) gs),
+       |complete AS (
+       |  SELECT feature_id, g, anc FROM anc
+       |  GROUP BY 1, 2, 3
+       |  HAVING count(*) = (1::BIGINT << (2 * (8 - g)))),
+       |coarsest AS (
+       |  SELECT a.feature_id, a.cx, a.cy, min(a.g) AS z
+       |  FROM anc a JOIN complete c
+       |    ON a.feature_id = c.feature_id AND a.g = c.g AND a.anc = c.anc
+       |  GROUP BY 1, 2, 3)
+       |SELECT DISTINCT feature_id,
+       |       (z * 72057594037927936 + (cx // (1::BIGINT << (8 - z))) * 268435456
+       |        + (cy // (1::BIGINT << (8 - z)))) AS cell,
+       |       CAST(z AS INTEGER) AS z
+       |FROM coarsest""".stripMargin
+
+  // =================================================================
   // H9: per-tile raster masks — closed-form oracle. The scanline kernel
   // over RECT features has an exact arithmetic form: per (tile, feature)
   // the lit pixels are a [row range] × [col range] box — rows are the

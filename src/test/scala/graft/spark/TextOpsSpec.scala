@@ -226,6 +226,70 @@ class TextOpsSpec extends SparkTestBase {
       s"10x corpus grew blocked pairs ${growth}x — super-subquadratic bound violated")
   }
 
+  test("quality repetition: planted repetitive docs are gated, clean docs kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a normal sentence with mostly distinct words in it today"),
+      (1L, "spam spam spam spam spam spam spam spam spam one"), // top-word 0.9
+      (2L, "buy now buy now buy now buy now buy now buy now"),  // dup bigrams
+      (3L, "single")                                            // 1-token edge
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityRepetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(out(0L)._3 == 1, s"clean doc dropped: ${out(0L)}")
+    assert(out(1L)._1 > 0.8 && out(1L)._3 == 0, s"top-word spam kept: ${out(1L)}")
+    assert(out(2L)._2 > 0.5 && out(2L)._3 == 0, s"bigram spam kept: ${out(2L)}")
+    assert(out(3L)._2 == 0.0, "single-token doc must have dup_bigram_frac 0")
+  }
+
+  test("pii scrub: planted emails/phones redacted, counts exact, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "write to alice@corp.example.com or Bob.Smith+x@mail.org please"),
+      (1L, "call 555-0142 or 555-9999 after five"),
+      (2L, "no pii here at all"),
+      (3L, "mixed a@b.co and 555-1234 together")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L)._2 == 2 && out(0L)._1 == "write to <EMAIL> or <EMAIL> please")
+    assert(out(1L)._3 == 2 && out(1L)._1 == "call <PHONE> or <PHONE> after five")
+    assert(out(2L) == (("no pii here at all", 0L, 0L)))
+    assert(out(3L)._1 == "mixed <EMAIL> and <PHONE> together")
+  }
+
+  test("url dedup: case/www/utm/fragment/trailing-slash variants collapse to one canon") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://example.org/a/b"),
+      (2L, "HTTPS://www.Example.org/a/b/"),
+      (3L, "https://example.org/a/b?utm_source=x&utm_medium=y"),
+      (4L, "https://example.org/a/b#frag"),
+      (5L, "https://example.org/a/OTHER")
+    ).toDF("doc_id", "url")
+    val out = TextOps.urlDedup(pages).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 2, s"expected 2 canon groups, got $out")
+    assert(out("https://example.org/a/b") == ((4L, 1L)))
+    assert(out("https://example.org/a/other") == ((1L, 5L)))
+  }
+
+  test("cell compact: round-trip expansion reproduces the exact cover, strictly smaller") {
+    import graft.core.CellMath
+    val cover = graft.queries.Queries.tileCoverRect(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compact = graft.queries.Queries.cellCompact(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compact.size < cover.size, "compaction must shrink the cover")
+    assert(compact.exists { case (_, c) => CellMath.zOf(c) < 8 }, "no cell ever compacted")
+    def leaves(cell: Long): Set[Long] = {
+      if (CellMath.zOf(cell) == 8) Set(cell)
+      else CellMath.childrenCells(cell).toSet.flatMap(leaves)
+    }
+    val expanded = compact.flatMap { case (f, c) => leaves(c).map(f -> _) }
+    assert(expanded == cover, "compact→expand must be the identity on the cover set")
+  }
+
   test("mm decode is REAL: ImageIO round-trip recovers the synthesis ground truth") {
     import graft.ops.Multimodal
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
