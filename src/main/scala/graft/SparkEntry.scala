@@ -43,6 +43,7 @@ object SparkEntry {
       ops.Geocode.reversePipSalted(Synth.eventPoints(s, d), Synth.custFeatures(s, d), 8,
         s = 4, hotK = 8, hotThreshold = 1000)
         .select(col("event_id"), col("feature_id"))),
+    "reverse_compact" -> ((s, d) => Queries.reverseCompact(s, d)),
     "knn_expand" -> ((s, d) =>
       ops.Geocode.knnExpanding(Synth.eventPoints(s, d),
         Synth.custFeatures(s, d).select(col("feature_id"), col("flon"), col("flat")), 8)),
@@ -160,6 +161,7 @@ object SparkEntry {
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan
     "reverse_salted" -> Queries.reversePipSql, // same semantics, skew-salted plan
+    "reverse_compact" -> Queries.reversePipSql, // compacted-index lookup ≡ direct PIP
     "knn_disk" -> Queries.knnDiskSql,
     "reverse_topk" -> Queries.reverseTopKSql,
     "context_chain" -> Queries.contextChainSql,

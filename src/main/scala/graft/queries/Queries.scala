@@ -482,6 +482,33 @@ object Queries {
        |       CAST(z AS INTEGER) AS z
        |FROM coarsest""".stripMargin
 
+  /** Reverse geocode THROUGH the compacted index (the S2-style lookup): a
+    * probe joins the index on each of its ≤4 ancestor cells (zoom
+    * CompactMinZ..8) — an equi-join on the cell key, zero shuffles with the
+    * dim-sized index broadcast — then PIP-verifies in-row against the
+    * feature bounds carried on the index row. The compacted set is
+    * provably disjoint per feature (every leaf under a chosen ancestor
+    * chooses that same ancestor), so no dedup is needed; the oracle is the
+    * DIRECT half-open containment join, which this must equal exactly —
+    * the compare doubles as the disjointness + cover-completeness proof. */
+  def reverseCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = cellCompact(spark, sfDir)
+      .join(custFeatures(spark, sfDir)
+        .select(col("feature_id"), col("west"), col("south"), col("east"), col("north")),
+        "feature_id")
+    val pts = Synth.eventPoints(spark, sfDir)
+      .withColumn("cell8", F.cellAt(lit(8), col("elon"), col("elat")))
+    pts
+      .withColumn("g", explode(sequence(lit(CompactMinZ), lit(8))))
+      .withColumn("cell", F.parentCell(col("cell8"), col("g")))
+      .join(broadcast(idx), "cell")
+      .filter(col("elon") >= col("west") && col("elon") < col("east") &&
+        col("elat") >= col("south") && col("elat") < col("north"))
+      .select(col("event_id"), col("feature_id"))
+  }
+  // oracle: shares reversePipSql — the compacted-index lookup must equal
+  // the direct containment join row-for-row
+
   // =================================================================
   // H9: per-tile raster masks — closed-form oracle. The scanline kernel
   // over RECT features has an exact arithmetic form: per (tile, feature)

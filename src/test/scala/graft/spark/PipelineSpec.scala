@@ -161,4 +161,41 @@ class PipelineSpec extends SparkTestBase {
     assert(a.sameElements(b))
     assert(a.length == pts.count())
   }
+
+  test("snapshot commits: atomic pointer flip, time travel, crash-invisibility, expiry") {
+    import spark.implicits._
+    val table = tmp("snaptable")
+    def frame(n: Int) = (0 until n).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+
+    // v1 then v2: readers always see the committed snapshot's exact files
+    val id1 = TableIO.commit(frame(10), table, "k", Seq("k"), 2)
+    val id2 = TableIO.commit(frame(25), table, "k", Seq("k"), 2)
+    assert(id1 == 1L && id2 == 2L)
+    assert(TableIO.currentSnapshotId(table).contains(2L))
+    assert(TableIO.readCurrent(spark, table).count() == 25)
+    // time travel: v1 is intact and byte-identical in content
+    assert(TableIO.readAsOf(spark, table, id1).count() == 10)
+    assert(TableIO.readAsOf(spark, table, id1).agg(sum("v")).head.getLong(0) == 450L)
+
+    // crash BEFORE the pointer flip: in-flight data + manifest files exist
+    // on disk but readers still resolve snapshot 2 — the half-commit is
+    // invisible (this is what mode=overwrite on a live dir cannot give)
+    frame(99).repartitionByRange(2, col("k")).write.parquet(s"$table/snap-3")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(table, "_manifest-3.json"),
+      """{"format": "graft-table-v2", "snapshot_id": 3, "total_rows": 99, "files": []}""")
+    assert(TableIO.currentSnapshotId(table).contains(2L))
+    assert(TableIO.readCurrent(spark, table).count() == 25)
+
+    // a later real commit supersedes the orphan id (4 = max committed + 1
+    // is NOT required by the contract; the pointer decides)
+    val id4 = TableIO.commit(frame(7), table, "k", Seq("k"), 1)
+    assert(TableIO.readCurrent(spark, table).count() == 7)
+
+    // expiry keeps the most recent `keep` committed snapshots
+    val dropped = TableIO.expireSnapshots(table, keep = 1)
+    assert(dropped.contains(1L) && !dropped.contains(id4))
+    assert(TableIO.readCurrent(spark, table).count() == 7)
+    intercept[Exception] { TableIO.readAsOf(spark, table, id1).count() }
+  }
 }

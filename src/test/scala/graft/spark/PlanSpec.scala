@@ -26,6 +26,18 @@ class PlanSpec extends SparkTestBase {
     assert("events\\.parquet".r.findAllIn(p).size == 1, "probe table scanned more than once")
   }
 
+  test("reverse_compact: probe side never shuffles — ancestor explode + broadcast index") {
+    val pFull = plan(Queries.reverseCompact(spark, "/root/testdata/sf0.001"))
+    val pIdx = plan(Queries.cellCompact(spark, "/root/testdata/sf0.001"))
+    assert(pFull.contains("BroadcastHashJoin"), "compacted index must broadcast")
+    // every data exchange belongs to the (dim-sized) index build: the probe
+    // side adds ZERO shuffles on top of it (broadcast exchanges excluded)
+    def nShuffles(p: String) = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(nShuffles(pFull) <= nShuffles(pIdx) + 1, // +1: idx ⋈ feature-bounds dim
+      s"probe side added shuffles: ${nShuffles(pFull)} vs index-build ${nShuffles(pIdx)}")
+    assert("events\\.parquet".r.findAllIn(pFull).size == 1, "probe table scanned more than once")
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val p = plan(Queries.freqIndex(spark, "/root/testdata/sf0.001"))
     assert(p.contains("ReadSchema: struct<text:string>"),
