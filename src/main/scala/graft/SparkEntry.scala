@@ -85,6 +85,11 @@ object SparkEntry {
       TextOps.dedupWinnow(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
     "ngram_jaccard" -> ((s, d) =>
       TextOps.ngramJaccard(TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet")))),
+    "dup_clusters" -> ((s, d) =>
+      TextOps.dupClusters(TextOps.ngramJaccard(
+        TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet"))))),
+    "sample_stratified" -> ((s, d) =>
+      TextOps.stratifiedSample(s.read.parquet(s"$d/documents.parquet"))),
     "lang_id" -> ((s, d) => TextOps.langId(s.read.parquet(s"$d/documents.parquet"))),
     "lang_id_ngram" -> ((s, d) =>
       TextOps.langIdNgram(s.read.parquet(s"$d/documents.parquet"))),
@@ -193,6 +198,8 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
     "ngram_jaccard" -> TextOps.ngramJaccardSql,
+    "dup_clusters" -> TextOps.dupClustersSql,
+    "sample_stratified" -> TextOps.stratifiedSampleSql(),
     // 64-bit sketch hashing IS SQL-expressible after all: HUGEINT limb
     // arithmetic reproduces mix64/FNV-1a/SimHash bit-exactly (SqlHash)
     "doc_fingerprint" -> TextOps.docFingerprintSql,

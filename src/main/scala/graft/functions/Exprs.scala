@@ -374,6 +374,19 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(child = c)
   }
 
+  /** mix64(x): splitmix64 finalizer of a BIGINT column — the deterministic
+    * sampling/shuffling rank key (can't be written as Column arithmetic:
+    * the 64-bit multiplies overflow-error under ANSI). DuckDB mirror:
+    * [[graft.queries.SqlHash.mix64Ctes]], bit-exact. */
+  case class Mix64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "mix64"
+    override def nullSafeEval(x: Any): Any = Fingerprint.mix64(x.asInstanceOf[Long])
+    override protected def withNewChildInternal(c: Expression): Mix64 = copy(child = c)
+  }
+
   /** char_ngrams(text, n): the array of all length-n character substrings
     * (one per position — overlapping). One virtual call per ROW; the
     * `transform(sequence(...), i -> substring(...))` formulation it
@@ -625,6 +638,7 @@ object F {
                      bc: org.apache.spark.broadcast.Broadcast[Seq[String]]): Column =
     c(AcMentionsLazy(x(s), bc))
   def docFingerprint(s: Column): Column = c(DocFingerprint(x(s)))
+  def mix64(v: Column): Column = c(Mix64(x(v)))
   def charNgrams(s: Column, n: Int): Column = c(CharNgrams(x(s), n))
   def simhash64(s: Column): Column = c(SimHash(x(s)))
   def minhashBands(s: Column, k: Column, numHashes: Column, rowsPerBand: Column): Column =

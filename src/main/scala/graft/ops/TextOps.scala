@@ -284,6 +284,149 @@ object TextOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** Collapse near-dup PAIRS into dedup CLUSTERS — connected components
+    * with the component-minimum doc_id as the cluster label. Pair output
+    * alone under-deletes: A~B and B~C pairs must retire B AND C, which
+    * needs the transitive closure, the step every corpus-scale dedup runs
+    * after candidate generation.
+    *
+    * Scale shape: (1) one star-contraction round — every node maps to
+    * min(self, min neighbor), collapsing near-cliques (the typical dup
+    * cluster) to single supernodes in ONE pass over the edge set; (2)
+    * iterative min-label propagation on the CONTRACTED graph, which is
+    * orders of magnitude smaller (sf0.1: 1.1M directed edges → 1,950), so
+    * the driver loop's per-round joins touch only supernodes. The big edge
+    * set is read exactly twice (contraction map + edge rewrite) and never
+    * again. Rounds = contracted diameter; the O(log n) two-sided
+    * alternating-star scheme (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) is the documented upgrade if
+    * adversarial long chains ever dominate. Convergence detection: the
+    * label sum is strictly decreasing until fixpoint (labels only ever
+    * shrink), one cheap aggregate per round, summed in decimal(38) so the
+    * test can't overflow at any corpus size. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    // star contraction: node -> min(node, min neighbor)
+    val m1 = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a").as("node"), least(col("a"), col("mb")).as("lbl1"))
+      .persist()
+    val e1 = sym
+      .join(m1.select(col("node").as("a"), col("lbl1").as("la")), "a")
+      .join(m1.select(col("node").as("b"), col("lbl1").as("lb")), "b")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("a"), col("lb").as("b"))
+      .distinct()
+      .persist()
+    // min-label propagation on the contracted graph until fixpoint.
+    // localCheckpoint (not persist) each round: an iterative DataFrame's
+    // lineage DOUBLES per round (labels referenced twice), so by round ~16
+    // the mere plan string OOMs the driver — truncation is mandatory for
+    // any loop whose round count is data-dependent (on a cluster, the
+    // reliable-checkpoint variant writes to the checkpoint dir instead)
+    var labels = e1.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prev = lblSum(labels)
+    var done = labels.isEmpty
+    var rounds = 0
+    while (!done && rounds < 64) {
+      val prop = e1.join(labels.withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node")).agg(min(col("lbl")).as("plbl"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val cur = lblSum(next)
+      labels.unpersist()
+      labels = next
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      rounds += 1
+    }
+    sym.unpersist()
+    e1.unpersist()
+    // map every original node through its supernode's final label
+    m1.join(labels.select(col("node").as("lbl1"), col("lbl")), Seq("lbl1"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("lbl"), col("lbl1")).as("cluster_id"))
+  }
+
+  /** [[dupClusters]] over the ngram-Jaccard pair edges — full mirror:
+    * pair CTEs from [[ngramJaccardSql]], one star-contraction round, then
+    * a recursive min-label closure on the contracted graph. The `r.lbl <
+    * e.b` guard prunes the closure: the component minimum is smaller than
+    * every member, so min labels still reach everyone while non-minimal
+    * labels mostly stop propagating. MATERIALIZED hints are load-bearing:
+    * without them DuckDB re-inlines the quadratic pair join once per
+    * reference (measured 176 s → 12 s at sf0.1). */
+  def dupClustersSql: String =
+    s"""WITH RECURSIVE aug AS (
+       |  SELECT doc_id, text, lang, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |         array_to_string(list_slice(string_split(text, ' '), 1,
+       |           greatest(len(string_split(text, ' ')) - 1, 1)), ' '),
+       |         lang, n_chars
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |t AS (SELECT doc_id, lang, n_chars // 100 AS bucket,
+       |             list_distinct(string_split(text, ' ')) AS toks FROM aug),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |         len(list_intersect(a.toks, b.toks)) AS inter,
+       |         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+       |sym AS MATERIALIZED (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+       |m1 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS lbl1 FROM sym GROUP BY a),
+       |e1 AS MATERIALIZED (SELECT DISTINCT ma.lbl1 AS a, mb.lbl1 AS b
+       |       FROM sym JOIN m1 ma ON sym.a = ma.node JOIN m1 mb ON sym.b = mb.node
+       |       WHERE ma.lbl1 <> mb.lbl1),
+       |reach AS (
+       |  SELECT a AS node, a AS lbl FROM e1
+       |  UNION
+       |  SELECT e.b AS node, r.lbl AS lbl FROM reach r JOIN e1 e ON e.a = r.node
+       |  WHERE r.lbl < e.b),
+       |root AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+       |SELECT m1.node AS doc_id, coalesce(root.lbl, m1.lbl1) AS cluster_id
+       |FROM m1 LEFT JOIN root ON m1.lbl1 = root.node""".stripMargin
+
+  /** Deterministic stratified sample: the `perStratum` docs with the
+    * smallest splitmix64(doc_id) rank per language — the curation
+    * primitive for balancing a training mix across strata. Hash-rank
+    * sampling is reproducible (no RNG state), stable under corpus growth
+    * (a doc's rank never changes, so the sample only churns where ranks
+    * cross the boundary) and join-free. Skew note: strata are FEW (4
+    * langs), but rank<=k plans as WindowGroupLimit, whose PARTIAL mode
+    * keeps at most k rows per stratum per input partition BEFORE the
+    * shuffle (PlanSpec pins it) — the exchange moves O(k·splits) rows, not
+    * the corpus, so 4 fat strata never concentrate the data on 4 tasks. */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("rk").asc, col("doc_id").asc)
+    docs.select(col("lang"), col("doc_id"), F.mix64(col("doc_id")).as("rk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+      .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Mirror of [[stratifiedSample]]: mix64 staged over CTE columns
+    * (SqlHash), rank ORDER BY the SIGNED value — Java long order, the
+    * winnowing lesson — with the doc_id tiebreak. */
+  def stratifiedSampleSql(perStratum: Int = 25): String = {
+    import graft.queries.SqlHash._
+    s"""WITH z AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS z FROM documents),
+       |${mix64Ctes("z", "doc_id, lang", "m")},
+       |r AS (SELECT lang, doc_id, ${toSigned("z")} AS rk FROM m),
+       |ranked AS (SELECT lang, doc_id,
+       |             row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+       |           FROM r)
+       |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $perStratum""".stripMargin
+  }
+
   /** Full DuckDB mirror of [[dedupWinnow]] ∘ [[withMutatedCopies]]: char
     * k-gram rolling hashes (base-257 poly → mix64, staged HUGEINT CTEs),
     * then the winnowing window scan as nested list lambdas — rightmost

@@ -38,6 +38,18 @@ class PlanSpec extends SparkTestBase {
     assert("events\\.parquet".r.findAllIn(pFull).size == 1, "probe table scanned more than once")
   }
 
+  test("sample_stratified: partial WindowGroupLimit runs BEFORE the stratum exchange") {
+    val p = plan(graft.ops.TextOps.stratifiedSample(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")))
+    // Partial mode = each input split keeps <=k rows per stratum pre-shuffle,
+    // so 4 fat strata never funnel the corpus onto 4 tasks
+    assert(p.contains("WindowGroupLimit"), "rank<=k must plan as WindowGroupLimit")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      s"partial (map-side) group limit missing:\n${p.take(600)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "sampling must scan only (doc_id, lang)")
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val p = plan(Queries.freqIndex(spark, "/root/testdata/sf0.001"))
     assert(p.contains("ReadSchema: struct<text:string>"),

@@ -316,4 +316,45 @@ class TextOpsSpec extends SparkTestBase {
       assert(r.getLong(3) == Multimodal.imgW(7L, i) && r.getLong(4) == Multimodal.imgH(7L, i))
     }
   }
+
+  test("dup_clusters: chain, clique and singleton-pair components collapse to min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: exercises iteration past one contraction
+    // round), clique {10,11,12}, pair {20,21}; labels = component minima
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("a", "b")
+    val got = TextOps.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dup_clusters: adversarial long path converges (32 nodes, bounded rounds)") {
+    import spark.implicits._
+    val pairs = (0L until 31L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = TextOps.dupClusters(pairs).collect()
+    assert(got.length == 32 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("mix64 column matches the JVM kernel; stratified sample is deterministic top-k per lang") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 42L, -7L, Long.MaxValue, Long.MinValue)
+    val got = ids.toDF("v").select(graft.functions.F.mix64(col("v"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == ids.map(Fingerprint.mix64))
+
+    val docs = (0L until 200L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val s1 = TextOps.stratifiedSample(docs, perStratum = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s1.size == 21 && s1.groupBy(_._1).forall(_._2.size == 7))
+    // expected = brute-force smallest mix64 ranks per stratum
+    val expect = (0L until 200L).groupBy(i => s"lang${i % 3}").flatMap { case (l, is) =>
+      is.sortBy(i => (Fingerprint.mix64(i), i)).take(7).zipWithIndex
+        .map { case (i, r) => (l, i, r + 1L) }
+    }.toSet
+    assert(s1 == expect)
+  }
 }
