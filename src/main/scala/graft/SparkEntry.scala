@@ -44,6 +44,7 @@ object SparkEntry {
         s = 4, hotK = 8, hotThreshold = 1000)
         .select(col("event_id"), col("feature_id"))),
     "reverse_compact" -> ((s, d) => Queries.reverseCompact(s, d)),
+    "asof_epoch" -> ((s, d) => Queries.asofEpoch(s, d)),
     "knn_expand" -> ((s, d) =>
       ops.Geocode.knnExpanding(Synth.eventPoints(s, d),
         Synth.custFeatures(s, d).select(col("feature_id"), col("flon"), col("flat")), 8)),
@@ -167,6 +168,7 @@ object SparkEntry {
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan
     "reverse_salted" -> Queries.reversePipSql, // same semantics, skew-salted plan
     "reverse_compact" -> Queries.reversePipSql, // compacted-index lookup ≡ direct PIP
+    "asof_epoch" -> Queries.asofEpochSql,
     "knn_disk" -> Queries.knnDiskSql,
     "reverse_topk" -> Queries.reverseTopKSql,
     "context_chain" -> Queries.contextChainSql,

@@ -65,6 +65,23 @@ object ForwardJob {
       ranges, outDir, failAfter)
   }
 
+  /** Checkpointed run + ATOMIC publish: slices land in a staging dir under
+    * per-range lineage (resume-safe — a killed run restarts where it
+    * stopped), and only when EVERY range is done is the staging union
+    * committed as one [[graft.index.TableIO]] snapshot of `tableDir`.
+    * Consumers via `TableIO.readCurrent` therefore see either the previous
+    * epoch or the complete new one — never a partially-geocoded corpus.
+    * Returns the published snapshot id. */
+  def runPublished(spark: SparkSession, sfDir: String, stagingDir: String,
+                   tableDir: String, nRanges: Int = 8,
+                   failAfter: Option[Int] = None): Long = {
+    run(spark, sfDir, stagingDir, nRanges, failAfter) // throws on injected kill
+    // slices already carry hkey (the checkpoint range key)
+    graft.index.TableIO.commit(Checkpoint.readAll(spark, stagingDir),
+      tableDir, rangeKey = "hkey", sortCols = Seq("hkey", "doc_id"),
+      numRanges = nRanges)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_forward_out")

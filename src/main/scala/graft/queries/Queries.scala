@@ -510,6 +510,50 @@ object Queries {
   // the direct containment join row-for-row
 
   // =================================================================
+  // Temporal as-of join: each event picks up the per-cell index EPOCH
+  // live at its timestamp (the snapshot-versioned-table lookup, probe
+  // side timestamped). Union-trick implementation in ops.AsOf — one
+  // shuffle, no probe×versions range-join blowup.
+  // =================================================================
+
+  /** Events as-of-join deterministic per-z4-cell epoch versions (4 per
+    * cell, weekly + a cell-dependent hour offset so some early events
+    * precede their cell's first epoch and exercise the null arm). All
+    * comparisons in floored epoch SECONDS — integer-exact on both
+    * engines. */
+  def asofEpoch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), unix_timestamp(col("ts")).as("t"),
+        Synth.evLon(col("event_id")).as("elon"), Synth.evLat(col("event_id")).as("elat"))
+      .withColumn("cell", F.cellAt(lit(4), col("elon"), col("elat")))
+      .select("event_id", "cell", "t")
+    val state = ev.select("cell").distinct()
+      .withColumn("v", explode(sequence(lit(0), lit(3))))
+      .select(col("cell"),
+        (lit(1704067200L) + col("v").cast("long") * 604800L + col("cell") % 13L * 3600L).as("t"),
+        (col("cell") % 100000L * 10L + col("v")).as("epoch_val"))
+    graft.ops.AsOf.asOfJoin(ev, state, "cell", "t", Seq("epoch_val"))
+      .select(col("event_id"), col("epoch_val"))
+  }
+
+  /** Mirror of [[asofEpoch]] — the classic correlated top-1 form the
+    * union trick replaces. */
+  def asofEpochSql: String =
+    s"""WITH pts AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+       |                    ${Synth.evLonSql} AS elon, ${Synth.evLatSql} AS elat FROM events),
+       |ev AS (SELECT event_id, t, ${cellSql(4, "elon", "elat")} AS cell FROM pts),
+       |state AS (
+       |  SELECT cell, 1704067200 + v * 604800 + (cell % 13) * 3600 AS t,
+       |         (cell % 100000) * 10 + v AS epoch_val
+       |  FROM (SELECT DISTINCT cell FROM ev),
+       |       (SELECT unnest(generate_series(0, 3)) AS v)),
+       |j AS (
+       |  SELECT ev.event_id, s.epoch_val,
+       |         row_number() OVER (PARTITION BY ev.event_id ORDER BY s.t DESC) AS rn
+       |  FROM ev LEFT JOIN state s ON s.cell = ev.cell AND s.t <= ev.t)
+       |SELECT event_id, epoch_val FROM j WHERE rn = 1""".stripMargin
+
+  // =================================================================
   // H9: per-tile raster masks — closed-form oracle. The scanline kernel
   // over RECT features has an exact arithmetic form: per (tile, feature)
   // the lit pixels are a [row range] × [col range] box — rows are the

@@ -65,4 +65,29 @@ class ForwardJobSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(7))).toSet
     assert(fromJob == direct)
   }
+
+  test("published job: kill leaves the table UNPUBLISHED; resume commits one complete snapshot") {
+    import graft.index.TableIO
+    val sf = "/root/testdata/sf0.001"
+    val staging = Files.createTempDirectory("fwdstage").toString
+    val table = Files.createTempDirectory("fwdtable").toString
+
+    intercept[RuntimeException] {
+      ForwardJob.runPublished(spark, sf, staging, table, nRanges = 8, failAfter = Some(3))
+    }
+    // the kill happened mid-staging: the consumer table has NO snapshot at
+    // all — a reader cannot observe the partially-geocoded corpus
+    assert(TableIO.currentSnapshotId(table).isEmpty)
+
+    val snap = ForwardJob.runPublished(spark, sf, staging, table)
+    assert(TableIO.currentSnapshotId(table).contains(snap))
+    val published = TableIO.readCurrent(spark, table)
+      .select("doc_id", "feature_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Geocode.forward(Synth.docPages(spark, sf), Synth.gazDf(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(7))).toSet
+    assert(published == direct)
+    // resume did NOT recompute the pre-kill ranges (lineage shows 8 total)
+    assert(Checkpoint.completedRanges(staging).size == 8)
+  }
 }

@@ -162,6 +162,25 @@ class PipelineSpec extends SparkTestBase {
     assert(a.length == pts.count())
   }
 
+  test("as-of join semantics: latest version <= ts, equal-ts visible, pre-first null") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 5L, "p-a"),   // between v@3 and v@8 -> v@3
+      (1L, 3L, "p-b"),   // exactly AT v@3 -> v@3 (tie: state first)
+      (1L, 2L, "p-c"),   // before first version -> null
+      (2L, 100L, "p-d"), // key with one version at 50 -> v@50
+      (3L, 9L, "p-e")    // key with NO state at all -> null
+    ).toDF("k", "t", "tag")
+    val state = Seq(
+      (1L, 3L, 30L), (1L, 8L, 80L), (2L, 50L, 500L)
+    ).toDF("k", "t", "val")
+    val got = graft.ops.AsOf.asOfJoin(probe, state, "k", "t", Seq("val"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("val")).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map("p-a" -> Some(30L), "p-b" -> Some(30L), "p-c" -> None,
+      "p-d" -> Some(500L), "p-e" -> None))
+  }
+
   test("snapshot commits: atomic pointer flip, time travel, crash-invisibility, expiry") {
     import spark.implicits._
     val table = tmp("snaptable")

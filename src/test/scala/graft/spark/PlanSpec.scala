@@ -50,6 +50,13 @@ class PlanSpec extends SparkTestBase {
       "sampling must scan only (doc_id, lang)")
   }
 
+  test("asof_epoch: union trick — no theta/range join anywhere in the plan") {
+    val p = plan(Queries.asofEpoch(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must never plan the probe×versions range join")
+    assert(p.contains("Window"), "running last-non-null window expected")
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val p = plan(Queries.freqIndex(spark, "/root/testdata/sf0.001"))
     assert(p.contains("ReadSchema: struct<text:string>"),
