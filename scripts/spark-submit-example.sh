@@ -26,6 +26,13 @@ COMMON=(
 # Resumable forward geocode (per-Hilbert-range checkpoints + lineage):
 spark-submit --class graft.jobs.ForwardJob "${COMMON[@]}" "$JAR" "$SF_DIR" "$OUT/forward"
 
+# Same job with ATOMIC publish: ranges stage under $OUT/forward_staging,
+# and completion commits ONE TableIO snapshot at $OUT/forward_table —
+# consumers (TableIO.readCurrent) never observe a partial corpus; a killed
+# run resumes its staging and publishes when complete. Library call:
+#   ForwardJob.runPublished(spark, sfDir, s"$OUT/forward_staging",
+#                           s"$OUT/forward_table", nRanges = N * 4)
+
 # Grid-index build (Hilbert-range-partitioned sorted table + freq table)
 # runs through graft.index.IndexBuild.build from a small driver class of
 # your own; the library call is:

@@ -45,6 +45,9 @@ object SparkEntry {
         .select(col("event_id"), col("feature_id"))),
     "reverse_compact" -> ((s, d) => Queries.reverseCompact(s, d)),
     "asof_epoch" -> ((s, d) => Queries.asofEpoch(s, d)),
+    "interval_join" -> ((s, d) => Queries.intervalJoin(s, d)),
+    "quantiles_lang" -> ((s, d) =>
+      TextOps.quantilesByLang(s.read.parquet(s"$d/documents.parquet"))),
     "knn_expand" -> ((s, d) =>
       ops.Geocode.knnExpanding(Synth.eventPoints(s, d),
         Synth.custFeatures(s, d).select(col("feature_id"), col("flon"), col("flat")), 8)),
@@ -169,6 +172,8 @@ object SparkEntry {
     "reverse_salted" -> Queries.reversePipSql, // same semantics, skew-salted plan
     "reverse_compact" -> Queries.reversePipSql, // compacted-index lookup ≡ direct PIP
     "asof_epoch" -> Queries.asofEpochSql,
+    "interval_join" -> Queries.intervalJoinSql,
+    "quantiles_lang" -> TextOps.quantilesByLangSql,
     "knn_disk" -> Queries.knnDiskSql,
     "reverse_topk" -> Queries.reverseTopKSql,
     "context_chain" -> Queries.contextChainSql,

@@ -21,6 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Point-in-interval join: every (probe, window) pair with
+    * `w.s <= probe.t < w.e`, WITHOUT a theta join. Time is cut into
+    * fixed-width bins; each window explodes into the bins it covers
+    * (bounded: len/bin + 1 rows) and each probe carries its single bin,
+    * so the match is an EQUI-join on the bin plus an in-row containment
+    * filter. A probe can match a window in only one bin — its own — so
+    * no post-join dedup is needed. This is the banded range join that
+    * stays hash-partitioned at any scale; the nested-loop form Catalyst
+    * would pick for the raw range predicate is probes×windows. */
+  def intervalJoin(probe: DataFrame, windows: DataFrame, t: String,
+                   s: String, e: String, binSec: Long): DataFrame = {
+    val wb = windows.withColumn("__bin",
+      explode(sequence(expr(s"$s div $binSec"), expr(s"($e - 1) div $binSec"))))
+    probe.withColumn("__bin", expr(s"$t div $binSec"))
+      .join(wb, "__bin")
+      .filter(col(s) <= col(t) && col(t) < col(e))
+      .drop("__bin")
+  }
+
   /** `probe` and `state` must both carry `key` and `ts` columns; `state`
     * additionally carries `valCols` (one row per (key, ts) version).
     * Output: every probe row + the as-of `valCols` (null when no version

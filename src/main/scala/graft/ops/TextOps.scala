@@ -304,7 +304,7 @@ object TextOps {
     * label sum is strictly decreasing until fixpoint (labels only ever
     * shrink), one cheap aggregate per round, summed in decimal(38) so the
     * test can't overflow at any corpus size. */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def dupClusters(pairs: DataFrame, driverEdgeCeiling: Long = 1L << 20): DataFrame = {
     val sym = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
@@ -319,6 +319,40 @@ object TextOps {
       .select(col("la").as("a"), col("lb").as("b"))
       .distinct()
       .persist()
+    // The contracted graph is orders of magnitude smaller than the edge
+    // set (near-cliques → supernodes; sf0.1: 1.1M → 1,950). Below the
+    // ceiling, finish with driver union-find + a broadcast root map — the
+    // distributed iteration's per-round job latency (2 actions × rounds)
+    // costs more than the entire remaining problem. Above it, the loop
+    // below is the honest distributed path (measured ceiling rationale:
+    // 2×8B×1M = 16 MB collected, well inside any driver).
+    val e1Count = e1.count()
+    if (e1Count <= driverEdgeCeiling) {
+      val edges = e1.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var x = x0
+        while (parent.getOrElse(x, x) != x) { val nx = parent(x); parent(x) = r; x = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val roots: Seq[(Long, Long)] = edges.iterator
+        .flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+        .map((n: Long) => (n, find(n)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val rootDf = roots.toDF("lbl1", "lbl")
+      val out = m1.join(broadcast(rootDf), Seq("lbl1"), "left")
+        .select(col("node").as("doc_id"),
+          coalesce(col("lbl"), col("lbl1")).as("cluster_id"))
+      sym.unpersist(); e1.unpersist()
+      return out
+    }
     // min-label propagation on the contracted graph until fixpoint.
     // localCheckpoint (not persist) each round: an iterative DataFrame's
     // lineage DOUBLES per round (labels referenced twice), so by round ~16
@@ -426,6 +460,38 @@ object TextOps {
        |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
        |FROM ranked WHERE rn <= $perStratum""".stripMargin
   }
+
+  /** Exact per-stratum quantiles of doc length (p50/p90/p99 of n_chars per
+    * language) — corpus-profile stats with INTEGER-EXACT rank selection:
+    * rank_p = ceil(p·n/100) computed as `(n*p + 99) div 100`, value picked
+    * by row_number with a doc_id tiebreak, so both engines select the
+    * identical element (no interpolation, no float percentile semantics to
+    * reconcile). One sort-shuffle per stratum; at 100 TB the same shape
+    * runs on a per-split pre-aggregated (lang, n_chars, count) frame —
+    * n_chars has bounded cardinality, so the window input collapses from
+    * docs to distinct lengths long before the sort. */
+  def quantilesByLang(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wc = Window.partitionBy(col("lang"))
+    def pick(p: Int) =
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("n_chars"))).as(s"p$p")
+    docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy("lang")
+      .agg(pick(50), pick(90), pick(99))
+  }
+
+  def quantilesByLangSql: String =
+    s"""WITH r AS (SELECT lang, n_chars,
+       |             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+       |             count(*) OVER (PARTITION BY lang) AS n
+       |           FROM documents)
+       |SELECT lang,
+       |  CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS BIGINT) AS p50,
+       |  CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS BIGINT) AS p90,
+       |  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS BIGINT) AS p99
+       |FROM r GROUP BY lang""".stripMargin
 
   /** Full DuckDB mirror of [[dedupWinnow]] ∘ [[withMutatedCopies]]: char
     * k-gram rolling hashes (base-257 poly → mix64, staged HUGEINT CTEs),

@@ -553,6 +553,30 @@ object Queries {
        |  FROM ev LEFT JOIN state s ON s.cell = ev.cell AND s.t <= ev.t)
        |SELECT event_id, epoch_val FROM j WHERE rn = 1""".stripMargin
 
+  /** Point-in-interval join: events × 200 synthetic global outage windows
+    * (starts 13000 s apart, lengths 1–5 h, so adjacent windows OVERLAP and
+    * the multi-match arm is exercised; late events fall past the last
+    * window and drop out — inner semantics). Bin width 6 h: every window
+    * covers ≤ 2 bins. Oracle is the raw theta join the binned equi-join
+    * must equal exactly. */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), unix_timestamp(col("ts")).as("t"))
+    val win = spark.range(0, 200).toDF("w")
+      .select(col("w"),
+        (lit(1704067200L) + col("w") * 13000L).as("s"),
+        (lit(1704067200L) + col("w") * 13000L + (col("w") % 5L + 1L) * 3600L).as("e"))
+    graft.ops.AsOf.intervalJoin(ev, win, "t", "s", "e", binSec = 21600L)
+      .select(col("event_id"), col("w"))
+  }
+
+  def intervalJoinSql: String =
+    s"""WITH ev AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+       |win AS (SELECT w, 1704067200 + w * 13000 AS s,
+       |               1704067200 + w * 13000 + (w % 5 + 1) * 3600 AS e
+       |        FROM (SELECT unnest(generate_series(0, 199)) AS w))
+       |SELECT ev.event_id, win.w FROM ev JOIN win ON win.s <= ev.t AND ev.t < win.e""".stripMargin
+
   // =================================================================
   // H9: per-tile raster masks — closed-form oracle. The scanline kernel
   // over RECT features has an exact arithmetic form: per (tile, feature)

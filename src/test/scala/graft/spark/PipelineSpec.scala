@@ -181,6 +181,24 @@ class PipelineSpec extends SparkTestBase {
       "p-d" -> Some(500L), "p-e" -> None))
   }
 
+  test("interval join: binned equi-join equals brute-force theta join incl. boundaries") {
+    import spark.implicits._
+    // windows crafted around the bin width (100): spanning a bin edge,
+    // overlapping each other, zero-length-adjacent starts; probes on
+    // inclusive start, exclusive end, inside, outside
+    val win = Seq((0L, 90L, 150L), (1L, 120L, 400L), (2L, 150L, 160L), (3L, 700L, 800L))
+      .toDF("w", "s", "e")
+    val probe = (0L until 41L).map(i => (i, i * 20L)).toDF("id", "t")
+    val got = graft.ops.AsOf.intervalJoin(probe, win, "t", "s", "e", binSec = 100L)
+      .select("id", "w").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = probe.crossJoin(win)
+      .filter(col("s") <= col("t") && col("t") < col("e"))
+      .select("id", "w").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && got.nonEmpty)
+    // explicit boundary semantics: t == s matches, t == e does not
+    assert(got.contains((35L, 3L)) && !got.contains((40L, 3L)))
+  }
+
   test("snapshot commits: atomic pointer flip, time travel, crash-invisibility, expiry") {
     import spark.implicits._
     val table = tmp("snaptable")

@@ -50,6 +50,14 @@ class PlanSpec extends SparkTestBase {
       "sampling must scan only (doc_id, lang)")
   }
 
+  test("interval_join: banded equi-join — no nested-loop/cartesian range join") {
+    val p = plan(Queries.intervalJoin(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate must ride an equi-join on the time bin")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), "expected a hash/merge equi-join on __bin")
+  }
+
   test("asof_epoch: union trick — no theta/range join anywhere in the plan") {
     val p = plan(Queries.asofEpoch(spark, "/root/testdata/sf0.001"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

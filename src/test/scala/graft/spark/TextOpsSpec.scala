@@ -335,8 +335,24 @@ class TextOpsSpec extends SparkTestBase {
   test("dup_clusters: adversarial long path converges (32 nodes, bounded rounds)") {
     import spark.implicits._
     val pairs = (0L until 31L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = TextOps.dupClusters(pairs).collect()
+    // ceiling 0 forces the distributed iterative path (the driver
+    // union-find finish would hide a divergent loop)
+    val got = TextOps.dupClusters(pairs, driverEdgeCeiling = 0L).collect()
     assert(got.length == 32 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("dup_clusters: over-ceiling iterative path is row-identical to the driver finish") {
+    import spark.implicits._
+    // mixed shapes incl. a supernode chain the contraction does NOT fully
+    // collapse: two stars bridged at their tips
+    val pairs = (Seq((1L, 2L), (1L, 3L), (10L, 11L), (10L, 12L), (3L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)) ++
+      (100L until 130L).map(i => (i, i + 1))).toDF("a", "b")
+    val viaDriver = TextOps.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIterate = TextOps.dupClusters(pairs, driverEdgeCeiling = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDriver == viaIterate && viaDriver.nonEmpty)
   }
 
   test("mix64 column matches the JVM kernel; stratified sample is deterministic top-k per lang") {
