@@ -107,6 +107,15 @@ object Bench {
         rs
       }
 
+    // per-query-only mode: print the query timings and exit without the
+    // headline sampling (development loop for single-query regressions)
+    if (sys.env.contains("SPARK_GRAFT_PERQ_ONLY")) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"queries":$qs,"sf":"$sfDir"}""")
+      return
+    }
+
     // ---- headline geocode-join throughput at N vs 4N cores ----
     // shuffle partitions scale with the amplified input beyond the default
     // amp so rows/partition stays bounded (see session())

@@ -305,8 +305,12 @@ object TextOps {
     * shrink), one cheap aggregate per round, summed in decimal(38) so the
     * test can't overflow at any corpus size. */
   def dupClusters(pairs: DataFrame, driverEdgeCeiling: Long = 1L << 20): DataFrame = {
-    val sym = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // symmetrize in ONE pass: a union of (a,b) and swapped (b,a) branches
+    // would run the entire upstream pair pipeline twice
+    val sym = pairs.select(explode(array(
+        struct(col("a").as("a"), col("b").as("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
     // star contraction: node -> min(node, min neighbor)
     val m1 = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
