@@ -238,8 +238,11 @@ object TextOps {
   }
 
   /** Oracle mirror of [[ngramJaccard]] ∘ [[withMutatedCopies]]. */
-  def ngramJaccardSql: String =
-    s"""WITH aug AS (
+  /** Shared aug/tokens/pairs CTE prefix of the ngram-Jaccard family —
+    * ONE definition so [[ngramJaccardSql]] and [[dupClustersSql]] cannot
+    * drift apart. */
+  private def ngramPairCtes: String =
+    s"""aug AS (
        |  SELECT doc_id, text, lang, n_chars FROM documents
        |  UNION ALL
        |  SELECT doc_id + 10000000,
@@ -253,7 +256,10 @@ object TextOps {
        |  SELECT a.doc_id AS a, b.doc_id AS b,
        |         len(list_intersect(a.toks, b.toks)) AS inter,
        |         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
-       |  FROM t a JOIN t b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  def ngramJaccardSql: String =
+    s"""WITH $ngramPairCtes
        |SELECT a, b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
        |FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.5""".stripMargin
 
@@ -402,21 +408,7 @@ object TextOps {
     * without them DuckDB re-inlines the quadratic pair join once per
     * reference (measured 176 s → 12 s at sf0.1). */
   def dupClustersSql: String =
-    s"""WITH RECURSIVE aug AS (
-       |  SELECT doc_id, text, lang, n_chars FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 10000000,
-       |         array_to_string(list_slice(string_split(text, ' '), 1,
-       |           greatest(len(string_split(text, ' ')) - 1, 1)), ' '),
-       |         lang, n_chars
-       |  FROM documents WHERE doc_id % 10 = 0),
-       |t AS (SELECT doc_id, lang, n_chars // 100 AS bucket,
-       |             list_distinct(string_split(text, ' ')) AS toks FROM aug),
-       |pairs AS (
-       |  SELECT a.doc_id AS a, b.doc_id AS b,
-       |         len(list_intersect(a.toks, b.toks)) AS inter,
-       |         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
-       |  FROM t a JOIN t b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    s"""WITH RECURSIVE $ngramPairCtes,
        |edges AS (SELECT a, b FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
        |sym AS MATERIALIZED (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
        |m1 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS lbl1 FROM sym GROUP BY a),
