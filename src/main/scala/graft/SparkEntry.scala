@@ -105,6 +105,13 @@ object SparkEntry {
     "url_dedup" -> ((s, d) =>
       TextOps.urlDedup(TextOps.syntheticUrls(s.read.parquet(s"$d/documents.parquet")))),
     "token_count" -> ((s, d) => TextOps.tokenCount(s.read.parquet(s"$d/documents.parquet"))),
+    // full-text retrieval: BM25 top-k per fixed query set; per-doc TF-IDF
+    // keywords — per-term scores int-quantized BEFORE summing so the agg is
+    // order-independent (same discipline as ann_cosine's integer dot)
+    "bm25_topk" -> ((s, d) =>
+      TextOps.bm25TopK(s.read.parquet(s"$d/documents.parquet"))),
+    "keywords_tfidf" -> ((s, d) =>
+      TextOps.keywordsTfIdf(s.read.parquet(s"$d/documents.parquet"))),
     "doc_fingerprint" -> ((s, d) =>
       TextOps.docFingerprints(s.read.parquet(s"$d/documents.parquet"))),
     "ann_cosine" -> ((s, d) =>
@@ -220,6 +227,8 @@ object SparkEntry {
     "pii_scrub" -> TextOps.piiScrubSql,
     "url_dedup" -> TextOps.urlDedupSql,
     "token_count" -> TextOps.tokenCountSql,
+    "bm25_topk" -> TextOps.bm25Sql(),
+    "keywords_tfidf" -> TextOps.keywordsTfIdfSql(),
     "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
     // full mirror: integer hyperplane sign test + SQL-side mix64 planes
     "ann_lsh" -> Ann.lshTopKSql(50, 5),

@@ -978,4 +978,168 @@ object TextOps {
        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dup,
        |       min(doc_id) AS rep_doc
        |FROM c GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Full-text retrieval (BM25) and keyword extraction (TF-IDF) — the
+  // search-engine half of a web-corpus pipeline (Robertson–Spärck Jones
+  // BM25, public construction).
+  // --------------------------------------------------------------------
+
+  /** Fixed query fixture for [[bm25TopK]] — terms drawn from the synthetic
+    * vocabulary. One source of truth for BOTH the Spark frame and the SQL
+    * VALUES mirror, so the fixtures can never drift. */
+  val bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "join",
+    1 -> "hash", 1 -> "table", 1 -> "scan",
+    2 -> "window", 2 -> "filter",
+    3 -> "customer", 3 -> "order", 3 -> "batch",
+    4 -> "vector", 4 -> "merge",
+    5 -> "group", 5 -> "agg", 5 -> "column")
+
+  /** Per-(doc, term) tf with the doc length carried through the explode —
+    * zero extra doc-keyed join to recover dl. One exchange on
+    * (doc_id, term) with map-side partial counts. */
+  private def termFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+
+  /** BM25 per-term score, written ONCE and token-for-token mirrored in the
+    * oracle SQL (k1 = 1.2, b = 0.75; all operands explicitly widened to
+    * double in the same order on both sides). The per-term contribution is
+    * quantized to 1e-6 BEFORE the per-doc sum, so the aggregate is an
+    * integer sum — order-independent across partial aggregation and across
+    * engines (the same trick as ann_cosine's int dot product; a raw double
+    * sum's value depends on addition order). */
+  private def bm25TermScoreQ: Column = {
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val sumdl = col("sum_dl").cast("double")
+    val idf = log(lit(1.0) + (nd - dfd + lit(0.5)) / (dfd + lit(0.5)))
+    val s = idf * (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (dld * nd / sumdl)))
+    round(s * lit(1000000.0)).cast("long")
+  }
+
+  /** BM25 top-k retrieval: score every document against a fixed query set
+    * and keep the k best per query.
+    *
+    * Shuffle budget at corpus scale: ONE wide exchange (the (doc_id, term)
+    * tf aggregation over the exploded corpus, map-side combined), then the
+    * query join and both stats joins are broadcasts (the query list and its
+    * per-term df are query-sized; the corpus stats row is a 1-row cross
+    * join), the (qid, doc_id) score aggregation is a second exchange of the
+    * MATCHED rows only (query-term selectivity has already dropped
+    * everything else), and the final per-qid top-k plans as a partial
+    * WindowGroupLimit — each map task forwards at most k rows per query, so
+    * few queries over many docs never funnel the corpus onto few tasks. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)] = bm25Queries,
+               k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = termFreq(docs)
+    val stats = docs.select(split(col("text"), " ").as("toks"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
+    val qdf = queries.toDF("qid", "term")
+    val dft = tf.join(broadcast(qdf.select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qdf), "term")
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("sq", bm25TermScoreQ)
+    scored.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("sq")).as("score_q"), count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score_q").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Mirror of [[bm25TopK]]: identical arithmetic (ln form, cast order,
+    * quantize-then-sum); query fixture rendered from the same Seq. */
+  def bm25Sql(queries: Seq[(Int, String)] = bm25Queries, k: Int = 10): String = {
+    val vals = queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(qid, term) AS (VALUES $vals),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, max(dl) AS dl, count(*) AS tfc
+       |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d)
+       |  GROUP BY 1, 2),
+       |stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM d),
+       |dft AS (
+       |  SELECT term, count(*) AS df FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+       |sc AS (
+       |  SELECT q.qid, tf.doc_id,
+       |         CAST(round(
+       |           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                    / (CAST(df AS DOUBLE) + 0.5))
+       |           * (CAST(tfc AS DOUBLE) * 2.2)
+       |           / (CAST(tfc AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |                (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |                 / CAST(sum_dl AS DOUBLE))))
+       |           * 1000000.0) AS BIGINT) AS sq
+       |  FROM tf JOIN q ON tf.term = q.term JOIN dft ON tf.term = dft.term,
+       |       stats),
+       |agg AS (SELECT qid, doc_id, CAST(sum(sq) AS BIGINT) AS score_q,
+       |               count(*) AS n_terms
+       |        FROM sc GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, score_q, n_terms,
+       |             CAST(row_number() OVER (PARTITION BY qid
+       |               ORDER BY score_q DESC, doc_id ASC) AS INTEGER) AS rnk
+       |      FROM agg)
+       |SELECT qid, doc_id, score_q, n_terms, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Per-doc keyword extraction: top-m terms by TF-IDF
+    * (tf × ln(N/df), quantized to 1e-6 like [[bm25TopK]]). Unlike BM25 the
+    * df dimension here is the FULL vocabulary, not a query-sized set — at
+    * web scale that's ~10^8 rows, past any broadcast ceiling, so the
+    * tf ⋈ df join is left to the planner (AQE broadcasts the df side while
+    * it fits, falls back to a term-keyed shuffle join beyond). The per-doc
+    * top-m window then plans as a partial WindowGroupLimit over the
+    * (doc_id)-keyed exchange. */
+  def keywordsTfIdf(docs: DataFrame, m: Int = 3): DataFrame = {
+    val tf = termFreq(docs)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val q = round(
+      col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")) *
+        lit(1000000.0)).cast("long")
+    tf.join(dft, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tfidf_q", q)
+      .filter(col("tfidf_q") > 0) // df = N terms carry zero signal
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf_q").desc, col("term").asc)))
+      .filter(col("rnk") <= m)
+      .select(col("doc_id"), col("term"), col("tfidf_q"), col("rnk"))
+  }
+
+  def keywordsTfIdfSql(m: Int = 3): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tfc
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+       |  GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs FROM d),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         CAST(round(CAST(tfc AS DOUBLE)
+       |           * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+       |           * 1000000.0) AS BIGINT) AS tfidf_q
+       |  FROM tf JOIN dft ON tf.term = dft.term, stats),
+       |r AS (SELECT doc_id, term, tfidf_q,
+       |             CAST(row_number() OVER (PARTITION BY doc_id
+       |               ORDER BY tfidf_q DESC, term ASC) AS INTEGER) AS rnk
+       |      FROM sc WHERE tfidf_q > 0)
+       |SELECT doc_id, term, tfidf_q, rnk FROM r WHERE rnk <= $m""".stripMargin
 }

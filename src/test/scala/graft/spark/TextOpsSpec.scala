@@ -373,4 +373,27 @@ class TextOpsSpec extends SparkTestBase {
     }.toSet
     assert(s1 == expect)
   }
+
+  test("bm25 ranks term-dense short docs first; tfidf keywords pick the rare term") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark spark spark join"),             // dense in q0's terms
+      (1L, "spark join table scan hash window filter batch merge group"), // long, 1 hit each
+      (2L, "table scan hash"),                    // q1-only
+      (3L, "order order order order"),            // q3 partial
+      (4L, "zebra spark")                         // rare term zebra
+    ).toDF("doc_id", "text")
+    val bm = TextOps.bm25TopK(docs, TextOps.bm25Queries, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(4))).toSet
+    // q0 = {spark, join}: doc 0 repeats both terms in a 4-token doc — must rank 1st
+    assert(bm.contains((0, 0L, 1)))
+    // q1 = {hash, table, scan}: doc 2 is a 3-token doc of exactly those — rank 1st
+    assert(bm.contains((1, 2L, 1)))
+    val kw = TextOps.keywordsTfIdf(docs, m = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // doc 4's top keyword is its corpus-unique term, not the common 'spark'
+    assert(kw(4L) == "zebra")
+    // doc 3's only (repeated) term is corpus-unique to it
+    assert(kw(3L) == "order")
+  }
 }
