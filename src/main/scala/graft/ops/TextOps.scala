@@ -311,19 +311,30 @@ object TextOps {
     * shrink), one cheap aggregate per round, summed in decimal(38) so the
     * test can't overflow at any corpus size. */
   def dupClusters(pairs: DataFrame, driverEdgeCeiling: Long = 1L << 20): DataFrame = {
-    // symmetrize in ONE pass: a union of (a,b) and swapped (b,a) branches
-    // would run the entire upstream pair pipeline twice
-    val sym = pairs.select(explode(array(
+    // Persist the SKINNY undirected pair set (half the rows of the
+    // symmetrized form); both contraction passes re-derive the directed
+    // view with a map-side explode over the cache — a union of (a,b) and
+    // swapped (b,a) branches would run the entire upstream pair pipeline
+    // twice, and caching the symmetrized frame doubles the cache write for
+    // rows that are pure projections of what is already cached.
+    val p = pairs.select(col("a"), col("b")).persist()
+    def sym = p.select(explode(array(
         struct(col("a").as("a"), col("b").as("b")),
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+    // star contraction: node -> min(node, min neighbor), computed as a
+    // window over the directed view's single a-keyed exchange — the edge
+    // row keeps its la in-row (no edge ⋈ m1 re-join on a) and the node map
+    // falls out of the SAME exchange as a distinct whose grouping keys are
+    // a superset of the window's partitioning (no second exchange).
+    val withLa = sym.withColumn("la",
+      least(col("a"), min(col("b")).over(Window.partitionBy(col("a")))))
       .persist()
-    // star contraction: node -> min(node, min neighbor)
-    val m1 = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
-      .select(col("a").as("node"), least(col("a"), col("mb")).as("lbl1"))
+    val m1 = withLa.select(col("a").as("node"), col("la").as("lbl1")).distinct()
       .persist()
-    val e1 = sym
-      .join(m1.select(col("node").as("a"), col("lbl1").as("la")), "a")
+    // contracted edges: attach the b-endpoint's label (node-sized map side,
+    // never broadcast — node count is corpus-sized at the design point)
+    val e1 = withLa
       .join(m1.select(col("node").as("b"), col("lbl1").as("lb")), "b")
       .filter(col("la") =!= col("lb"))
       .select(col("la").as("a"), col("lb").as("b"))
@@ -360,7 +371,7 @@ object TextOps {
       val out = m1.join(broadcast(rootDf), Seq("lbl1"), "left")
         .select(col("node").as("doc_id"),
           coalesce(col("lbl"), col("lbl1")).as("cluster_id"))
-      sym.unpersist(); e1.unpersist()
+      p.unpersist(); withLa.unpersist(); e1.unpersist()
       return out
     }
     // min-label propagation on the contracted graph until fixpoint.
@@ -391,7 +402,8 @@ object TextOps {
       prev = cur
       rounds += 1
     }
-    sym.unpersist()
+    p.unpersist()
+    withLa.unpersist()
     e1.unpersist()
     // map every original node through its supernode's final label
     m1.join(labels.select(col("node").as("lbl1"), col("lbl")), Seq("lbl1"), "left")
