@@ -24,6 +24,7 @@ object SparkEntry {
     "fwd_geocode_fat" -> ((s, d) => Queries.fwdGeocodeFat(s, d)),
     "fwd_geocode_bucketed" -> ((s, d) => Queries.fwdGeocodeBucketed(s, d)),
     "fwd_geocode_multi" -> ((s, d) => Queries.fwdGeocodeMulti(s, d)),
+    "fwd_geocode_multi_indexed" -> ((s, d) => Queries.fwdGeocodeMultiIndexed(s, d)),
     "fwd_dedup" -> ((s, d) => Queries.fwdDedup(s, d)),
     "fwd_stacks" -> ((s, d) => Queries.fwdStacks(s, d)),
     "fwd_geocode_idf" -> ((s, d) => Queries.fwdGeocodeIdf(s, d)),
@@ -166,6 +167,7 @@ object SparkEntry {
     "fwd_geocode_fat" -> Queries.fwdGeocodeSql,
     "fwd_geocode_bucketed" -> Queries.fwdGeocodeSql,
     "fwd_geocode_multi" -> Queries.fwdGeocodeMultiSql,
+    "fwd_geocode_multi_indexed" -> Queries.fwdGeocodeMultiSql,
     "fwd_dedup" -> Queries.fwdDedupSql,
     "fwd_stacks" -> Queries.fwdStacksSql,
     "fwd_geocode_idf" -> Queries.fwdGeocodeIdfSql,

@@ -75,6 +75,28 @@ object IndexBuild {
       col("name"), col("score"), col("glon"), col("glat"))
       .withColumn("hkey", F.hilbertCell(col("cell")))
 
+  /** [[gazetteerGridFat]] generalized to N index levels: each feature's cell
+    * is taken at ITS type's index zoom (carmen: one tilelive source per type,
+    * each with its own maxzoom). `levels` is (typ, zoom); the N-level
+    * forward ([[graft.ops.Geocode.forwardIndexedMultiFat]]) re-derives every
+    * coarser ancestor cell from the denormalized lon/lat, so the index needs
+    * only the leaf cell. */
+  def gazetteerGridFatLevels(gaz: DataFrame, levels: Seq[(String, Int)]): DataFrame = {
+    val zoomOf = levels.tail.foldLeft(
+      when(col("typ") === levels.head._1, lit(levels.head._2))) {
+      case (acc, (t, z)) => acc.when(col("typ") === t, lit(z))
+    }
+    gaz.select(
+      phraseId(col("name")).as("phrase_id"),
+      col("typ"),
+      F.cellAt(zoomOf, col("glon"), col("glat")).as("cell"),
+      col("gid").as("feature_id"),
+      relevQ(lit(1.0)).as("relev_q"),
+      scoreQ(col("score")).as("score_q"),
+      col("name"), col("score"), col("glon"), col("glat"))
+      .withColumn("hkey", F.hilbertCell(col("cell")))
+  }
+
   /** C3 scale path: bbox query against the sorted index — the bbox becomes
     * merged Hilbert-key ranges (CellMath.bboxToHilbertRanges) OR-ed into a
     * pushable range predicate, so parquet file/row-group min-max stats on

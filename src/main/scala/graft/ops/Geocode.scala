@@ -621,6 +621,50 @@ object Geocode {
     rank(stackAndUnion(placeCands, regionCands, maskRelev = true), k, dedupe)
   }
 
+  /** The at-scale N-level forward: [[coalesceN]]'s chain construction fed
+    * from the FAT grid index ([[graft.index.IndexBuild.gazetteerGridFatLevels]])
+    * instead of a broadcast gazetteer — the path that stacks
+    * "austin, travis county, texas, usa" without ever shipping the
+    * 10^7-feature dictionary to executors. Match join + in-row verify +
+    * grid-stage prune are identical to [[forwardIndexedFat]]; the verified
+    * candidate frame (which carries the denormalized glon/glat) then flows
+    * through the SAME coalesceN the broadcast path uses, so the two are
+    * row-identical under the usual stackCap condition and share one oracle.
+    * The verified frame is persisted: coalesceN reads it once per level. */
+  def forwardIndexedMultiFat(docs: DataFrame, fatGrid: DataFrame,
+                             levels: Seq[IndexLevel] = DefaultLevels,
+                             k: Int = 5, stackCap: Int = 64,
+                             dictCeiling: Long = BroadcastDictCeiling): DataFrame = {
+    import graft.index.CellIndex
+    val maxLen = maxNameTokens(fatGrid)
+    val windows = tokenWindows(docs, maxLen)
+      .withColumn("phrase_id", xxhash64(col("phrase")))
+    val prefiltered =
+      if (memoCount(fatGrid.select(col("phrase_id")).distinct()) <= dictCeiling) {
+        val ids = phraseIdMemo.computeIfAbsent(
+          fatGrid.queryExecution.analyzed.canonicalized,
+          _ => fatGrid.select(col("phrase_id")).distinct().collect().map(_.getLong(0)).sorted)
+        val bc = docs.sparkSession.sparkContext.broadcast(ids)
+        windows.filter(CellIndex.longSetContains(col("phrase_id"), bc))
+      } else windows
+    // in-row D4 verify as a RANGE residual (see [[forwardIndexedFat]]): the
+    // join stays keyed on phrase_id alone and the grid-prune window reuses
+    // the exchange
+    val verified = prefiltered.join(fatGrid.hint("shuffle_hash"),
+        prefiltered("phrase_id") === fatGrid("phrase_id") &&
+          col("phrase") <= col("name") && col("phrase") >= col("name"))
+      .drop(fatGrid("phrase_id"))
+      .withColumn("gr", row_number().over(
+        Window.partitionBy(col("doc_id"), col("phrase_id"), col("typ"))
+          .orderBy(col("relev_q").desc, col("score_q").desc, col("feature_id").asc)))
+      .filter(col("gr") <= stackCap)
+      .select(col("doc_id"), col("qlon"), col("qlat"),
+        col("feature_id").as("gid"), col("name"), col("typ"), col("score"),
+        col("glon"), col("glat"))
+      .persist()
+    rank(coalesceN(verified, levels), k, extraCols = Seq("chain"))
+  }
+
   /** D5+C4: reverse geocode join — probe points equi-joined on the z-cell to
     * cover-exploded polygon features, then exact ray-cast PIP over WKB.
     * The cover explode happens on the (smaller) feature side; the probe side

@@ -272,6 +272,33 @@ object Queries {
   def fwdGeocodeBucketed(spark: SparkSession, sfDir: String): DataFrame =
     Geocode.forwardIndexedFat(docPages(spark, sfDir), gazGridFatBucketed(spark))
 
+  private val gazGridMultiFatPath = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** The 4-level gazetteer as a FAT grid index (one leaf cell per feature at
+    * its type's zoom — [[graft.index.IndexBuild.gazetteerGridFatLevels]]);
+    * same location policy as [[gazGridParquet]]. */
+  def gazGridMultiFatParquet(spark: SparkSession): DataFrame = this.synchronized {
+    var p = gazGridMultiFatPath.get
+    if (p == null) {
+      p = sys.env.get("SPARK_GRAFT_TMP")
+        .map(t => s"$t/gazgridmfat")
+        .getOrElse(java.nio.file.Files.createTempDirectory("graft-gazgridmfat")
+          .resolve("gazgridmfat").toString)
+      graft.index.IndexBuild.gazetteerGridFatLevels(gazMultiDf(spark),
+          Geocode.DefaultLevels.map(l => (l.typ, l.zoom)))
+        .coalesce(1).sortWithinPartitions("phrase_id", "cell", "feature_id")
+        .write.mode("overwrite").parquet(p)
+      gazGridMultiFatPath.set(p)
+    }
+    spark.read.parquet(p)
+  }
+
+  /** N-level stack coalesce over the BUILT fat index (no gazetteer
+    * broadcast) — the at-scale form of fwd_geocode_multi. Row-identical to
+    * it, shares its oracle. */
+  def fwdGeocodeMultiIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    Geocode.forwardIndexedMultiFat(docPages(spark, sfDir), gazGridMultiFatParquet(spark))
+
   // =================================================================
   // E4: result-level dedupe — gazetteer with duplicate-name clones;
   // same-place candidates (name, cell) collapse before the limit.

@@ -122,6 +122,15 @@ class GeocoderSpec extends SparkTestBase {
     assert(a.nonEmpty && a == b)
   }
 
+  test("N-level forward over the fat multi index is row-identical to the broadcast path") {
+    import graft.queries.Queries
+    val a = Queries.fwdGeocodeMulti(spark, "/root/testdata/sf0.001").collect()
+      .map(_.toString).sorted.toSeq
+    val b = Queries.fwdGeocodeMultiIndexed(spark, "/root/testdata/sf0.001").collect()
+      .map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("result dedupe collapses duplicate-name clones to the lowest gid") {
     import graft.queries.Queries
     val out = Queries.fwdDedup(spark, "/root/testdata/sf0.001").collect()
