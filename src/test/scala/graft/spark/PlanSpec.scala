@@ -155,6 +155,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), "final top-k should push WindowGroupLimit")
   }
 
+  test("fwd_geocode_multi_indexed: no broadcast join anywhere — index match and pool joins all shuffle") {
+    val p = plan(Queries.fwdGeocodeMultiIndexed(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "the at-scale N-level path must never broadcast the index or the chain pool")
+    assert(p.contains("ShuffledHashJoin"), "match/pool joins must shuffle-hash")
+    assert(p.contains("long_set_contains"),
+      "windows must be pre-filtered by the broadcast phrase-id set before the exchange")
+  }
+
   test("fwd_autocomplete_fuzzy stays deletion-key blocked (no nested loop)") {
     val p = plan(Queries.fwdAutocompleteFuzzy(spark, "/root/testdata/sf0.001"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
