@@ -113,6 +113,15 @@ object SparkEntry {
       TextOps.bm25TopK(s.read.parquet(s"$d/documents.parquet"))),
     "keywords_tfidf" -> ((s, d) =>
       TextOps.keywordsTfIdf(s.read.parquet(s"$d/documents.parquet"))),
+    // unigram-LM perplexity gate (CCNet-style) and eval-set n-gram
+    // decontamination (GPT-3-style) — the two classic corpus scrubs
+    "lm_perplexity" -> ((s, d) =>
+      TextOps.lmPerplexity(s.read.parquet(s"$d/documents.parquet"))),
+    // planted contamination: the mutated copies share 5-gram shingles with
+    // their originals, so eval-slice members flag their train-side twins
+    "decontaminate" -> ((s, d) =>
+      TextOps.decontaminate(TextOps.withMutatedCopies(
+        s.read.parquet(s"$d/documents.parquet")))),
     "doc_fingerprint" -> ((s, d) =>
       TextOps.docFingerprints(s.read.parquet(s"$d/documents.parquet"))),
     "ann_cosine" -> ((s, d) =>
@@ -231,6 +240,8 @@ object SparkEntry {
     "token_count" -> TextOps.tokenCountSql,
     "bm25_topk" -> TextOps.bm25Sql(),
     "keywords_tfidf" -> TextOps.keywordsTfIdfSql(),
+    "lm_perplexity" -> TextOps.lmPerplexitySql(),
+    "decontaminate" -> TextOps.decontaminateSql(),
     "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
     // full mirror: integer hyperplane sign test + SQL-side mix64 planes
     "ann_lsh" -> Ann.lshTopKSql(50, 5),

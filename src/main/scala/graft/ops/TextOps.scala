@@ -241,7 +241,9 @@ object TextOps {
   /** Shared aug/tokens/pairs CTE prefix of the ngram-Jaccard family —
     * ONE definition so [[ngramJaccardSql]] and [[dupClustersSql]] cannot
     * drift apart. */
-  private def ngramPairCtes: String =
+  /** SQL mirror of [[withMutatedCopies]] — shared by the ngram-Jaccard
+    * family and [[decontaminateSql]]. */
+  private def augCte: String =
     s"""aug AS (
        |  SELECT doc_id, text, lang, n_chars FROM documents
        |  UNION ALL
@@ -249,7 +251,10 @@ object TextOps {
        |         array_to_string(list_slice(string_split(text, ' '), 1,
        |           greatest(len(string_split(text, ' ')) - 1, 1)), ' '),
        |         lang, n_chars
-       |  FROM documents WHERE doc_id % 10 = 0),
+       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private def ngramPairCtes: String =
+    s"""$augCte,
        |t AS (SELECT doc_id, lang, n_chars // 100 AS bucket,
        |             list_distinct(string_split(text, ' ')) AS toks FROM aug),
        |pairs AS (
@@ -1107,6 +1112,101 @@ object TextOps {
        |      FROM agg)
        |SELECT qid, doc_id, score_q, n_terms, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
+
+  /** Unigram-LM perplexity filter (the CCNet/Gopher-style quality gate: a
+    * language model trained on the corpus scores each document; outliers are
+    * dropped). The LM here is the corpus's own unigram MLE — the Spark shape
+    * (one wide (doc,term) tf exchange, term-keyed model join, per-doc
+    * integer-sum reduction) is exactly what a real external LM table plugs
+    * into. Per-token log-probs are quantized to 1e-6 integers BEFORE the
+    * per-doc sum (tf × logp_q products and their sum are exact integer
+    * arithmetic — order-independent); only the final mean divides, one IEEE
+    * double division per doc. keep = mean NLL ≤ threshold (high-perplexity
+    * docs are the junk under a unigram LM). */
+  def lmPerplexity(docs: DataFrame, keepBelowQ: Long = 3912000L): DataFrame = {
+    val tf = termFreq(docs)
+    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val tot = lm.agg(sum(col("cnt")).as("t_tok"))
+    val logp = lm.crossJoin(broadcast(tot))
+      .withColumn("logp_q",
+        round(log(col("cnt").cast("double") / col("t_tok").cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .select(col("term"), col("logp_q"))
+    tf.join(logp, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("logp_q")).as("sum_q"), sum(col("tf")).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        round((-col("sum_q")).cast("double") / col("n_tok").cast("double"))
+          .cast("long").as("nll_mean_q"))
+      .withColumn("keep", (col("nll_mean_q") <= keepBelowQ).cast("int"))
+  }
+
+  def lmPerplexitySql(keepBelowQ: Long = 3912000L): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tfc
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+       |  GROUP BY 1, 2),
+       |lm AS (SELECT term, CAST(sum(tfc) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_tok FROM lm),
+       |logp AS (
+       |  SELECT term,
+       |         CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t_tok AS DOUBLE))
+       |                    * 1000000.0) AS BIGINT) AS logp_q
+       |  FROM lm, tot),
+       |agg AS (
+       |  SELECT tf.doc_id, CAST(sum(tfc * logp_q) AS BIGINT) AS sum_q,
+       |         CAST(sum(tfc) AS BIGINT) AS n_tok
+       |  FROM tf JOIN logp ON tf.term = logp.term GROUP BY 1)
+       |SELECT doc_id, n_tok,
+       |       CAST(round(CAST(-sum_q AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT)
+       |         AS nll_mean_q,
+       |       CAST(CAST(round(CAST(-sum_q AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT)
+       |            <= $keepBelowQ AS INTEGER) AS keep
+       |FROM agg""".stripMargin
+
+  /** Eval-set decontamination (the GPT-3/FLAN-style n-gram overlap scrub):
+    * training documents sharing any token n-gram with a held-out eval set
+    * are flagged (with the count of distinct shared shingles). The eval set
+    * here is the deterministic doc_id % $evalMod == $evalRes slice; in a real
+    * pipeline it is the benchmark suite — always dimension-sized, which is
+    * why the eval shingle set BROADCASTS while the train side streams. Spark
+    * joins on xxhash64(shingle) (8-byte keys instead of strings on the wide
+    * exchange; a collision can only add a false flag at P ≈ |eval|·|train|
+    * / 2^64 — the string-keyed oracle would catch one at test scale). */
+  def decontaminate(docs: DataFrame, n: Int = 5,
+                    evalMod: Long = 41L, evalRes: Long = 3L): DataFrame = {
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("shs", when(size(col("toks")) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n))))))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val ev = sh.filter(col("doc_id") % evalMod === evalRes)
+      .select(col("h")).distinct()
+    sh.filter(col("doc_id") % evalMod =!= evalRes)
+      .join(broadcast(ev), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+  }
+
+  def decontaminateSql(n: Int = 5, evalMod: Long = 41L, evalRes: Long = 3L): String =
+    s"""WITH $augCte,
+       |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+       |s AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(toks) >= $n
+       |         THEN list_distinct(list_transform(
+       |                generate_series(1, len(toks) - ${n - 1}),
+       |                i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))
+       |         ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |  FROM d),
+       |ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % $evalMod = $evalRes),
+       |tr AS (SELECT doc_id, sh FROM s WHERE doc_id % $evalMod <> $evalRes)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+       |FROM tr JOIN ev USING (sh) GROUP BY 1""".stripMargin
 
   /** Per-doc keyword extraction: top-m terms by TF-IDF
     * (tf × ln(N/df), quantized to 1e-6 like [[bm25TopK]]). Unlike BM25 the

@@ -374,6 +374,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(s1 == expect)
   }
 
+  test("lm perplexity flags out-of-distribution docs; decontaminate flags shingle copies") {
+    import spark.implicits._
+    val common = "the data spark join table the data spark join table"
+    val docs = (0L until 40L).map(i => (i, common)) :+
+      (99L, "zzq wqx qqz xwv vqq zzq wqx qqz xwv vqq") // rare-token doc
+    val df = docs.toDF("doc_id", "text")
+    val ppl = TextOps.lmPerplexity(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // the rare-token doc's mean NLL must exceed every common doc's
+    assert(ppl(99L) > ppl(0L))
+
+    // doc 100 shares a 5-gram run with eval doc 44 (44 % 41 == 3); doc 7 is clean
+    val docs2 = Seq(
+      (44L, "alpha beta gamma delta epsilon zeta"), // eval slice
+      (100L, "x y alpha beta gamma delta epsilon q"), // contaminated train doc
+      (7L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val cont = TextOps.decontaminate(docs2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cont.keySet == Set(100L) && cont(100L) == 1L)
+  }
+
   test("bm25 ranks term-dense short docs first; tfidf keywords pick the rare term") {
     import spark.implicits._
     val docs = Seq(
