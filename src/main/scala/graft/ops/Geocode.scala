@@ -43,6 +43,53 @@ object Geocode {
   private val phraseIdMemo = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Array[Long]]()
 
+  /** Bloom tier of the phrase prefilter: ~1.2 B/entry at 1% fpp vs 8 B for
+    * the exact array, so the map-side kill survives a dictionary ~8× past
+    * [[BroadcastDictCeiling]] before the prefilter is dropped entirely. */
+  final val BloomCeilingMult = 8L
+  final val BloomFpp = 0.01
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    org.apache.spark.util.sketch.BloomFilter]()
+
+  /** Semi-join reduction shared by the indexed forward paths: kill token
+    * windows that match no dictionary phrase BEFORE they ride the phrase_id
+    * exchange (the overwhelming majority of windows — random text n-grams —
+    * match nothing). The distinct phrase-id SET stays dictionary-sized
+    * (8 B × 10^7 ≈ 80 MB) even when the grid index is tens of GB. Tiered by
+    * the MEASURED dictionary size (one tiny count job, memoized per plan):
+    *
+    *   1. ≤ dictCeiling: exact broadcast sorted-array membership — zero
+    *      false-positive rows ride the shuffle;
+    *   2. ≤ 8×dictCeiling: Bloom filter at 1% fpp, built DISTRIBUTED
+    *      (`stat.bloomFilter` merges per-partition sketches; only the
+    *      fixed-size bit array reaches the driver). False positives ride
+    *      the shuffle and die in the join — row-identical, still ~99% of
+    *      the map-side kill;
+    *   3. beyond: no prefilter — the equi-join alone stays correct.
+    *
+    * Tier 2 exists because r2 judged the skip-entirely fallback a scale
+    * gap: at 10^8+ phrases the windows would ALL ride the shuffle. */
+  private def prefilterPhrases(windows: DataFrame, grid: DataFrame,
+                               dictCeiling: Long): DataFrame = {
+    import graft.index.CellIndex
+    val dict = grid.select(col("phrase_id")).distinct()
+    val n = memoCount(dict)
+    if (n <= dictCeiling) {
+      val ids = phraseIdMemo.computeIfAbsent(
+        grid.queryExecution.analyzed.canonicalized,
+        _ => dict.collect().map(_.getLong(0)).sorted)
+      val bc = windows.sparkSession.sparkContext.broadcast(ids)
+      windows.filter(CellIndex.longSetContains(col("phrase_id"), bc))
+    } else if (n <= dictCeiling * BloomCeilingMult) {
+      val bf = bloomMemo.computeIfAbsent(
+        grid.queryExecution.analyzed.canonicalized,
+        _ => dict.stat.bloomFilter("phrase_id", n, BloomFpp))
+      val bc = windows.sparkSession.sparkContext.broadcast(bf)
+      windows.filter(CellIndex.bloomMightContain(col("phrase_id"), bc))
+    } else windows
+  }
+
   /** B4: the DISTINCT contiguous token windows (lengths 1..maxLen) of each
     * doc's text, one row per (doc, window phrase). Map-side only: built with
     * array higher-order functions + explode so the whole stage stays inside
@@ -521,25 +568,12 @@ object Geocode {
                      k: Int = 5, stackCap: Int = 64,
                      dedupe: Boolean = false,
                      dictCeiling: Long = BroadcastDictCeiling): DataFrame = {
-    import graft.index.CellIndex
     val maxLen = maxNameTokens(features)
     val windows = tokenWindows(docs, maxLen)
       .withColumn("phrase_id", xxhash64(col("phrase")))
-    // Semi-join reduction BEFORE the shuffle: the distinct phrase-id SET is
-    // dictionary-sized (8 B × 10^7 ≈ 80 MB) even when the grid index is
-    // tens of GB — broadcast it sorted and kill the windows that match
-    // nothing (the overwhelming majority) in the map stage, so only real
-    // candidate rows pay the phrase_id exchange. Exact membership, not a
-    // bloom: no false-positive rows ride the shuffle. Over-ceiling
-    // dictionaries skip the prefilter (the join itself stays correct).
-    val prefiltered =
-      if (memoCount(grid.select(col("phrase_id")).distinct()) <= dictCeiling) {
-        val ids = phraseIdMemo.computeIfAbsent(
-          grid.queryExecution.analyzed.canonicalized,
-          _ => grid.select(col("phrase_id")).distinct().collect().map(_.getLong(0)).sorted)
-        val bc = docs.sparkSession.sparkContext.broadcast(ids)
-        windows.filter(CellIndex.longSetContains(col("phrase_id"), bc))
-      } else windows
+    // Semi-join reduction BEFORE the shuffle (see [[prefilterPhrases]]):
+    // exact set ≤ ceiling, Bloom ≤ 8× ceiling, unfiltered beyond.
+    val prefiltered = prefilterPhrases(windows, grid, dictCeiling)
     val hits = prefiltered.join(grid.hint("shuffle_hash"), "phrase_id")
     val pruned = hits
       .withColumn("gr", row_number().over(
@@ -581,20 +615,12 @@ object Geocode {
                         k: Int = 5, stackCap: Int = 64,
                         dedupe: Boolean = false,
                         dictCeiling: Long = BroadcastDictCeiling): DataFrame = {
-    import graft.index.CellIndex
     val maxLen = maxNameTokens(fatGrid)
     val windows = tokenWindows(docs, maxLen)
       .withColumn("phrase_id", xxhash64(col("phrase")))
-    // same semi-join prefilter as [[forwardIndexed]]: the distinct phrase-id
-    // SET stays dictionary-sized no matter how fat the index rows are
-    val prefiltered =
-      if (memoCount(fatGrid.select(col("phrase_id")).distinct()) <= dictCeiling) {
-        val ids = phraseIdMemo.computeIfAbsent(
-          fatGrid.queryExecution.analyzed.canonicalized,
-          _ => fatGrid.select(col("phrase_id")).distinct().collect().map(_.getLong(0)).sorted)
-        val bc = docs.sparkSession.sparkContext.broadcast(ids)
-        windows.filter(CellIndex.longSetContains(col("phrase_id"), bc))
-      } else windows
+    // same tiered semi-join prefilter as [[forwardIndexed]]: the distinct
+    // phrase-id SET stays dictionary-sized no matter how fat the index rows
+    val prefiltered = prefilterPhrases(windows, fatGrid, dictCeiling)
     // D4 verify, in-row. Written as a RANGE pair (<= AND >=), not `===`:
     // Catalyst extracts any one-side-each equality into the join KEYS, which
     // would re-key the exchange on (phrase_id, phrase) — and the grid-prune
@@ -635,18 +661,10 @@ object Geocode {
                              levels: Seq[IndexLevel] = DefaultLevels,
                              k: Int = 5, stackCap: Int = 64,
                              dictCeiling: Long = BroadcastDictCeiling): DataFrame = {
-    import graft.index.CellIndex
     val maxLen = maxNameTokens(fatGrid)
     val windows = tokenWindows(docs, maxLen)
       .withColumn("phrase_id", xxhash64(col("phrase")))
-    val prefiltered =
-      if (memoCount(fatGrid.select(col("phrase_id")).distinct()) <= dictCeiling) {
-        val ids = phraseIdMemo.computeIfAbsent(
-          fatGrid.queryExecution.analyzed.canonicalized,
-          _ => fatGrid.select(col("phrase_id")).distinct().collect().map(_.getLong(0)).sorted)
-        val bc = docs.sparkSession.sparkContext.broadcast(ids)
-        windows.filter(CellIndex.longSetContains(col("phrase_id"), bc))
-      } else windows
+    val prefiltered = prefilterPhrases(windows, fatGrid, dictCeiling)
     // in-row D4 verify as a RANGE residual (see [[forwardIndexedFat]]): the
     // join stays keyed on phrase_id alone and the grid-prune window reuses
     // the exchange

@@ -46,6 +46,25 @@ class FallbackSpec extends SparkTestBase {
     assert(a.nonEmpty && a == b)
   }
 
+  test("forwardIndexedFat: Bloom-tier prefilter past the exact ceiling, row-identical") {
+    val docs = Synth.docPages(spark, sf)
+    val grid = graft.queries.Queries.gazGridFatParquet(spark)
+    val n = grid.select("phrase_id").distinct().count()
+    assert(n >= 2, "fixture must have a multi-phrase dictionary")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val exact = Geocode.forwardIndexedFat(docs, grid)
+    // dict in (ceil, 8*ceil] → tier 2 (Bloom); beyond 8*ceil → tier 3 (none)
+    val bloom = Geocode.forwardIndexedFat(docs, grid, dictCeiling = n - 1)
+    val none = Geocode.forwardIndexedFat(docs, grid, dictCeiling = 0)
+    assert(exact.queryExecution.executedPlan.toString.contains("long_set_contains"))
+    assert(bloom.queryExecution.executedPlan.toString.contains("bloom_might_contain"))
+    val noPlan = none.queryExecution.executedPlan.toString
+    assert(!noPlan.contains("long_set_contains") && !noPlan.contains("bloom_might_contain"))
+    val a = rows(exact)
+    assert(a.nonEmpty && a == rows(bloom) && a == rows(none))
+  }
+
   test("reverseBcast: over-ceiling cover degrades to the shuffled cell join") {
     val pts = Synth.eventPoints(spark, sf)
     val feats = Synth.custFeatures(spark, sf)
