@@ -279,6 +279,43 @@ object Exprs {
       copy(child = c)
   }
 
+  /** shingle_hashes(text): the DISTINCT xxhash64 values (seed 42, byte-equal
+    * to the built-in `xxhash64` over the space-joined shingle string) of the
+    * text's raw-space token n-grams — RAW `split(text, ' ')` semantics, NOT
+    * [[graft.core.Text.tokenize]], mirroring DuckDB `string_split`. One
+    * native pass replacing a transform∘sequence∘concat_ws∘array_distinct
+    * HOF pile-up that ran per shingle position (interpreted; see the
+    * del_keys/window_strings precedent), and the exploded payload carries
+    * 8-byte hashes instead of n-token strings. */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, "shingle length must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "shingle_hashes"
+    override def nullSafeEval(s: Any): Any = {
+      // limit -1: keep trailing empty tokens, matching Spark split()/DuckDB
+      val toks = s.toString.split(" ", -1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(XxHash64Function.hash(
+          UTF8String.fromString(sb.toString), StringType, 42L))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleHashes =
+      copy(child = c)
+  }
+
   /** del_keys(token): the DISTINCT deletion-1 neighborhood of a token —
     * token with position i removed, for every i, plus the token itself
     * (SymSpell symmetric-delete blocking keys). Native form of the
@@ -653,6 +690,8 @@ object F {
     c(SortedInterCount(x(a), x(b)))
   def windowStrings(text: Column, lengths: Seq[Int]): Column =
     c(WindowStrings(x(text), lengths))
+  def shingleHashes(text: Column, n: Int): Column =
+    c(ShingleHashes(x(text), n))
   def delKeys(tok: Column): Column = c(DelKeys(x(tok)))
   /** Builds the packed trigram→(langIdx, weight) profile for
     * [[Exprs.LangNgramBest]] (weight = profile length − rank). Trigrams

@@ -1176,14 +1176,12 @@ object TextOps {
     * / 2^64 — the string-keyed oracle would catch one at test scale). */
   def decontaminate(docs: DataFrame, n: Int = 5,
                     evalMod: Long = 41L, evalRes: Long = 3L): DataFrame = {
-    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("shs", when(size(col("toks")) >= n,
-          array_distinct(transform(
-            sequence(lit(1), size(col("toks")) - (n - 1)),
-            i => concat_ws(" ", slice(col("toks"), i, lit(n))))))
-        .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+    // native shingle kernel (one pass, distinct per doc, hashes only — the
+    // HOF transform∘concat_ws form ran interpreted per shingle position and
+    // shipped n-token STRINGS through the explode; 8-byte hashes halve the
+    // generated volume and the per-row cost — see F.shingleHashes)
+    val sh = docs.select(col("doc_id"),
+      explode(F.shingleHashes(col("text"), n)).as("h"))
     val ev = sh.filter(col("doc_id") % evalMod === evalRes)
       .select(col("h")).distinct()
     sh.filter(col("doc_id") % evalMod =!= evalRes)

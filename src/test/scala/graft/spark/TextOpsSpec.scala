@@ -396,6 +396,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(cont.keySet == Set(100L) && cont(100L) == 1L)
   }
 
+  test("shingle_hashes kernel == xxhash64 over the HOF shingle formula") {
+    import spark.implicits._
+    val docs = graft.synth.Synth.docPages(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((9001L, "a b c"), (9002L, ""), (9003L, "x  y z w q"))
+        .toDF("doc_id", "text")) // short / empty / double-space edge rows
+    val n = 5
+    val hof = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("shs", when(size(col("toks")) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n))))))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val ker = docs.select(col("doc_id"),
+      explode(graft.functions.F.shingleHashes(col("text"), n)).as("h"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = rows(hof)
+    assert(a.nonEmpty && a == rows(ker))
+  }
+
   test("bm25 ranks term-dense short docs first; tfidf keywords pick the rare term") {
     import spark.implicits._
     val docs = Seq(
