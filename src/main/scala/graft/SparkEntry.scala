@@ -122,6 +122,12 @@ object SparkEntry {
     "decontaminate" -> ((s, d) =>
       TextOps.decontaminate(TextOps.withMutatedCopies(
         s.read.parquet(s"$d/documents.parquet")))),
+    // the COMPOSED curation scrub: every gate above as independent per-doc
+    // flags conjoined into the final keep (the sequential materialized form
+    // is graft.jobs.CurationJob)
+    "corpus_curate" -> ((s, d) =>
+      TextOps.curate(TextOps.curationFixture(
+        s.read.parquet(s"$d/documents.parquet")))),
     "doc_fingerprint" -> ((s, d) =>
       TextOps.docFingerprints(s.read.parquet(s"$d/documents.parquet"))),
     "ann_cosine" -> ((s, d) =>
@@ -242,6 +248,7 @@ object SparkEntry {
     "keywords_tfidf" -> TextOps.keywordsTfIdfSql(),
     "lm_perplexity" -> TextOps.lmPerplexitySql(),
     "decontaminate" -> TextOps.decontaminateSql(),
+    "corpus_curate" -> TextOps.curateSql(),
     "ann_cosine" -> Ann.bruteForceTopKSql(50, 5),
     // full mirror: integer hyperplane sign test + SQL-side mix64 planes
     "ann_lsh" -> Ann.lshTopKSql(50, 5),

@@ -1252,4 +1252,175 @@ object TextOps {
        |               ORDER BY tfidf_q DESC, term ASC) AS INTEGER) AS rnk
        |      FROM sc WHERE tfidf_q > 0)
        |SELECT doc_id, term, tfidf_q, rnk FROM r WHERE rnk <= $m""".stripMargin
+
+  // =================================================================
+  // Composed corpus curation — the full pre-training scrub as ONE per-doc
+  // diagnostic frame: every gate this library implements (quality score,
+  // repetition, LM perplexity, URL canonical rep, exact-dup rep, eval-slice
+  // decontamination) computed independently over the corpus and conjoined
+  // into the final `keep`. Independent flags (not sequential filtering) so
+  // each gate's verdict is auditable per doc — the sequential materialized
+  // form is graft.jobs.CurationJob.
+  // =================================================================
+
+  /** Deterministic curation fixture: the mutated-copy near-dups (every 10th
+    * doc, last token dropped — feeds decontamination) PLUS verbatim clones
+    * of every doc_id % 17 == 5 doc at id + 20M (feeds the exact-dup gate;
+    * the raw synth corpus has no exact duplicates). */
+  def curationFixture(docs: DataFrame): DataFrame = {
+    val exactClones = docs.filter(col("doc_id") % 17 === 5)
+      .withColumn("doc_id", col("doc_id") + 20000000L)
+    withMutatedCopies(docs).unionByName(exactClones)
+  }
+
+  /** Per-doc curation diagnostics + final keep. Each gate is one scan and
+    * at most one doc/term-keyed exchange; the six gate frames then equi-join
+    * on doc_id, so after the first doc_id exchange the joins co-partition.
+    * At 10^12 docs every gate is the same shape it has standalone — the
+    * composition adds doc_id joins, no new scale hazard. */
+  def curate(docs: DataFrame, qualityMin: Double = 0.75,
+             evalMod: Long = 41L, evalRes: Long = 3L): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("n_tok"), col("quality"))
+    val r = qualityRepetition(docs).select(col("doc_id"), col("keep").as("rep_keep"))
+    val p = lmPerplexity(docs).select(col("doc_id"), col("keep").as("ppl_keep"))
+    val u = syntheticUrls(docs)
+      .withColumn("canon_url", canonicalUrl(col("url")))
+      .withColumn("url_rep", (col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("canon_url")))).cast("int"))
+      .select(col("doc_id"), col("url_rep"))
+    val e = docs
+      .withColumn("exact_rep", (row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id").asc)) === 1)
+        .cast("int"))
+      .select(col("doc_id"), col("exact_rep"))
+    val d = decontaminate(docs, evalMod = evalMod, evalRes = evalRes)
+    q.join(r, "doc_id").join(p, "doc_id").join(u, "doc_id").join(e, "doc_id")
+      .join(d, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("is_eval", (col("doc_id") % evalMod === evalRes).cast("int"))
+      .withColumn("q_keep", (col("quality") >= qualityMin).cast("int"))
+      .withColumn("keep",
+        (col("q_keep") === 1 && col("rep_keep") === 1 && col("ppl_keep") === 1 &&
+          col("url_rep") === 1 && col("exact_rep") === 1 &&
+          col("is_eval") === 0 && col("n_matched") === 0).cast("int"))
+      .select(col("doc_id"), col("n_tok"), col("quality"), col("q_keep"),
+        col("rep_keep"), col("ppl_keep"), col("url_rep"), col("exact_rep"),
+        col("is_eval"), col("n_matched"), col("keep"))
+  }
+
+  /** Oracle mirror of [[curate]] ∘ [[curationFixture]] — each gate's CTE is
+    * the token-for-token arithmetic of its standalone mirror, rebased from
+    * `documents` onto the fixture corpus `aug2`. Multi-consumer CTEs are
+    * MATERIALIZED (DuckDB re-inlines otherwise — see dupClustersSql). */
+  def curateSql(qualityMin: Double = 0.75, keepBelowQ: Long = 3912000L,
+                n: Int = 5, evalMod: Long = 41L, evalRes: Long = 3L): String =
+    s"""WITH $augCte,
+       |aug2 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM aug
+       |  UNION ALL
+       |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 17 = 5),
+       |t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks FROM aug2),
+       |q AS (SELECT doc_id,
+       |             CAST(len(toks) AS BIGINT) AS n_tok,
+       |             round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5 +
+       |                   (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks)) * 0.5,
+       |                   6) AS quality
+       |      FROM t),
+       |rb AS (SELECT doc_id, toks,
+       |              CASE WHEN len(toks) >= 2
+       |                   THEN list_transform(generate_series(1, len(toks) - 1),
+       |                                       i -> toks[i] || ' ' || toks[i + 1])
+       |                   ELSE CAST([] AS VARCHAR[]) END AS bi
+       |       FROM t),
+       |rm AS (SELECT doc_id,
+       |              CAST(len(toks) AS BIGINT) AS n_tok,
+       |              CAST(list_max(list_transform(list_distinct(toks),
+       |                     d -> len(list_filter(toks, x -> x = d)))) AS BIGINT) AS top_word,
+       |              CAST(len(bi) AS BIGINT) AS n_bi,
+       |              CAST(len(list_distinct(bi)) AS BIGINT) AS n_bi_uniq
+       |       FROM rb),
+       |rf AS (SELECT doc_id,
+       |              round(CAST(top_word AS DOUBLE) / n_tok, 6) AS twf,
+       |              CASE WHEN n_bi > 0
+       |                   THEN round(CAST(n_bi - n_bi_uniq AS DOUBLE) / n_bi, 6)
+       |                   ELSE 0.0 END AS dbf
+       |       FROM rm),
+       |rk AS (SELECT doc_id,
+       |              CAST(CASE WHEN twf <= 0.30 AND dbf <= 0.50
+       |                        THEN 1 ELSE 0 END AS INTEGER) AS rep_keep
+       |       FROM rf),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, term, count(*) AS tfc
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       |  GROUP BY 1, 2),
+       |lm AS (SELECT term, CAST(sum(tfc) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_tok FROM lm),
+       |logp AS (
+       |  SELECT term,
+       |         CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t_tok AS DOUBLE))
+       |                    * 1000000.0) AS BIGINT) AS logp_q
+       |  FROM lm, tot),
+       |pagg AS (
+       |  SELECT tf.doc_id, CAST(sum(tfc * logp_q) AS BIGINT) AS sum_q,
+       |         CAST(sum(tfc) AS BIGINT) AS n_tok
+       |  FROM tf JOIN logp ON tf.term = logp.term GROUP BY 1),
+       |pk AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(round(CAST(-sum_q AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT)
+       |              <= $keepBelowQ AS INTEGER) AS ppl_keep
+       |  FROM pagg),
+       |uu AS (
+       |  SELECT doc_id,
+       |         (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+       |         (CASE WHEN doc_id % 2 = 0 THEN 'www.Example.org' ELSE 'example.org' END) ||
+       |         '/doc/' || CAST(doc_id // 5 AS VARCHAR) ||
+       |         (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+       |         (CASE WHEN doc_id % 2 = 0
+       |               THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+       |               ELSE '' END) ||
+       |         (CASE WHEN doc_id % 6 = 4 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+       |               ELSE '' END) AS url
+       |  FROM aug2),
+       |uc AS (SELECT doc_id,
+       |              regexp_replace(
+       |                regexp_replace(
+       |                  regexp_replace(
+       |                    regexp_replace(lower(url), '#.*$$', ''),
+       |                    '\\?utm_[a-z_]+=[^#]*$$', ''),
+       |                  '://www\\.', '://'),
+       |                '/$$', '') AS canon_url
+       |       FROM uu),
+       |ur AS (SELECT doc_id,
+       |              CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+       |                        THEN 1 ELSE 0 END AS INTEGER) AS url_rep
+       |       FROM uc),
+       |ee AS (SELECT doc_id,
+       |              CAST(CASE WHEN row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+       |                        THEN 1 ELSE 0 END AS INTEGER) AS exact_rep
+       |       FROM aug2),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(toks) >= $n
+       |         THEN list_distinct(list_transform(
+       |                generate_series(1, len(toks) - ${n - 1}),
+       |                i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))
+       |         ELSE CAST([] AS VARCHAR[]) END) AS s
+       |  FROM t),
+       |dev AS (SELECT DISTINCT s FROM sh WHERE doc_id % $evalMod = $evalRes),
+       |dtr AS (SELECT doc_id, s FROM sh WHERE doc_id % $evalMod <> $evalRes),
+       |dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+       |       FROM dtr JOIN dev USING (s) GROUP BY 1)
+       |SELECT q.doc_id, q.n_tok, q.quality,
+       |       CAST(CASE WHEN q.quality >= $qualityMin THEN 1 ELSE 0 END AS INTEGER) AS q_keep,
+       |       rk.rep_keep, pk.ppl_keep, ur.url_rep, ee.exact_rep,
+       |       CAST(CASE WHEN q.doc_id % $evalMod = $evalRes THEN 1 ELSE 0 END AS INTEGER) AS is_eval,
+       |       COALESCE(dc.n_matched, 0) AS n_matched,
+       |       CAST(CASE WHEN q.quality >= $qualityMin AND rk.rep_keep = 1
+       |                  AND pk.ppl_keep = 1 AND ur.url_rep = 1 AND ee.exact_rep = 1
+       |                  AND q.doc_id % $evalMod <> $evalRes
+       |                  AND COALESCE(dc.n_matched, 0) = 0
+       |                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM q JOIN rk USING (doc_id) JOIN pk USING (doc_id)
+       |       JOIN ur USING (doc_id) JOIN ee USING (doc_id)
+       |       LEFT JOIN dc USING (doc_id)""".stripMargin
 }
