@@ -30,6 +30,9 @@ object SparkEntry {
     "fwd_geocode_idf" -> ((s, d) => Queries.fwdGeocodeIdf(s, d)),
     "cell_assign" -> ((s, d) => Queries.cellAssign(s, d)),
     "parent_cells" -> ((s, d) => Queries.parentCells(s, d)),
+    // multi-zoom rollup: the z12 base is the only corpus-wide pass; every
+    // coarser level re-aggregates the previous level's cell counts
+    "tile_pyramid" -> ((s, d) => Queries.tilePyramid(s, d)),
     "tile_cover_rect" -> ((s, d) => Queries.tileCoverRect(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
@@ -105,6 +108,15 @@ object SparkEntry {
       TextOps.piiScrub(TextOps.withPiiPlanted(s.read.parquet(s"$d/documents.parquet")))),
     "url_dedup" -> ((s, d) =>
       TextOps.urlDedup(TextOps.syntheticUrls(s.read.parquet(s"$d/documents.parquet")))),
+    // C4-style cross-doc line dedup: boilerplate lines (planted by the
+    // withLines fixture) survive only at their corpus-wide first occurrence
+    "line_dedup" -> ((s, d) =>
+      TextOps.lineDedup(TextOps.withLines(s.read.parquet(s"$d/documents.parquet")))),
+    // data-mixing stage: per-domain stats + temperature-sampled mixture
+    // weights (α=1/2 — the one exponent that is oracle-exact) over a
+    // skewed synthetic host histogram
+    "domain_mix" -> ((s, d) =>
+      TextOps.domainMix(TextOps.syntheticHosts(s.read.parquet(s"$d/documents.parquet")))),
     "token_count" -> ((s, d) => TextOps.tokenCount(s.read.parquet(s"$d/documents.parquet"))),
     // full-text retrieval: BM25 top-k per fixed query set; per-doc TF-IDF
     // keywords — per-term scores int-quantized BEFORE summing so the agg is
@@ -189,6 +201,7 @@ object SparkEntry {
     "knn_expand" -> Queries.knnExpandSql,
     "cell_assign" -> Queries.cellAssignSql,
     "parent_cells" -> Queries.parentCellsSql,
+    "tile_pyramid" -> Queries.tilePyramidSql,
     "tile_cover_rect" -> Queries.tileCoverRectSql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
@@ -243,6 +256,8 @@ object SparkEntry {
     "quality_repetition" -> TextOps.qualityRepetitionSql(),
     "pii_scrub" -> TextOps.piiScrubSql,
     "url_dedup" -> TextOps.urlDedupSql,
+    "line_dedup" -> TextOps.lineDedupSql,
+    "domain_mix" -> TextOps.domainMixSql(),
     "token_count" -> TextOps.tokenCountSql,
     "bm25_topk" -> TextOps.bm25Sql(),
     "keywords_tfidf" -> TextOps.keywordsTfIdfSql(),

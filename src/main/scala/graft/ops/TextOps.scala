@@ -1423,4 +1423,167 @@ object TextOps {
        |FROM q JOIN rk USING (doc_id) JOIN pk USING (doc_id)
        |       JOIN ur USING (doc_id) JOIN ee USING (doc_id)
        |       LEFT JOIN dc USING (doc_id)""".stripMargin
+
+  // =================================================================
+  // C4-style cross-doc line dedup (Raffel et al. 2020 §2.2: "we removed
+  // any line that occurred more than once in the data set") — the
+  // boilerplate scrub that kills nav bars / cookie banners / copyright
+  // footers repeated across millions of pages. A line survives only at
+  // its corpus-wide FIRST occurrence (lowest (doc_id, position)); every
+  // later occurrence, across docs or within one, is dropped and the
+  // doc's text reassembled from the survivors in order.
+  // =================================================================
+
+  /** Rotating boilerplate lines planted by [[withLines]] — one source of
+    * truth for the Spark fixture and the SQL mirror. */
+  val BoilerLines: Seq[String] = Seq(
+    "all rights reserved worldwide",
+    "subscribe to our newsletter today",
+    "click here to read more",
+    "copyright twenty twenty four")
+
+  /** Deterministic page-with-lines fixture: the token stream is folded into
+    * 10-token lines; a rotating boilerplate line (keyed doc_id % 4) heads
+    * every doc and a second one tails every third doc. Cross-doc duplicate
+    * lines exist by construction; mirrored token-for-token in
+    * [[lineDedupSql]]. */
+  def withLines(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks).cast("double") / lit(10.0)).cast("int")
+    val body = transform(sequence(lit(1), nLines),
+      i => array_join(slice(toks, (i - lit(1)) * lit(10) + lit(1), lit(10)), " "))
+    val boilers = array(BoilerLines.map(lit): _*)
+    val head0 = element_at(boilers, (col("doc_id") % 4).cast("int") + lit(1))
+    val tail0 = when(col("doc_id") % 3 === 0,
+      array(element_at(boilers, ((col("doc_id") + 1) % 4).cast("int") + lit(1))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"),
+      array_join(concat(array(head0), body, tail0), "\n").as("text"))
+  }
+
+  /** The line-dedup operator. Scale shape: ONE exchange keyed on
+    * sha2(line) — 32 bytes, never the line text (a popular boilerplate
+    * line would otherwise ride the shuffle in full once per occurrence) —
+    * decides survival; reassembly is one groupBy(doc_id) exchange with the
+    * (pos, line) structs sorted in-row. The first-occurrence window is a
+    * WindowGroupLimit-shaped rank, so each hash group reduces map-side.
+    * Docs whose every line is boilerplate come back with clean_text = ''
+    * (kept, countable) rather than vanishing. */
+  def lineDedup(pages: DataFrame): DataFrame = {
+    val lines = pages.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val flagged = lines
+      .withColumn("keep", (row_number().over(
+        Window.partitionBy(sha2(col("line"), 256))
+          .orderBy(col("doc_id").asc, col("pos").asc)) === 1).cast("int"))
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep") === 1,
+            struct(col("pos"), col("line"))))),
+          s => s("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(lit(1) - col("keep")).as("n_removed"))
+  }
+
+  /** Oracle mirror of [[lineDedup]] ∘ [[withLines]]: the fixture's line
+    * folding is rebuilt with list_slice (inclusive bounds ≡ Spark's
+    * slice(start, length) clamp), the survival window partitions by the
+    * LINE (same grouping as the 32-byte hash key), reassembly is an
+    * ordered string_agg. */
+  def lineDedupSql: String = {
+    val boilerCase = BoilerLines.zipWithIndex
+      .map { case (b, i) => s"WHEN $i THEN '$b'" }.mkString(" ")
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |         (CASE doc_id % 4 $boilerCase END) || chr(10) ||
+       |         array_to_string(list_transform(
+       |           generate_series(1, CAST(ceil(CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0) AS BIGINT)),
+       |           i -> array_to_string(list_slice(string_split(text, ' '), (i - 1) * 10 + 1, i * 10), ' ')), chr(10)) ||
+       |         (CASE WHEN doc_id % 3 = 0
+       |               THEN chr(10) || (CASE (doc_id + 1) % 4 $boilerCase END)
+       |               ELSE '' END) AS text
+       |  FROM documents),
+       |flat AS (
+       |  SELECT doc_id, u.pos AS pos, u.line AS line
+       |  FROM (SELECT doc_id, unnest(list_transform(
+       |          generate_series(1, len(string_split(text, chr(10)))),
+       |          i -> struct_pack(pos := i, line := string_split(text, chr(10))[i]))) AS u
+       |        FROM pages)),
+       |flagged AS (
+       |  SELECT doc_id, pos, line,
+       |         CASE WHEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+       |              THEN 1 ELSE 0 END AS keep
+       |  FROM flat)
+       |SELECT doc_id,
+       |       coalesce(string_agg(CASE WHEN keep = 1 THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+       |       CAST(count(*) AS BIGINT) AS n_lines,
+       |       CAST(sum(1 - keep) AS BIGINT) AS n_removed
+       |FROM flagged GROUP BY doc_id""".stripMargin
+  }
+
+  // =================================================================
+  // Domain mixture weighting — the data-mixing stage of a pretraining
+  // pipeline: per-domain corpus stats plus temperature-sampled mixture
+  // weights (p_i ∝ n_i^α — the multilingual "temperature sampling"
+  // rule) and the exact-integer epoch-repetition alternative.
+  // =================================================================
+
+  /** Deterministic multi-host URL synthesis with a SKEWED host histogram
+    * (host h ∈ 1..97 holds ~2h−1 of every 9409 docs): floor(sqrt(·)) of a
+    * uniform residue. IEEE-754 sqrt is correctly rounded, so the JVM and
+    * DuckDB agree bit-for-bit on the host assignment. */
+  def syntheticHosts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"),
+      concat(lit("https://site"),
+        floor(sqrt((col("doc_id") % 9409).cast("double") + lit(1.0))).cast("long").cast("string"),
+        lit(".example.org/doc/"), col("doc_id").cast("string")).as("url"))
+
+  /** Per-domain stats + mixture weights. α is fixed at 1/2 (temperature
+    * T = 2) because sqrt is CORRECTLY ROUNDED on both engines — a general
+    * pow(x, α) = exp(α·ln x) is not, so no other α can be oracle-exact.
+    * The normalizing sum runs over 1e9-quantized integer shares (the
+    * ann_cosine discipline): an integer sum is order-independent across
+    * partial aggregation, where a double sum's value depends on addition
+    * order. `repeat_factor` = min(cap, ceil(max_n / n_i)) is the exact
+    * "repeat rare domains" form. One exchange on the host key (short
+    * string, map-side partial aggs); the normalizer is a 2-value
+    * broadcast. */
+  def domainMix(pages: DataFrame, cap: Long = 4L): DataFrame = {
+    val stats = pages
+      .groupBy(regexp_extract(col("url"), "://([^/]+)", 1).as("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("share_q",
+        round(sqrt(col("n_docs").cast("double")) * lit(1e9), 0).cast("long"))
+    val tot = stats.agg(sum(col("share_q")).as("tot_q"), max(col("n_docs")).as("max_n"))
+    stats.crossJoin(broadcast(tot))
+      .select(col("host"), col("n_docs"), col("sum_chars"), col("share_q"),
+        round(col("share_q").cast("double") / col("tot_q").cast("double"), 6).as("mix_weight"),
+        least(ceil(col("max_n").cast("double") / col("n_docs").cast("double")).cast("long"),
+          lit(cap)).as("repeat_factor"))
+  }
+
+  /** Oracle mirror of [[domainMix]] ∘ [[syntheticHosts]] — token-for-token
+    * arithmetic (sqrt share quantization, integer normalizer, ceil
+    * repetition cap). */
+  def domainMixSql(cap: Long = 4L): String =
+    s"""WITH u AS (
+       |  SELECT doc_id, n_chars,
+       |         'https://site' ||
+       |         CAST(CAST(floor(sqrt(CAST(doc_id % 9409 AS DOUBLE) + 1.0)) AS BIGINT) AS VARCHAR) ||
+       |         '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |s AS (
+       |  SELECT regexp_extract(url, '://([^/]+)', 1) AS host,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM u GROUP BY 1),
+       |q AS (
+       |  SELECT *, CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000.0, 0) AS BIGINT) AS share_q
+       |  FROM s),
+       |t AS (SELECT CAST(sum(share_q) AS BIGINT) AS tot_q, max(n_docs) AS max_n FROM q)
+       |SELECT host, n_docs, sum_chars, share_q,
+       |       round(CAST(share_q AS DOUBLE) / CAST(tot_q AS DOUBLE), 6) AS mix_weight,
+       |       least(CAST(ceil(CAST(max_n AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT), $cap) AS repeat_factor
+       |FROM q, t""".stripMargin
 }

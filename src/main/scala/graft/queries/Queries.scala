@@ -435,6 +435,62 @@ object Queries {
   }
 
   // =================================================================
+  // H3c: tile pyramid — multi-zoom event-count rollup (z12 → z4), the
+  // aggregation shape tile servers use to serve heatmaps at every zoom.
+  // The z12 base is the ONLY pass over the raw events (one corpus-wide
+  // exchange with map-side partial counts); every coarser level
+  // re-aggregates the previous level's already cell-sized counts — at
+  // 10^12 events the pyramid costs one big shuffle plus log-many
+  // dim-sized ones, never log-many corpus scans. Associativity of sum
+  // makes level-by-level rollup ≡ direct grouping of the base by each
+  // parent key, which is what the oracle mirrors.
+  // =================================================================
+
+  val PyramidZooms: Seq[Int] = Seq(12, 10, 8, 6, 4)
+
+  def tilePyramid(spark: SparkSession, sfDir: String): DataFrame = {
+    // the base level feeds every coarser level AND the output union —
+    // persist the cut (multi-consumer stage; at cluster scale this is the
+    // written z12 stats table)
+    val base = eventPoints(spark, sfDir)
+      .withColumn("cell", F.cellAt(lit(12), col("elon"), col("elat")))
+      .groupBy("cell").agg(count(lit(1)).as("n_events"))
+      .withColumn("z", lit(12))
+      .persist()
+    var prev = base
+    var out: DataFrame = base
+    PyramidZooms.drop(1).foreach { zc =>
+      prev = prev
+        .groupBy(F.parentCell(col("cell"), lit(zc)).as("cell"))
+        .agg(sum(col("n_events")).as("n_events"))
+        .withColumn("z", lit(zc))
+      out = out.unionByName(prev)
+    }
+    out.select(col("z"), col("cell"), col("n_events"))
+  }
+
+  def tilePyramidSql: String = {
+    // parent of a packed z12 cell at zoom zp (dz = 12 - zp): unpack
+    // z:5|x:28|y:28, shift x/y right by dz, repack — same arithmetic as
+    // parentCellsSql
+    def parent(zp: Int) = {
+      val dz = 12 - zp
+      s"(${zp}::BIGINT * 72057594037927936 + ((cell // 268435456) % 268435456 // ${1L << dz}) * 268435456 + (cell % 268435456) // ${1L << dz})"
+    }
+    val levels = PyramidZooms.drop(1).map { zp =>
+      s"""SELECT CAST($zp AS INTEGER) AS z, pcell AS cell, CAST(sum(n) AS BIGINT) AS n_events
+         |FROM (SELECT ${parent(zp)} AS pcell, n FROM base) GROUP BY pcell""".stripMargin
+    }
+    s"""WITH pts AS (${eventPointsSql}),
+       |base AS (
+       |  SELECT ${cellSql(12, "elon", "elat")} AS cell, count(*) AS n
+       |  FROM pts GROUP BY 1)
+       |SELECT CAST(12 AS INTEGER) AS z, cell, CAST(n AS BIGINT) AS n_events FROM base
+       |UNION ALL
+       |${levels.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  // =================================================================
   // H2: tile cover of polygon features (rect WKB → packed cells)
   // =================================================================
 

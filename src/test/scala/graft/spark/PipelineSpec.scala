@@ -235,4 +235,22 @@ class PipelineSpec extends SparkTestBase {
     assert(TableIO.readCurrent(spark, table).count() == 7)
     intercept[Exception] { TableIO.readAsOf(spark, table, id1).count() }
   }
+
+  test("tile pyramid: level-by-level rollup equals direct grouping at every zoom") {
+    val sf = "/root/testdata/sf0.001"
+    val pyr = graft.queries.Queries.tilePyramid(spark, sf).persist()
+    val pts = Synth.eventPoints(spark, sf)
+    val total = pts.count()
+    // mass is conserved at every level
+    val sums = pyr.groupBy("z").agg(sum("n_events").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(graft.queries.Queries.PyramidZooms.forall(z => sums(z) == total))
+    // the rolled-up z8 level is row-identical to grouping the raw points at z8
+    val direct = pts
+      .withColumn("cell", F.cellAt(lit(8), col("elon"), col("elat")))
+      .groupBy("cell").agg(count(lit(1)).as("n_events"))
+    val z8 = pyr.filter(col("z") === 8).select("cell", "n_events")
+    assert(z8.exceptAll(direct).isEmpty && direct.exceptAll(z8).isEmpty)
+    pyr.unpersist()
+  }
 }

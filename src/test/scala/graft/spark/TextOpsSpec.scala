@@ -441,4 +441,60 @@ class TextOpsSpec extends SparkTestBase {
     // doc 3's only (repeated) term is corpus-unique to it
     assert(kw(3L) == "order")
   }
+
+  test("line_dedup keeps only the corpus-wide first occurrence of each line") {
+    import spark.implicits._
+    val pages = Seq(
+      (0L, "all rights reserved\nunique zero line\nshared middle"),
+      (1L, "all rights reserved\nunique one line\nshared middle"),
+      (2L, "unique two line\nall rights reserved")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(pages).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0 owns the first occurrence of every one of its lines
+    assert(out(0L) == (("all rights reserved\nunique zero line\nshared middle", 3L, 0L)))
+    // doc 1 loses the boilerplate head and the shared middle, keeps its own
+    assert(out(1L) == (("unique one line", 3L, 2L)))
+    // order within the doc is preserved after removal
+    assert(out(2L) == (("unique two line", 2L, 1L)))
+  }
+
+  test("line_dedup keeps an all-boilerplate doc as an empty-text row") {
+    import spark.implicits._
+    val pages = Seq((0L, "dup line"), (1L, "dup line")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(pages).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "dup line" && out(1L) == "")
+  }
+
+  test("withLines plants cross-doc boilerplate that line_dedup strips") {
+    import spark.implicits._
+    val docs = Seq.tabulate(8)(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cleaned = TextOps.lineDedup(TextOps.withLines(docs))
+    // docs 4..7 repeat the head boilerplate of docs 0..3 (doc_id % 4 key):
+    // every doc past the first 4 loses at least its head line
+    val removed = cleaned.filter(col("doc_id") >= 4 && col("n_removed") >= 1).count()
+    assert(removed == 4)
+    // no doc loses its unique body line
+    assert(cleaned.filter(not(col("clean_text").contains("alpha"))).count() == 0)
+  }
+
+  test("domain_mix: temperature weights flatten skew; rare hosts repeat capped") {
+    import spark.implicits._
+    val pages = Seq.tabulate(100)(i => (i.toLong, 10L,
+      if (i < 90) "https://big.example.org/a" else "https://small.example.org/b"))
+      .toDF("doc_id", "n_chars", "url")
+    val out = TextOps.domainMix(pages).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4), r.getLong(5)))).toMap
+    val (nBig, wBig, rBig) = out("big.example.org")
+    val (nSmall, wSmall, rSmall) = out("small.example.org")
+    assert(nBig == 90L && nSmall == 10L)
+    assert(rBig == 1L && rSmall == 4L) // ceil(90/10) = 9, capped at 4
+    // quantized integer shares normalize to 1 (up to the 1e-6 rounding)
+    assert(math.abs(wBig + wSmall - 1.0) < 2e-6)
+    // α = 1/2 flattens the raw 0.9 share toward the rare host
+    assert(wBig > wSmall && wBig < 0.8)
+  }
 }
