@@ -1461,21 +1461,41 @@ object TextOps {
       array_join(concat(array(head0), body, tail0), "\n").as("text"))
   }
 
-  /** The line-dedup operator. Scale shape: ONE exchange keyed on
-    * sha2(line) — 32 bytes, never the line text (a popular boilerplate
-    * line would otherwise ride the shuffle in full once per occurrence) —
-    * decides survival; reassembly is one groupBy(doc_id) exchange with the
-    * (pos, line) structs sorted in-row. The first-occurrence window is a
-    * WindowGroupLimit-shaped rank, so each hash group reduces map-side.
+  /** The line-dedup operator. Scale shape — built for the one skew this
+    * scrub is GUARANTEED to meet: a boilerplate line ("all rights
+    * reserved") sits in ~10% of all pages, so any per-line window puts
+    * 10^10+ rows on ONE reducer at corpus scale (window partitions cannot
+    * be split). Instead:
+    *
+    *   1. survival is an ASSOCIATIVE aggregate — min(struct(doc_id, pos))
+    *      per sha2(line) (32-byte key, never the line text) — which
+    *      partial-aggregates map-side: the hot key arrives at its reducer
+    *      as one candidate per map task, not one row per occurrence;
+    *   2. the flag-back is a salted equi-join (D7 — the text scrub reuses
+    *      the geocoder's skew machinery): line-hashes above `hotThreshold`
+    *      occurrences spread over `saltS` reducers;
+    *   3. reassembly is one groupBy(doc_id) exchange with the (pos, line)
+    *      structs sorted in-row.
+    *
     * Docs whose every line is boilerplate come back with clean_text = ''
     * (kept, countable) rather than vanishing. */
-  def lineDedup(pages: DataFrame): DataFrame = {
+  def lineDedup(pages: DataFrame, saltS: Int = 8, hotK: Int = 16,
+                hotThreshold: Long = 100000L): DataFrame = {
+    import graft.pipeline.Skew
+    // three consumers (winner agg, hot-key count, join probe) — persist the
+    // explode; at cluster scale this cut is the written lines table
     val lines = pages.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val flagged = lines
-      .withColumn("keep", (row_number().over(
-        Window.partitionBy(sha2(col("line"), 256))
-          .orderBy(col("doc_id").asc, col("pos").asc)) === 1).cast("int"))
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", sha2(col("line"), 256))
+      .persist()
+    val winners = lines.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val hot = Skew.hotKeysAny(lines, "h", hotK, hotThreshold)
+    val flagged = Skew.saltedJoinAny(
+        lines.withColumn("_rid", xxhash64(col("doc_id"), col("pos"))),
+        winners, "h", "_rid", hot, saltS)
+      .withColumn("keep",
+        (col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")).cast("int"))
     flagged.groupBy(col("doc_id"))
       .agg(
         array_join(transform(

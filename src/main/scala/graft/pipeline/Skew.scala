@@ -26,14 +26,29 @@ object Skew {
       .limit(k)
       .collect().map(_.getLong(0))
 
+  /** [[hotKeys]] for non-long key types (e.g. the 32-byte line-hash keys
+    * of the C4 line scrub): same contract, values returned as Any. */
+  def hotKeysAny(probe: DataFrame, key: String, k: Int, threshold: Long): Array[Any] =
+    probe.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy(col("cnt").desc, col(key).asc)
+      .limit(k)
+      .collect().map(_.get(0))
+
   /** Salted equi-join `probe ⋈ index ON key`, with hot keys spread over
     * `s` salts. Cold keys keep salt 0 on both sides (no replication cost).
     * `probeId` must be a deterministic per-row column (salt choice is then
     * reproducible — required for the exact-match correctness gate). */
   def saltedJoin(probe: DataFrame, index: DataFrame, key: String,
-                 probeId: String, hot: Array[Long], s: Int): DataFrame = {
+                 probeId: String, hot: Array[Long], s: Int): DataFrame =
+    saltedJoinAny(probe, index, key, probeId, hot.map(Long.box), s)
+
+  /** [[saltedJoin]] over keys of any type (the `isin` hot-set literal and
+    * the salt mechanics are type-agnostic). */
+  def saltedJoinAny(probe: DataFrame, index: DataFrame, key: String,
+                    probeId: String, hot: Array[Any], s: Int): DataFrame = {
     if (hot.isEmpty) return probe.join(index, key)
-    val hotCol: Column = col(key).isin(hot.map(Long.box): _*)
+    val hotCol: Column = col(key).isin(hot: _*)
     val salts = array((0 until s).map(i => lit(i)): _*)
     val indexSalted = index
       .withColumn("_salt", explode(when(hotCol, salts).otherwise(array(lit(0)))))

@@ -481,6 +481,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(cleaned.filter(not(col("clean_text").contains("alpha"))).count() == 0)
   }
 
+  test("line_dedup salted hot path is row-identical to the cold path") {
+    import spark.implicits._
+    // one boilerplate line in every doc (the C4 hot key), plus unique lines
+    val pages = (0L until 60L).map(i =>
+      (i, s"all rights reserved\nunique line $i")).toDF("doc_id", "text")
+    val cold = TextOps.lineDedup(pages) // threshold 100000: hot set empty
+    val hot = TextOps.lineDedup(pages, saltS = 4, hotK = 4, hotThreshold = 10L)
+    assert(hot.exceptAll(cold).isEmpty && cold.exceptAll(hot).isEmpty)
+    // the hot path really did salt: the boilerplate hash crosses the threshold
+    val lines = pages.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", sha2(col("line"), 256))
+    assert(graft.pipeline.Skew.hotKeysAny(lines, "h", 4, 10L).nonEmpty)
+  }
+
   test("domain_mix: temperature weights flatten skew; rare hosts repeat capped") {
     import spark.implicits._
     val pages = Seq.tabulate(100)(i => (i.toLong, 10L,
