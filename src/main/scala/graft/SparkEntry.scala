@@ -112,6 +112,11 @@ object SparkEntry {
     // withLines fixture) survive only at their corpus-wide first occurrence
     "line_dedup" -> ((s, d) =>
       TextOps.lineDedup(TextOps.withLines(s.read.parquet(s"$d/documents.parquet")))),
+    // exact substring dedup (Lee et al. ExactSubstr, k-gram granular): the
+    // mutated clones plant long shared substrings at any SF
+    "dedup_substr" -> ((s, d) =>
+      TextOps.dedupSubstr(TextOps.withMutatedCopies(
+        s.read.parquet(s"$d/documents.parquet")))),
     // data-mixing stage: per-domain stats + temperature-sampled mixture
     // weights (α=1/2 — the one exponent that is oracle-exact) over a
     // skewed synthetic host histogram
@@ -257,6 +262,7 @@ object SparkEntry {
     "pii_scrub" -> TextOps.piiScrubSql,
     "url_dedup" -> TextOps.urlDedupSql,
     "line_dedup" -> TextOps.lineDedupSql,
+    "dedup_substr" -> TextOps.dedupSubstrSql(),
     "domain_mix" -> TextOps.domainMixSql(),
     "token_count" -> TextOps.tokenCountSql,
     "bm25_topk" -> TextOps.bm25Sql(),

@@ -1543,6 +1543,106 @@ object TextOps {
   }
 
   // =================================================================
+  // Exact substring dedup (Lee et al. 2021, "Deduplicating Training
+  // Data Makes Language Models Better"): remove every token span of
+  // length >= k whose content occurs earlier anywhere in the corpus.
+  // Their suffix-array construction is single-machine; the distributed
+  // re-expression is k-gram granular and EXACT for it: a token is
+  // removed iff it is covered by some k-token shingle whose content has
+  // an earlier (doc_id, pos) occurrence — which removes precisely the
+  // duplicated substrings of length >= k at k-gram resolution.
+  // =================================================================
+
+  /** Scale shape = [[lineDedup]]'s skeleton one level down (shingles, not
+    * lines): survival is the associative min(struct(doc_id, pos)) per
+    * sha2(shingle) — map-side partial agg, so a viral quote repeated 10^8
+    * times never lands on one window reducer — and the flag-back join
+    * salts hot shingle hashes (D7). Span removal is in-row: each doc's
+    * dup starts are collected once (docs with none never join), then a
+    * codegen'd HOF filter drops tokens covered by any [s, s+k) span. The
+    * doc-keyed joins after the first exchange co-partition. */
+  def dedupSubstr(docs: DataFrame, k: Int = 10, saltS: Int = 8,
+                  hotK: Int = 16, hotThreshold: Long = 100000L): DataFrame = {
+    import graft.pipeline.Skew
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    // (pos, hash) per k-token shingle; 0-based start positions. The 32-byte
+    // hash is the shuffle key — shingle strings never ride an exchange.
+    val sh = toks
+      .withColumn("e", explode(when(col("n") >= k,
+          transform(sequence(lit(1), col("n") - lit(k - 1)),
+            i => struct((i - lit(1)).as("pos"),
+              sha2(array_join(slice(col("toks"), i, lit(k)), " "), 256).as("h"))))
+        .otherwise(array().cast("array<struct<pos:int,h:string>>"))))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+      .persist()
+    val winners = sh.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val hot = Skew.hotKeysAny(sh, "h", hotK, hotThreshold)
+    val dupStarts = Skew.saltedJoinAny(
+        sh.withColumn("_rid", xxhash64(col("doc_id"), col("pos"))),
+        winners, "h", "_rid", hot, saltS)
+      .filter(!(col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toks.join(dupStarts.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(
+        transform(col("toks"), (t, j) => struct(j.as("j"), t.as("t"))),
+        p => !exists(col("starts"),
+          s0 => s0 <= p("j") && p("j") < s0 + lit(k))))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), p => p("t")), " ").as("clean_text"),
+        col("n").cast("long").as("n_tok"),
+        (col("n") - size(col("kept"))).cast("long").as("n_removed_tok"))
+  }
+
+  /** Oracle mirror of [[dedupSubstr]] ∘ [[withMutatedCopies]] (the mutated
+    * clone shares its full n−1-token prefix with its original, so planted
+    * long-substring dups exist at any SF). Same semantics, set-logic form:
+    * dup starts explode into their k covered positions and surviving
+    * tokens anti-join the cover — integer/set logic only, so the two
+    * constructions cannot diverge. */
+  def dedupSubstrSql(k: Int = 10): String =
+    s"""WITH $augCte,
+       |t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len(toks) >= $k
+       |           THEN list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |                  i -> struct_pack(pos := i - 1,
+       |                         s := array_to_string(list_slice(toks, i, i + ${k - 1}), ' ')))
+       |           ELSE CAST([] AS STRUCT(pos BIGINT, s VARCHAR)[]) END) AS u
+       |    FROM t)),
+       |dups AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |           row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+       |    FROM sh)
+       |  WHERE rn > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + u AS j
+       |  FROM dups, (SELECT unnest(generate_series(0, ${k - 1})) AS u)),
+       |tok AS (
+       |  SELECT doc_id, u.j AS j, u.t AS t FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+       |             i -> struct_pack(j := i - 1, t := toks[i]))) AS u
+       |    FROM t)),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.j, tok.t
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+       |  WHERE cov.j IS NULL),
+       |ka AS (
+       |  SELECT doc_id, string_agg(t, ' ' ORDER BY j) AS ct,
+       |         count(*) AS nk
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, coalesce(ka.ct, '') AS clean_text,
+       |       CAST(len(toks) AS BIGINT) AS n_tok,
+       |       CAST(len(toks) - coalesce(ka.nk, 0) AS BIGINT) AS n_removed_tok
+       |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin
+
+  // =================================================================
   // Domain mixture weighting — the data-mixing stage of a pretraining
   // pipeline: per-domain corpus stats plus temperature-sampled mixture
   // weights (p_i ∝ n_i^α — the multilingual "temperature sampling"

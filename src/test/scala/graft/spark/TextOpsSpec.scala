@@ -481,6 +481,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(cleaned.filter(not(col("clean_text").contains("alpha"))).count() == 0)
   }
 
+  test("dedup_substr removes a copied >=k span from the later doc only") {
+    import spark.implicits._
+    val span = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens
+    val pages = Seq(
+      (0L, s"$span tail0 tail1"),                   // first occurrence: kept whole
+      (1L, s"lead0 lead1 $span after0"),            // copy: the 12 span tokens go
+      (2L, "completely unrelated short text here")  // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupSubstr(pages, k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((s"$span tail0 tail1", 14L, 0L)))
+    // doc 1: k=10 shingles at starts 2..4 are dups (the copied span yields
+    // 3 duplicated 10-grams covering token positions 2..13) — the copied
+    // tokens vanish, the doc's own lead/after tokens survive
+    assert(out(1L) == (("lead0 lead1 after0", 15L, 12L)))
+    assert(out(2L) == (("completely unrelated short text here", 5L, 0L)))
+  }
+
+  test("dedup_substr salted hot path is row-identical to the cold path") {
+    import spark.implicits._
+    val viral = (1 to 10).map(i => s"v$i").mkString(" ")
+    val pages = (0L until 40L).map(i => (i, s"$viral own$i unique$i")).toDF("doc_id", "text")
+    val cold = TextOps.dedupSubstr(pages)
+    val hot = TextOps.dedupSubstr(pages, saltS = 4, hotK = 4, hotThreshold = 10L)
+    assert(hot.exceptAll(cold).isEmpty && cold.exceptAll(hot).isEmpty)
+    // only doc 0 keeps the viral 10-gram
+    assert(cold.filter(col("n_removed_tok") === 0).count() == 1)
+  }
+
   test("line_dedup salted hot path is row-identical to the cold path") {
     import spark.implicits._
     // one boilerplate line in every doc (the C4 hot key), plus unique lines
