@@ -1491,9 +1491,12 @@ object TextOps {
     val winners = lines.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
     val hot = Skew.hotKeysAny(lines, "h", hotK, hotThreshold)
+    // winners is per-LINE data (grows with the corpus) — never broadcastable;
+    // Catalyst misestimates under the cached lines relation, so force the
+    // shuffle-hash plan (the same rule as every per-doc join side here)
     val flagged = Skew.saltedJoinAny(
         lines.withColumn("_rid", xxhash64(col("doc_id"), col("pos"))),
-        winners, "h", "_rid", hot, saltS)
+        winners.hint("shuffle_hash"), "h", "_rid", hot, saltS)
       .withColumn("keep",
         (col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")).cast("int"))
     flagged.groupBy(col("doc_id"))
@@ -1579,9 +1582,10 @@ object TextOps {
     val winners = sh.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
     val hot = Skew.hotKeysAny(sh, "h", hotK, hotThreshold)
+    // winners is per-SHINGLE data — same no-broadcast rule as [[lineDedup]]
     val dupStarts = Skew.saltedJoinAny(
         sh.withColumn("_rid", xxhash64(col("doc_id"), col("pos"))),
-        winners, "h", "_rid", hot, saltS)
+        winners.hint("shuffle_hash"), "h", "_rid", hot, saltS)
       .filter(!(col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))

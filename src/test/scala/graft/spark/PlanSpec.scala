@@ -199,4 +199,18 @@ class PlanSpec extends SparkTestBase {
     val nScorer = "lang_ngram_best".r.findAllIn(p).size
     assert(nScorer <= 2, s"scorer duplicated by project collapse ($nScorer):\n$p")
   }
+
+  test("line/substr dedup: corpus-sized winner sides never broadcast") {
+    import graft.ops.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // winners are per-line / per-shingle data (grow with the corpus); under
+    // the cached explode Catalyst would happily broadcast them — the hint
+    // must pin the shuffle-hash plan
+    val pl = plan(TextOps.lineDedup(TextOps.withLines(docs)))
+    assert(!pl.contains("BroadcastHashJoin"),
+      s"line winners must not broadcast:\n$pl")
+    val ps = plan(TextOps.dedupSubstr(TextOps.withMutatedCopies(docs)))
+    assert(!ps.contains("BroadcastHashJoin"),
+      s"shingle winners must not broadcast:\n$ps")
+  }
 }
