@@ -1046,10 +1046,12 @@ object TextOps {
     * and keep the k best per query.
     *
     * Shuffle budget at corpus scale: ONE wide exchange (the (doc_id, term)
-    * tf aggregation over the exploded corpus, map-side combined), then the
-    * query join and both stats joins are broadcasts (the query list and its
-    * per-term df are query-sized; the corpus stats row is a 1-row cross
-    * join), the (qid, doc_id) score aggregation is a second exchange of the
+    * tf aggregation over the exploded corpus, map-side combined; the
+    * query-matched slice is persisted so df derivation never re-runs that
+    * lineage), then the query join and both stats joins are broadcasts (the
+    * query list and its per-term df are query-sized; the corpus stats row is
+    * a 1-row cross join), the (qid, doc_id) score aggregation is a second
+    * exchange of the
     * MATCHED rows only (query-term selectivity has already dropped
     * everything else), and the final per-qid top-k plans as a partial
     * WindowGroupLimit — each map task forwards at most k rows per query, so
@@ -1062,9 +1064,17 @@ object TextOps {
     val stats = docs.select(split(col("text"), " ").as("toks"))
       .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
     val qdf = queries.toDF("qid", "term")
-    val dft = tf.join(broadcast(qdf.select(col("term")).distinct()), "term")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
+    // The query-matched tf slice feeds BOTH the per-term df aggregate and
+    // the scoring join: persisted, or the corpus-wide tf lineage (scan +
+    // explode + (doc,term) exchange) runs twice just to count a query-sized
+    // df table. df stays a map-combined groupBy + broadcast (a term-keyed
+    // window here would funnel a hot term's full posting list through one
+    // partition).
+    val matched = tf
+      .join(broadcast(qdf.select(col("term")).distinct()), "term")
+      .persist()
+    val dft = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = matched
       .join(broadcast(qdf), "term")
       .join(broadcast(dft), "term")
       .crossJoin(broadcast(stats))
@@ -1116,23 +1126,26 @@ object TextOps {
   /** Unigram-LM perplexity filter (the CCNet/Gopher-style quality gate: a
     * language model trained on the corpus scores each document; outliers are
     * dropped). The LM here is the corpus's own unigram MLE — the Spark shape
-    * (one wide (doc,term) tf exchange, term-keyed model join, per-doc
+    * (one wide (doc,term) tf exchange, term-keyed model window, per-doc
     * integer-sum reduction) is exactly what a real external LM table plugs
-    * into. Per-token log-probs are quantized to 1e-6 integers BEFORE the
+    * into (an external LM swaps the window for a term equi-join). Per-token log-probs are quantized to 1e-6 integers BEFORE the
     * per-doc sum (tf × logp_q products and their sum are exact integer
     * arithmetic — order-independent); only the final mean divides, one IEEE
     * double division per doc. keep = mean NLL ≤ threshold (high-perplexity
     * docs are the junk under a unigram LM). */
   def lmPerplexity(docs: DataFrame, keepBelowQ: Long = 3912000L): DataFrame = {
-    val tf = termFreq(docs)
-    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
-    val tot = lm.agg(sum(col("cnt")).as("t_tok"))
-    val logp = lm.crossJoin(broadcast(tot))
+    // tf feeds both the global total and the scoring pass: persist it (the
+    // un-persisted form re-ran the tokenize+explode+count lineage twice).
+    // Unigram counts come from a term-keyed WINDOW over tf — the former
+    // groupBy(term) + join-back-on-term pair cost a second term exchange for
+    // the same clustering; identical values (sum(tf) per term either way).
+    val tf = termFreq(docs).persist()
+    val tot = tf.agg(sum(col("tf")).as("t_tok"))
+    tf.withColumn("cnt", sum(col("tf")).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(tot))
       .withColumn("logp_q",
         round(log(col("cnt").cast("double") / col("t_tok").cast("double"))
           * lit(1000000.0)).cast("long"))
-      .select(col("term"), col("logp_q"))
-    tf.join(logp, "term")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("logp_q")).as("sum_q"), sum(col("tf")).as("n_tok"))
       .select(col("doc_id"), col("n_tok"),
@@ -1209,20 +1222,20 @@ object TextOps {
   /** Per-doc keyword extraction: top-m terms by TF-IDF
     * (tf × ln(N/df), quantized to 1e-6 like [[bm25TopK]]). Unlike BM25 the
     * df dimension here is the FULL vocabulary, not a query-sized set — at
-    * web scale that's ~10^8 rows, past any broadcast ceiling, so the
-    * tf ⋈ df join is left to the planner (AQE broadcasts the df side while
-    * it fits, falls back to a term-keyed shuffle join beyond). The per-doc
-    * top-m window then plans as a partial WindowGroupLimit over the
-    * (doc_id)-keyed exchange. */
+    * web scale that's ~10^8 rows, past any broadcast ceiling. So df is never
+    * materialized as a dim table at all: it is a count over a term-keyed
+    * WINDOW on the tf frame — the exact clustering a shuffle tf ⋈ df join
+    * would have paid for, with no second tf computation and no broadcast
+    * question. The per-doc top-m window then plans as a partial
+    * WindowGroupLimit over the (doc_id)-keyed exchange. */
   def keywordsTfIdf(docs: DataFrame, m: Int = 3): DataFrame = {
     val tf = termFreq(docs)
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     val q = round(
       col("tf").cast("double") *
         log(col("n_docs").cast("double") / col("df").cast("double")) *
         lit(1000000.0)).cast("long")
-    tf.join(dft, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(stats))
       .withColumn("tfidf_q", q)
       .filter(col("tfidf_q") > 0) // df = N terms carry zero signal
@@ -1273,28 +1286,58 @@ object TextOps {
     withMutatedCopies(docs).unionByName(exactClones)
   }
 
-  /** Per-doc curation diagnostics + final keep. Each gate is one scan and
-    * at most one doc/term-keyed exchange; the six gate frames then equi-join
-    * on doc_id, so after the first doc_id exchange the joins co-partition.
-    * At 10^12 docs every gate is the same shape it has standalone — the
-    * composition adds doc_id joins, no new scale hazard. */
+  /** Per-doc curation diagnostics + final keep. The two pure per-row gates
+    * (quality, repetition) fuse into ONE projection over a shared scan (zero
+    * exchanges); each remaining gate is one scan and at most one
+    * doc/term/url/hash-keyed SKINNY exchange (ids + hashes, never text); the
+    * gate frames then equi-join on doc_id, so after the first doc_id exchange
+    * the joins co-partition. At 10^12 docs every gate is the same shape it
+    * has standalone — the composition adds doc_id joins, no new scale
+    * hazard. */
   def curate(docs: DataFrame, qualityMin: Double = 0.75,
              evalMod: Long = 41L, evalRes: Long = 3L): DataFrame = {
-    val q = qualityScore(docs).select(col("doc_id"), col("n_tok"), col("quality"))
-    val r = qualityRepetition(docs).select(col("doc_id"), col("keep").as("rep_keep"))
+    // quality + repetition are pure per-row gates over the SAME tokenization:
+    // fused into one projection they cost zero exchanges and one shared scan
+    // (as separate frames each forced its own doc_id exchange into the join).
+    val qr = docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("quality", round(
+        (size(array_distinct(col("toks"))).cast("long").cast("double") / col("n_tok")) * 0.5 +
+          (lit(1.0) - size(filter(col("toks"), t => t.isin(lit("the"), lit("a"))))
+            .cast("long").cast("double") / col("n_tok")) * 0.5, 6))
+      .withColumn("top_word", array_max(transform(array_distinct(col("toks")),
+        d => size(filter(col("toks"), t => t === d)))).cast("long"))
+      .withColumn("bi",
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_bi", size(col("bi")).cast("long"))
+      .withColumn("twf", round(col("top_word").cast("double") / col("n_tok"), 6))
+      .withColumn("dbf",
+        when(col("n_bi") > 0,
+          round((col("n_bi") - size(array_distinct(col("bi"))).cast("long")).cast("double") /
+            col("n_bi"), 6))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_tok"), col("quality"),
+        (col("twf") <= lit(0.30) && col("dbf") <= lit(0.50)).cast("int").as("rep_keep"))
     val p = lmPerplexity(docs).select(col("doc_id"), col("keep").as("ppl_keep"))
     val u = syntheticUrls(docs)
       .withColumn("canon_url", canonicalUrl(col("url")))
       .withColumn("url_rep", (col("doc_id") ===
         min(col("doc_id")).over(Window.partitionBy(col("canon_url")))).cast("int"))
       .select(col("doc_id"), col("url_rep"))
+    // pre-project the hash so column pruning drops `text` below the window
+    // exchange (an inline partitionBy(sha2(text)) ships the full corpus text
+    // through the shuffle; the 32-byte column ships hashes only).
     val e = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .withColumn("exact_rep", (row_number().over(
-        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id").asc)) === 1)
+        Window.partitionBy(col("h")).orderBy(col("doc_id").asc)) === 1)
         .cast("int"))
       .select(col("doc_id"), col("exact_rep"))
     val d = decontaminate(docs, evalMod = evalMod, evalRes = evalRes)
-    q.join(r, "doc_id").join(p, "doc_id").join(u, "doc_id").join(e, "doc_id")
+    qr.join(p, "doc_id").join(u, "doc_id").join(e, "doc_id")
       .join(d, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_matched"))
       .withColumn("is_eval", (col("doc_id") % evalMod === evalRes).cast("int"))
@@ -1674,11 +1717,15 @@ object TextOps {
     * string, map-side partial aggs); the normalizer is a 2-value
     * broadcast. */
   def domainMix(pages: DataFrame, cap: Long = 4L): DataFrame = {
+    // host stats feed both the normalizer aggregate and the weight
+    // projection: persisted (host-dim-sized), or the corpus-wide groupBy
+    // scan runs twice.
     val stats = pages
       .groupBy(regexp_extract(col("url"), "://([^/]+)", 1).as("host"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .withColumn("share_q",
         round(sqrt(col("n_docs").cast("double")) * lit(1e9), 0).cast("long"))
+      .persist()
     val tot = stats.agg(sum(col("share_q")).as("tot_q"), max(col("n_docs")).as("max_n"))
     stats.crossJoin(broadcast(tot))
       .select(col("host"), col("n_docs"), col("sum_chars"), col("share_q"),
