@@ -460,10 +460,14 @@ object Queries {
     var prev = base
     var out: DataFrame = base
     PyramidZooms.drop(1).foreach { zc =>
+      // each level feeds the NEXT level and the union: persist it, or level
+      // z re-aggregates once per coarser consumer (log² dim-sized exchanges
+      // instead of log — the docstring's cost claim would be false)
       prev = prev
         .groupBy(F.parentCell(col("cell"), lit(zc)).as("cell"))
         .agg(sum(col("n_events")).as("n_events"))
         .withColumn("z", lit(zc))
+        .persist()
       out = out.unionByName(prev)
     }
     out.select(col("z"), col("cell"), col("n_events"))

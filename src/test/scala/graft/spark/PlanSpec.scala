@@ -200,6 +200,29 @@ class PlanSpec extends SparkTestBase {
     assert(nScorer <= 2, s"scorer duplicated by project collapse ($nScorer):\n$p")
   }
 
+  test("corpus_curate: fused per-row gates, skinny exchanges, text never a shuffle payload") {
+    import graft.ops.TextOps
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = fmt(TextOps.curate(TextOps.curationFixture(docs)))
+    // an inline partitionBy(sha2(text)) evaluates the key AT the window, so
+    // the exchange ships the full corpus text; the pre-projected hash column
+    // ships 32 bytes — the key must never appear as an inline expression
+    assert(!p.contains("hashpartitioning(sha2("),
+      "exact-rep exchange must be keyed on the PRE-PROJECTED hash column")
+    // (BroadcastNestedLoopJoin IS expected here: the 1-row broadcast(tot)
+    // normalizer cross join in lmPerplexity plans as one — allowed; an
+    // unbroadcast cartesian is not)
+    assert(!p.contains("CartesianProduct"))
+    // 8 exchanges total: tf agg + LM term window + ppl doc agg, url window,
+    // exact-rep hash window, decontam shingle agg, and the doc_id flag-join
+    // exchanges. The pre-fusion form paid 2 more (quality and repetition
+    // each forced a doc_id exchange of their own into the flag join).
+    val nExch = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(nExch <= 8, s"curate exchange count regressed: $nExch > 8")
+  }
+
   test("line/substr dedup: corpus-sized winner sides never broadcast") {
     import graft.ops.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
