@@ -204,6 +204,9 @@ class PlanSpec extends SparkTestBase {
     import graft.ops.TextOps
     def fmt(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // live caches from other suites substitute InMemoryRelations and shift
+    // the exchange count (9 vs 8 observed) — plan against a cold catalog
+    spark.catalog.clearCache()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = fmt(TextOps.curate(TextOps.curationFixture(docs)))
     // an inline partitionBy(sha2(text)) evaluates the key AT the window, so
