@@ -34,6 +34,9 @@ object SparkEntry {
     // coarser level re-aggregates the previous level's cell counts
     "tile_pyramid" -> ((s, d) => Queries.tilePyramid(s, d)),
     "tile_cover_rect" -> ((s, d) => Queries.tileCoverRect(s, d)),
+    // distributed spatial self-join: cell-cover blocking + reference-point
+    // dedup (exactly-once with zero dedup shuffle); oracle = raw θ-join
+    "poly_overlap" -> ((s, d) => Queries.polyOverlap(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
@@ -208,6 +211,7 @@ object SparkEntry {
     "parent_cells" -> Queries.parentCellsSql,
     "tile_pyramid" -> Queries.tilePyramidSql,
     "tile_cover_rect" -> Queries.tileCoverRectSql,
+    "poly_overlap" -> Queries.polyOverlapSql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan

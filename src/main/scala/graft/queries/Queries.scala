@@ -511,6 +511,88 @@ object Queries {
        |LATERAL (SELECT unnest(generate_series(${tileYSql(8, "f.north")}, ${tileYSql(8, "f.south")})) AS y) ys""".stripMargin
 
   // =================================================================
+  // D8: polygon×polygon overlap SELF-JOIN (the classic distributed
+  // spatial join, PBSM-style): both sides explode their z-cell cover,
+  // equi-join on the cell, exact bbox-overlap verify in-row. A pair
+  // sharing k cover cells would report k times; instead of a pair-keyed
+  // distinct (a full extra exchange of the OUTPUT at corpus scale) the
+  // pair reports ONLY in the reference cell — the cell containing the
+  // intersection rect's min corner (Dittrich & Seeger's reference-point
+  // method). That corner lies strictly inside both rects (open-interval
+  // overlap), so its cell is in both covers: exactly-once by
+  // construction, zero dedup shuffle. Shuffle budget: ONE cell-keyed
+  // exchange per side, nothing after the join. Hot cells (cities,
+  // coastlines) take the same salting hook as reverse_pip (ops.Skew);
+  // the cover frame is persisted (both join sides read it) and
+  // shuffle_hash-hinted — per-feature cover grows with the corpus and
+  // must never broadcast. The oracle is the pure θ self-join on the
+  // bounds: the tile math never crosses engines, so the compare proves
+  // the blocking is loss-free AND the reference-point dedup exact.
+  // =================================================================
+
+  /** Driver query: customer rects PADDED by 1.5° per side — the raw synth
+    * lattice (multiplicative-hash centers) leaves them pairwise disjoint
+    * below sf0.1, which would make the oracle vacuous at the gate SF. 1.5
+    * is exact in binary, so the padded bounds stay exact milli-degree
+    * lattice values on both engines. */
+  def polyOverlap(spark: SparkSession, sfDir: String, z: Int = 6): DataFrame = {
+    val f = custFeatures(spark, sfDir).select(col("feature_id"),
+      (col("west") - 1.5).as("west"), (col("south") - 1.5).as("south"),
+      (col("east") + 1.5).as("east"), (col("north") + 1.5).as("north"))
+      .withColumn("geom_wkb",
+        F.rectWkb(col("west"), col("south"), col("east"), col("north")))
+    polyOverlapOf(f, z)
+  }
+
+  /** [[polyOverlap]] over any frame of (feature_id, west, south, east,
+    * north, geom_wkb) rect features. */
+  def polyOverlapOf(features: DataFrame, z: Int): DataFrame = {
+    val cov = features
+      .select(col("feature_id"), col("west"), col("south"), col("east"), col("north"),
+        explode(F.tileCover(col("geom_wkb"), lit(z))).as("cell"))
+      .persist()
+    def side(p: String) = cov.select(col("cell"), col("feature_id").as(s"${p}_id"),
+      col("west").as(s"${p}_w"), col("south").as(s"${p}_s"),
+      col("east").as(s"${p}_e"), col("north").as(s"${p}_n"))
+    side("a").join(side("b").hint("shuffle_hash"), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_w") < col("b_e") && col("b_w") < col("a_e") &&
+        col("a_s") < col("b_n") && col("b_s") < col("a_n"))
+      .filter(col("cell") === F.cellAt(lit(z),
+        greatest(col("a_w"), col("b_w")), greatest(col("a_s"), col("b_s"))))
+      // the intersection area in integer MILLI-degree² — the bounds live on
+      // a 0.001° lattice, so round(x·1000) recovers the exact integer on
+      // both engines (the value is within ulps of it) and the product is
+      // exact BIGINT arithmetic. The raw double product DIVERGES between
+      // engines in its final bits: DuckDB parses the 0.3/0.15 half-width
+      // literals as exact DECIMALs while Spark's doubles are inexact.
+      .select(col("a_id"), col("b_id"),
+        ((round(least(col("a_e"), col("b_e")) * 1000, 0).cast("long") -
+          round(greatest(col("a_w"), col("b_w")) * 1000, 0).cast("long")) *
+          (round(least(col("a_n"), col("b_n")) * 1000, 0).cast("long") -
+            round(greatest(col("a_s"), col("b_s")) * 1000, 0).cast("long")))
+          .as("ov_area_q"))
+  }
+
+  /** Oracle mirror of [[polyOverlap]]: the raw θ self-join on the bounds
+    * (open-interval overlap, same least/greatest + milli-degree quantize
+    * arithmetic order). */
+  def polyOverlapSql: String =
+    s"""WITH cf0 AS (${custFeaturesSql}),
+       |cf AS MATERIALIZED (
+       |  SELECT feature_id, west - 1.5 AS west, south - 1.5 AS south,
+       |         east + 1.5 AS east, north + 1.5 AS north
+       |  FROM cf0)
+       |SELECT a.feature_id AS a_id, b.feature_id AS b_id,
+       |       (CAST(round(least(a.east, b.east) * 1000, 0) AS BIGINT) -
+       |        CAST(round(greatest(a.west, b.west) * 1000, 0) AS BIGINT)) *
+       |       (CAST(round(least(a.north, b.north) * 1000, 0) AS BIGINT) -
+       |        CAST(round(greatest(a.south, b.south) * 1000, 0) AS BIGINT)) AS ov_area_q
+       |FROM cf a JOIN cf b ON a.feature_id < b.feature_id
+       |WHERE a.west < b.east AND b.west < a.east
+       |  AND a.south < b.north AND b.south < a.north""".stripMargin
+
+  // =================================================================
   // H3b: cover compaction (the S2/H3 `compact` analogue over the z/x/y
   // grid): replace every fully-covered aligned 2^dz × 2^dz block of cover
   // cells with its single ancestor cell. Closed form — NO fixpoint loop:

@@ -278,4 +278,51 @@ class GeocoderSpec extends SparkTestBase {
       .select("event_id", "feature_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("poly_overlap: blocked self-join ≡ brute θ-join, pairs exactly-once") {
+    import graft.queries.Queries
+    // dense grid: 400 rects of 1.8°×1.4° over ~50°×30° — hundreds of
+    // overlaps, many pairs sharing ≥2 z6 cover cells (5.625° tiles), so the
+    // reference-point dedup is genuinely exercised
+    val f = spark.range(400).toDF("feature_id")
+      .withColumn("cx", (col("feature_id") * 37 % 100).cast("double") / 2.0)
+      .withColumn("cy", (col("feature_id") * 61 % 60).cast("double") / 2.0)
+      .withColumn("west", col("cx") - 0.9).withColumn("south", col("cy") - 0.7)
+      .withColumn("east", col("cx") + 0.9).withColumn("north", col("cy") + 0.7)
+      .withColumn("geom_wkb",
+        graft.functions.F.rectWkb(col("west"), col("south"), col("east"), col("north")))
+    val got = Queries.polyOverlapOf(f, z = 6).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).distinct.length == got.length,
+      "a pair sharing several cover cells must report exactly once")
+    def side(p: String) = f.select(col("feature_id").as(s"${p}_id"),
+      col("west").as(s"${p}_w"), col("south").as(s"${p}_s"),
+      col("east").as(s"${p}_e"), col("north").as(s"${p}_n"))
+    val brute = side("a").crossJoin(side("b"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_w") < col("b_e") && col("b_w") < col("a_e") &&
+        col("a_s") < col("b_n") && col("b_s") < col("a_n"))
+      .select(col("a_id"), col("b_id"),
+        ((round(least(col("a_e"), col("b_e")) * 1000, 0).cast("long") -
+          round(greatest(col("a_w"), col("b_w")) * 1000, 0).cast("long")) *
+          (round(least(col("a_n"), col("b_n")) * 1000, 0).cast("long") -
+            round(greatest(col("a_s"), col("b_s")) * 1000, 0).cast("long")))
+          .as("ov_area_q"))
+      .collect()
+    assert(got.nonEmpty && got.toSet == brute.toSet)
+  }
+
+  test("poly_overlap: touching rects (shared edge) do not pair — overlap is open-interval") {
+    import graft.queries.Queries
+    import spark.implicits._
+    val f = Seq(
+      (1L, 0.0, 0.0, 2.0, 2.0), // A
+      (2L, 2.0, 0.0, 4.0, 2.0), // B: shares A's east edge — NOT an overlap
+      (3L, 1.0, 1.0, 3.0, 3.0)  // C: overlaps both A and B
+    ).toDF("feature_id", "west", "south", "east", "north")
+      .withColumn("geom_wkb",
+        graft.functions.F.rectWkb(col("west"), col("south"), col("east"), col("north")))
+    val pairs = Queries.polyOverlapOf(f, z = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)))
+  }
 }

@@ -226,6 +226,22 @@ class PlanSpec extends SparkTestBase {
     assert(nExch <= 8, s"curate exchange count regressed: $nExch > 8")
   }
 
+  test("poly_overlap: one cell exchange per side, no pair-dedup aggregate, never broadcast") {
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    spark.catalog.clearCache()
+    val p = fmt(Queries.polyOverlap(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      "cover sides are corpus-sized — the cell join must shuffle")
+    // the reference-point filter IS the dedup: any distinct/group-by on the
+    // output pairs would be a full extra exchange at corpus scale
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate")
+      && !p.contains("ObjectHashAggregate") && !p.contains(") Window"),
+      "pair dedup must be the reference-point filter, not an aggregate")
+    val nExch = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(nExch == 2, s"expected exactly the two cell-keyed exchanges; got $nExch")
+  }
+
   test("line/substr dedup: corpus-sized winner sides never broadcast") {
     import graft.ops.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
