@@ -1178,6 +1178,30 @@ object TextOps {
        |            <= $keepBelowQ AS INTEGER) AS keep
        |FROM agg""".stripMargin
 
+  /** The frozen (term, logp_q) LM table [[lmPerplexity]] trains in-line —
+    * exposed for the streaming scrub, which broadcasts it as a static
+    * dimension (`TermStats.build(lmLogProbs(corpus))`). Same arithmetic as
+    * the batch gate (sum-per-term ≡ the term window), so batch and stream
+    * score identically. */
+  def lmLogProbs(docs: DataFrame): DataFrame = {
+    val lm = termFreq(docs).groupBy(col("term")).agg(sum(col("tf")).as("cnt")).persist()
+    val tot = lm.agg(sum(col("cnt")).as("t_tok"))
+    lm.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(log(col("cnt").cast("double") / col("t_tok").cast("double"))
+          * lit(1000000.0)).cast("long").as("logp_q"))
+  }
+
+  /** The distinct eval-slice shingle hash set (sorted, for
+    * `long_set_contains`) — [[decontaminate]]'s broadcast side exposed for
+    * the streaming scrub. Dimension-sized by design (the eval set is a
+    * benchmark suite, not a corpus share). */
+  def evalShingleSet(docs: DataFrame, n: Int = 5,
+                     evalMod: Long = 41L, evalRes: Long = 3L): Array[Long] =
+    docs.filter(col("doc_id") % evalMod === evalRes)
+      .select(explode(F.shingleHashes(col("text"), n)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
   /** Eval-set decontamination (the GPT-3/FLAN-style n-gram overlap scrub):
     * training documents sharing any token n-gram with a held-out eval set
     * are flagged (with the count of distinct shared shingles). The eval set
@@ -1286,20 +1310,15 @@ object TextOps {
     withMutatedCopies(docs).unionByName(exactClones)
   }
 
-  /** Per-doc curation diagnostics + final keep. The two pure per-row gates
-    * (quality, repetition) fuse into ONE projection over a shared scan (zero
-    * exchanges); each remaining gate is one scan and at most one
-    * doc/term/url/hash-keyed SKINNY exchange (ids + hashes, never text); the
-    * gate frames then equi-join on doc_id, so after the first doc_id exchange
-    * the joins co-partition. At 10^12 docs every gate is the same shape it
-    * has standalone — the composition adds doc_id joins, no new scale
-    * hazard. */
-  def curate(docs: DataFrame, qualityMin: Double = 0.75,
-             evalMod: Long = 41L, evalRes: Long = 3L): DataFrame = {
-    // quality + repetition are pure per-row gates over the SAME tokenization:
-    // fused into one projection they cost zero exchanges and one shared scan
-    // (as separate frames each forced its own doc_id exchange into the join).
-    val qr = docs.select(col("doc_id"), F.tokenize(col("text")).as("toks"))
+  /** The two pure per-row curation gates (quality + repetition) as ONE
+    * projection over a shared tokenization — zero exchanges at any scale.
+    * Preserves the input columns plus (n_tok, quality, rep_keep): batch
+    * [[curate]] projects down to the flags, the streaming scrub
+    * ([[graft.streaming.StreamingIndex.curateStream]]) keeps the page. */
+  def perRowGates(docs: DataFrame,
+                  maxTopWordFrac: Double = 0.30,
+                  maxDupBigramFrac: Double = 0.50): DataFrame =
+    docs.withColumn("toks", F.tokenize(col("text")))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("quality", round(
         (size(array_distinct(col("toks"))).cast("long").cast("double") / col("n_tok")) * 0.5 +
@@ -1319,8 +1338,25 @@ object TextOps {
           round((col("n_bi") - size(array_distinct(col("bi"))).cast("long")).cast("double") /
             col("n_bi"), 6))
           .otherwise(lit(0.0)))
-      .select(col("doc_id"), col("n_tok"), col("quality"),
-        (col("twf") <= lit(0.30) && col("dbf") <= lit(0.50)).cast("int").as("rep_keep"))
+      .withColumn("rep_keep",
+        (col("twf") <= maxTopWordFrac && col("dbf") <= maxDupBigramFrac).cast("int"))
+      .drop("toks", "top_word", "bi", "n_bi", "twf", "dbf")
+
+  /** Per-doc curation diagnostics + final keep. The two pure per-row gates
+    * (quality, repetition) fuse into ONE projection over a shared scan (zero
+    * exchanges); each remaining gate is one scan and at most one
+    * doc/term/url/hash-keyed SKINNY exchange (ids + hashes, never text); the
+    * gate frames then equi-join on doc_id, so after the first doc_id exchange
+    * the joins co-partition. At 10^12 docs every gate is the same shape it
+    * has standalone — the composition adds doc_id joins, no new scale
+    * hazard. */
+  def curate(docs: DataFrame, qualityMin: Double = 0.75,
+             evalMod: Long = 41L, evalRes: Long = 3L): DataFrame = {
+    // quality + repetition are pure per-row gates over the SAME tokenization:
+    // fused into one projection they cost zero exchanges and one shared scan
+    // (as separate frames each forced its own doc_id exchange into the join).
+    val qr = perRowGates(docs)
+      .select(col("doc_id"), col("n_tok"), col("quality"), col("rep_keep"))
     val p = lmPerplexity(docs).select(col("doc_id"), col("keep").as("ppl_keep"))
     val u = syntheticUrls(docs)
       .withColumn("canon_url", canonicalUrl(col("url")))

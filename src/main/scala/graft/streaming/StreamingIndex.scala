@@ -167,4 +167,61 @@ object StreamingIndex {
         col("cell"))
       .agg(count(lit(1)).as("pages"))
       .select(col("window.start").as("win_start"), col("cell"), col("pages"))
+
+  /** Streaming corpus curation: the batch `TextOps.curate` gates
+    * re-expressed for an unbounded page stream of (url, warc_ts, text).
+    * Corpus-derived statistics become STATIC broadcast dimensions — the
+    * realistic production shape, where the LM and the eval shingle set are
+    * trained/frozen offline:
+    *
+    *   - quality + repetition: the shared per-row projection
+    *     (`TextOps.perRowGates` — identical arithmetic to batch);
+    *   - LM perplexity: in-row Σ tf·logp_q via `term_weight_sum` against a
+    *     broadcast (term → logp_q) array — no explode, no aggregation,
+    *     no state;
+    *   - eval decontamination: in-row shingle-hash membership against the
+    *     broadcast eval hash set (`long_set_contains`) — zero state;
+    *   - URL canonical rep + exact-text rep: the only genuinely cross-doc
+    *     gates — chained `dropDuplicatesWithinWatermark` on the canonical
+    *     URL and the 32-byte sha2(text) (the batch key discipline: raw
+    *     text is never the state key), watermark-aged so state tracks the
+    *     dedup horizon, not the stream length. They run LAST (the
+    *     CurationJob cheap-to-expensive convention): only content-gate
+    *     survivors enter the dedup state, which is what bounds it at
+    *     10^12-page scale.
+    *
+    * SEMANTICS — this is the SEQUENTIAL scrub (`jobs.CurationJob`), not the
+    * independent-flag view: `TextOps.curate`'s keeps are always a SUBSET of
+    * the stream's keeps, and every extra is a duplicate whose
+    * first-occurrence representative was itself scrubbed by another gate
+    * (so the duplicate becomes the surviving rep — same relationship
+    * CurationJobSpec pins for the batch job; IndexSpec pins it here).
+    *
+    * Emits the KEPT pages (the scrub's output corpus), append-mode safe. */
+  def curateStream(pages: DataFrame,
+                   lm: org.apache.spark.broadcast.Broadcast[graft.index.TermStatsData],
+                   evalShingles: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                   n: Int = 5,
+                   qualityMin: Double = 0.75,
+                   keepBelowQ: Long = 3912000L,
+                   watermark: String = "10 minutes"): DataFrame =
+    graft.ops.TextOps.perRowGates(pages)
+      .filter(col("quality") >= qualityMin && col("rep_keep") === 1)
+      .withColumn("ptoks", split(col("text"), " "))
+      .filter(size(col("ptoks")) > 0)
+      .withColumn("nll_mean_q",
+        round((-graft.index.TermStats.termWeightSum(col("ptoks"), lm)).cast("double") /
+          size(col("ptoks")).cast("long").cast("double")).cast("long"))
+      .filter(col("nll_mean_q") <= keepBelowQ)
+      .withColumn("n_matched",
+        size(filter(graft.functions.F.shingleHashes(col("text"), n),
+          h => graft.index.CellIndex.longSetContains(h, evalShingles))).cast("long"))
+      .filter(col("n_matched") === 0)
+      .drop("ptoks")
+      .withColumn("canon_key", graft.ops.TextOps.canonicalUrl(col("url")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("canon_key")
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .dropDuplicatesWithinWatermark("text_sha")
+      .drop("canon_key", "text_sha")
 }

@@ -184,6 +184,57 @@ class IndexSpec extends SparkTestBase {
       ("2026-01-01 00:21:00.0", "2026-01-01 00:21:00.0", 1L)), s"got ${rows.toSeq}")
   }
 
+  test("streaming curation: sequential-scrub keeps vs the batch independent flags") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    implicit val sc = spark.sqlContext
+    val docs = TextOps.curationFixture(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .persist()
+    // batch reference: the full independent-flag diagnostics
+    // (doc_id, .., q_keep@3, rep_keep@4, ppl_keep@5, url_rep@6,
+    //  exact_rep@7, is_eval@8, n_matched@9, keep@10)
+    val flags = TextOps.curate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val expect = flags.collect { case (id, r) if r.getInt(10) == 1 => id }.toSet
+    // static dims, trained on the SAME corpus the batch gate trains on
+    val lm = spark.sparkContext.broadcast(
+      graft.index.TermStats.build(TextOps.lmLogProbs(docs)))
+    val ev = spark.sparkContext.broadcast(TextOps.evalShingleSet(docs))
+    // stream the corpus in doc_id order (batch dedup tie-break is min
+    // doc_id, streaming keeps the first ARRIVAL — sorted feed aligns them)
+    val feed = TextOps.syntheticUrls(docs).join(docs, "doc_id")
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("url"), col("text")).collect()
+      .map(r => (java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+    val df = mem.toDF().toDF("warc_ts", "doc_id", "url", "text")
+    mem.addData(feed.toIndexedSeq)
+    val out = graft.streaming.StreamingIndex.curateStream(df, lm, ev)
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    out.processAllAvailable(); out.stop()
+    val kept = spark.sql("SELECT doc_id FROM curate_out")
+      .collect().map(_.getLong(0)).toSet
+    docs.unpersist()
+    // the CurationJobSpec relationship, now for the stream: independent
+    // keeps always survive the sequential scrub...
+    assert(expect.nonEmpty && expect.subsetOf(kept),
+      s"batch keeps missing from stream: ${expect -- kept}")
+    // ...and every extra is a DUPLICATE whose first-occurrence rep was
+    // itself scrubbed (the duplicate becomes the surviving rep): it failed
+    // ONLY a rep flag, passing every content gate
+    val extras = kept -- expect
+    val bad = extras.filterNot { id =>
+      val r = flags(id)
+      (r.getInt(6) == 0 || r.getInt(7) == 0) &&
+        r.getInt(3) == 1 && r.getInt(4) == 1 && r.getInt(5) == 1 &&
+        r.getInt(8) == 0 && r.getLong(9) == 0L
+    }
+    assert(bad.isEmpty, s"stream kept docs batch scrubs for content reasons: $bad")
+  }
+
   test("streaming forward geocode: batch-identical results, idempotent per-batch dirs") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
