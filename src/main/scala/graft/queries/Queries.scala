@@ -545,8 +545,18 @@ object Queries {
   }
 
   /** [[polyOverlap]] over any frame of (feature_id, west, south, east,
-    * north, geom_wkb) rect features. */
-  def polyOverlapOf(features: DataFrame, z: Int): DataFrame = {
+    * north, geom_wkb) rect features.
+    *
+    * `salt > 1` activates the D7 hot-cell treatment (cities/coastlines
+    * concentrate features): cells holding ≥ `hotThreshold` cover entries
+    * spread over `salt` reducers via [[graft.pipeline.Skew.saltedJoinAny]]
+    * — the b-side replicates ×salt for hot cells only, the a-side picks a
+    * deterministic salt from its feature id. Exactly-once is preserved: a
+    * pair still meets in exactly one (cell, salt) bucket, and the
+    * reference-point filter is salt-oblivious (GeocoderSpec asserts
+    * row-identity to the unsalted plan on a skew-heavy fixture). */
+  def polyOverlapOf(features: DataFrame, z: Int,
+                    salt: Int = 1, hotThreshold: Long = 1000000L): DataFrame = {
     val cov = features
       .select(col("feature_id"), col("west"), col("south"), col("east"), col("north"),
         explode(F.tileCover(col("geom_wkb"), lit(z))).as("cell"))
@@ -554,7 +564,15 @@ object Queries {
     def side(p: String) = cov.select(col("cell"), col("feature_id").as(s"${p}_id"),
       col("west").as(s"${p}_w"), col("south").as(s"${p}_s"),
       col("east").as(s"${p}_e"), col("north").as(s"${p}_n"))
-    side("a").join(side("b").hint("shuffle_hash"), Seq("cell"))
+    val joined =
+      if (salt <= 1) side("a").join(side("b").hint("shuffle_hash"), Seq("cell"))
+      else {
+        val hot = graft.pipeline.Skew.hotKeys(cov, "cell", 16, hotThreshold)
+        graft.pipeline.Skew.saltedJoinAny(side("a"),
+          side("b").hint("shuffle_hash"), "cell", "a_id",
+          hot.map(Long.box).toArray[Any], salt)
+      }
+    joined
       .filter(col("a_id") < col("b_id"))
       .filter(col("a_w") < col("b_e") && col("b_w") < col("a_e") &&
         col("a_s") < col("b_n") && col("b_s") < col("a_n"))

@@ -311,6 +311,23 @@ class GeocoderSpec extends SparkTestBase {
     assert(got.nonEmpty && got.toSet == brute.toSet)
   }
 
+  test("poly_overlap: salted hot-cell join is row-identical to the plain plan") {
+    import graft.queries.Queries
+    // skew-heavy: all 300 rects crowd a ~6°×6° patch (a handful of z6
+    // cells), so every cell crosses the hot threshold
+    val f = spark.range(300).toDF("feature_id")
+      .withColumn("cx", (col("feature_id") * 37 % 60).cast("double") / 10.0)
+      .withColumn("cy", (col("feature_id") * 61 % 60).cast("double") / 10.0)
+      .withColumn("west", col("cx") - 0.4).withColumn("south", col("cy") - 0.3)
+      .withColumn("east", col("cx") + 0.4).withColumn("north", col("cy") + 0.3)
+      .withColumn("geom_wkb",
+        graft.functions.F.rectWkb(col("west"), col("south"), col("east"), col("north")))
+    val plain = Queries.polyOverlapOf(f, z = 6).collect().toSet
+    val salted = Queries.polyOverlapOf(f, z = 6, salt = 4, hotThreshold = 10L)
+      .collect().toSet
+    assert(plain.nonEmpty && salted == plain)
+  }
+
   test("poly_overlap: touching rects (shared edge) do not pair — overlap is open-interval") {
     import graft.queries.Queries
     import spark.implicits._
