@@ -627,15 +627,17 @@ object Queries {
   def cellCompact(spark: SparkSession, sfDir: String): DataFrame = {
     val cov = custFeatures(spark, sfDir)
       .select(col("feature_id"), explode(F.tileCover(col("geom_wkb"), lit(8))).as("cell"))
-    val anc = cov
+    // complete ⇔ the ancestor's full leaf block is present: 4^(8-g) cells.
+    // The check is a WINDOW count over (feature_id, g, anc) — the former
+    // groupBy + join-back pair re-ran the cover-explode lineage for the
+    // second consumer; window partitions are bounded by 4^(8-CompactMinZ)
+    // rows, so there is no skew concern.
+    cov
       .withColumn("g", explode(sequence(lit(CompactMinZ), lit(8))))
       .withColumn("anc", F.parentCell(col("cell"), col("g")))
-    // complete ⇔ the ancestor's full leaf block is present: 4^(8-g) cells
-    val complete = anc.groupBy(col("feature_id"), col("g"), col("anc"))
-      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("feature_id"), col("g"), col("anc"))))
       .filter(col("cnt") === expr("CAST(shiftleft(1, (8 - g) * 2) AS BIGINT)"))
-      .select(col("feature_id"), col("g"), col("anc"))
-    anc.join(complete, Seq("feature_id", "g", "anc"))
       .groupBy(col("feature_id"), col("cell"))
       .agg(min(col("g")).as("z"))
       .select(col("feature_id"), F.parentCell(col("cell"), col("z")).as("cell"), col("z"))
