@@ -37,6 +37,9 @@ object SparkEntry {
     // distributed spatial self-join: cell-cover blocking + reference-point
     // dedup (exactly-once with zero dedup shuffle); oracle = raw θ-join
     "poly_overlap" -> ((s, d) => Queries.polyOverlap(s, d)),
+    // same join, GENERAL-polygon kernel (bbox-cover blocking + exact
+    // shell-overlap verify); row-identical on rects, shares the oracle
+    "poly_overlap_geom" -> ((s, d) => Queries.polyOverlapGeom(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
@@ -212,6 +215,7 @@ object SparkEntry {
     "tile_pyramid" -> Queries.tilePyramidSql,
     "tile_cover_rect" -> Queries.tileCoverRectSql,
     "poly_overlap" -> Queries.polyOverlapSql,
+    "poly_overlap_geom" -> Queries.polyOverlapSql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan

@@ -150,6 +150,74 @@ object Geo {
     g.kind == Geom.Poly && pointInRings(g.rings, lon, lat)
   }
 
+  /** Bounding box [west, south, east, north] over all coordinates. */
+  def bbox(g: Geom): Array[Double] = {
+    var w = Double.MaxValue; var s = Double.MaxValue
+    var e = -Double.MaxValue; var n = -Double.MaxValue
+    var r = 0
+    while (r < g.rings.length) {
+      val ring = g.rings(r)
+      var i = 0
+      while (i + 1 < ring.length) {
+        val x = ring(i); val y = ring(i + 1)
+        if (x < w) w = x; if (x > e) e = x
+        if (y < s) s = y; if (y > n) n = y
+        i += 2
+      }
+      r += 1
+    }
+    Array(w, s, e, n)
+  }
+
+  /** Proper segment crossing: the OPEN interiors of both segments meet at a
+    * single point. Collinear overlaps and endpoint touches return false. */
+  private def properSegIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+                                 cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    @inline def orient(px: Double, py: Double, qx: Double, qy: Double,
+                       rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    ((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+      ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))
+  }
+
+  /** C4b: do the OUTER SHELLS of two simple polygons overlap in their
+    * interiors? True iff some edge pair properly crosses, or one shell has
+    * a vertex inside the other (covers full containment). Exact for shells
+    * in general position; shared-boundary points resolve per
+    * [[pointInRings]]'s half-open crossing rule (deterministic). Holes are
+    * ignored — shell semantics, like carmen's feature covers. Callers
+    * wanting strict open-interval behavior on axis-aligned data must gate
+    * on the open bbox overlap first (polyOverlapGeomOf does). */
+  def polysOverlap(a: Geom, b: Geom): Boolean = {
+    if (a.kind != Geom.Poly || b.kind != Geom.Poly) return false
+    val ra = a.rings(0); val rb = b.rings(0)
+    var i = 0
+    while (i + 3 < ra.length) {
+      var j = 0
+      while (j + 3 < rb.length) {
+        if (properSegIntersect(ra(i), ra(i + 1), ra(i + 2), ra(i + 3),
+          rb(j), rb(j + 1), rb(j + 2), rb(j + 3))) return true
+        j += 2
+      }
+      i += 2
+    }
+    var k = 0
+    while (k + 1 < ra.length) {
+      if (pointInRings(Array(rb), ra(k), ra(k + 1))) return true
+      k += 2
+    }
+    k = 0
+    while (k + 1 < rb.length) {
+      if (pointInRings(Array(ra), rb(k), rb(k + 1))) return true
+      k += 2
+    }
+    false
+  }
+
   // ------------------------------------------------------------------
   // Tile cover (H2): geometry -> covering cell set at zoom z
   // ------------------------------------------------------------------

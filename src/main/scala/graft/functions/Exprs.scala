@@ -123,6 +123,34 @@ object Exprs {
       copy(first = f, second = s, third = t)
   }
 
+  /** polys_overlap(wkb_a, wkb_b): do the outer shells overlap in their
+    * interiors (proper edge crossing or vertex containment — see
+    * Geo.polysOverlap)? The exact-verify kernel of the general polygon
+    * overlap join. */
+  case class PolysOverlap(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "polys_overlap"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.polysOverlap(Geo.parseWkb(a.asInstanceOf[Array[Byte]]),
+        Geo.parseWkb(b.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PolysOverlap =
+      copy(left = l, right = r)
+  }
+
+  /** wkb_bbox(geom_wkb): [west, south, east, north]. */
+  case class WkbBbox(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "wkb_bbox"
+    override def nullSafeEval(wkb: Any): Any =
+      new GenericArrayData(Geo.bbox(Geo.parseWkb(wkb.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildInternal(c: Expression): WkbBbox =
+      copy(child = c)
+  }
+
   /** tile_cover(geom_wkb, z): packed cells covering the geometry. */
   case class TileCoverExpr(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -659,6 +687,8 @@ object F {
   def annulusCells(cell: Column, rIn: Column, rOut: Column): Column =
     c(AnnulusCells(x(cell), x(rIn), x(rOut)))
   def pipWkb(wkb: Column, lon: Column, lat: Column): Column = c(PipWkb(x(wkb), x(lon), x(lat)))
+  def polysOverlap(a: Column, b: Column): Column = c(PolysOverlap(x(a), x(b)))
+  def wkbBbox(wkb: Column): Column = c(WkbBbox(x(wkb)))
   def tileCover(wkb: Column, z: Column): Column = c(TileCoverExpr(x(wkb), x(z)))
   def clipToCell(wkb: Column, cell: Column): Column = c(ClipToCellWkb(x(wkb), x(cell)))
   def rectWkb(w: Column, s: Column, e: Column, n: Column): Column =

@@ -530,19 +530,66 @@ object Queries {
   // the blocking is loss-free AND the reference-point dedup exact.
   // =================================================================
 
-  /** Driver query: customer rects PADDED by 1.5° per side — the raw synth
-    * lattice (multiplicative-hash centers) leaves them pairwise disjoint
-    * below sf0.1, which would make the oracle vacuous at the gate SF. 1.5
-    * is exact in binary, so the padded bounds stay exact milli-degree
+  /** Customer rects PADDED by 1.5° per side — the raw synth lattice
+    * (multiplicative-hash centers) leaves them pairwise disjoint below
+    * sf0.1, which would make the overlap oracles vacuous at the gate SF.
+    * 1.5 is exact in binary, so the padded bounds stay exact milli-degree
     * lattice values on both engines. */
-  def polyOverlap(spark: SparkSession, sfDir: String, z: Int = 6): DataFrame = {
-    val f = custFeatures(spark, sfDir).select(col("feature_id"),
+  private def paddedCustFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    custFeatures(spark, sfDir).select(col("feature_id"),
       (col("west") - 1.5).as("west"), (col("south") - 1.5).as("south"),
       (col("east") + 1.5).as("east"), (col("north") + 1.5).as("north"))
       .withColumn("geom_wkb",
         F.rectWkb(col("west"), col("south"), col("east"), col("north")))
-    polyOverlapOf(f, z)
+
+  def polyOverlap(spark: SparkSession, sfDir: String, z: Int = 6): DataFrame =
+    polyOverlapOf(paddedCustFeatures(spark, sfDir), z)
+
+  /** The GENERAL-polygon overlap join: same PBSM blocking and
+    * reference-point dedup as [[polyOverlapOf]], but over the features'
+    * BBOXES (derived in-row from the WKB — for arbitrary shells the
+    * bbox∩bbox min corner need not touch either polygon, so the blocking
+    * cover must be the bbox cover, not the geometry cover), with the exact
+    * shell-overlap kernel (`polys_overlap`: proper edge crossing or vertex
+    * containment) as the in-row verify AFTER the open bbox gate. On rect
+    * features the bbox gate already decides overlap, so this is
+    * row-identical to [[polyOverlapOf]] and shares its oracle — the kernel
+    * earns its keep on non-rect shells (JTS-equivalence property test in
+    * GeoSpec; triangle blocked≡brute test in GeocoderSpec). */
+  def polyOverlapGeomOf(features: DataFrame, z: Int): DataFrame = {
+    val boxed = features
+      .withColumn("bb", F.wkbBbox(col("geom_wkb")))
+      .select(col("feature_id"), col("geom_wkb"),
+        element_at(col("bb"), 1).as("west"), element_at(col("bb"), 2).as("south"),
+        element_at(col("bb"), 3).as("east"), element_at(col("bb"), 4).as("north"))
+    val cov = boxed
+      .withColumn("cell", explode(F.tileCover(
+        F.rectWkb(col("west"), col("south"), col("east"), col("north")), lit(z))))
+      .persist()
+    def side(p: String) = cov.select(col("cell"), col("feature_id").as(s"${p}_id"),
+      col("geom_wkb").as(s"${p}_wkb"),
+      col("west").as(s"${p}_w"), col("south").as(s"${p}_s"),
+      col("east").as(s"${p}_e"), col("north").as(s"${p}_n"))
+    side("a").join(side("b").hint("shuffle_hash"), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_w") < col("b_e") && col("b_w") < col("a_e") &&
+        col("a_s") < col("b_n") && col("b_s") < col("a_n"))
+      .filter(col("cell") === F.cellAt(lit(z),
+        greatest(col("a_w"), col("b_w")), greatest(col("a_s"), col("b_s"))))
+      .filter(F.polysOverlap(col("a_wkb"), col("b_wkb")))
+      .select(col("a_id"), col("b_id"),
+        ((round(least(col("a_e"), col("b_e")) * 1000, 0).cast("long") -
+          round(greatest(col("a_w"), col("b_w")) * 1000, 0).cast("long")) *
+          (round(least(col("a_n"), col("b_n")) * 1000, 0).cast("long") -
+            round(greatest(col("a_s"), col("b_s")) * 1000, 0).cast("long")))
+          .as("ov_area_q"))
   }
+
+  /** Driver query: the general kernel over the padded rect features —
+    * row-identical to `poly_overlap` (shares its oracle). */
+  def polyOverlapGeom(spark: SparkSession, sfDir: String, z: Int = 6): DataFrame =
+    polyOverlapGeomOf(paddedCustFeatures(spark, sfDir)
+      .select(col("feature_id"), col("geom_wkb")), z)
 
   /** [[polyOverlap]] over any frame of (feature_id, west, south, east,
     * north, geom_wkb) rect features.

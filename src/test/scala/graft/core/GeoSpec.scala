@@ -193,6 +193,49 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("polysOverlap ≡ JTS positive-area intersection on random simple polygons") {
+    val r = new Random(1234)
+    var skipped = 0; var overlaps = 0; var checked = 0
+    (0 until 400).foreach { trial =>
+      val ra = randomPolygon(r, 5 + r.nextInt(6))
+      // translate B near A (independent centers span 300°×140° — the pair
+      // would practically never overlap and the test would prove nothing)
+      val rb0 = randomPolygon(r, 5 + r.nextInt(6))
+      val dx = ra(0) - rb0(0) + (r.nextDouble() * 12 - 6)
+      val dy = ra(1) - rb0(1) + (r.nextDouble() * 12 - 6)
+      val rb = rb0.zipWithIndex.map { case (v, i) => if (i % 2 == 0) v + dx else v + dy }
+      val mine = Geo.polysOverlap(
+        Geom(Geom.Poly, Array(ra)), Geom(Geom.Poly, Array(rb)))
+      // interior∩interior is 2-dimensional ⇔ areas overlap (relate avoids
+      // JTS overlay's non-noded-intersection robustness failures; the rare
+      // trial where even relate throws is skipped and counted)
+      val jtsOpt = try Some(toJts(ra).relate(toJts(rb)).matches("2********"))
+      catch { case _: org.locationtech.jts.geom.TopologyException => None }
+      jtsOpt match {
+        case Some(jts) =>
+          assert(mine == jts, s"trial $trial: mine=$mine jts=$jts")
+          checked += 1; if (jts) overlaps += 1
+        case None => skipped += 1
+      }
+    }
+    // the fixture must exercise both outcomes or the test proves nothing
+    assert(skipped < 20, s"JTS oracle unusable: $skipped/400 skipped")
+    assert(overlaps > 20 && overlaps < checked - 20,
+      s"degenerate fixture: $overlaps/$checked")
+  }
+
+  test("polysOverlap: containment without edge crossings, disjoint, crossing star") {
+    def poly(ring: Array[Double]) = Geom(Geom.Poly, Array(ring))
+    val outer = poly(Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0))
+    val inner = poly(Array(4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0, 4.0, 4.0))
+    assert(Geo.polysOverlap(outer, inner) && Geo.polysOverlap(inner, outer))
+    val far = poly(Array(20.0, 20.0, 21.0, 20.0, 21.0, 21.0, 20.0, 21.0, 20.0, 20.0))
+    assert(!Geo.polysOverlap(outer, far))
+    // plus-sign cross: interiors overlap, NO vertex of either inside the other
+    val hbar = poly(Array(-1.0, 4.0, 11.0, 4.0, 11.0, 6.0, -1.0, 6.0, -1.0, 4.0))
+    assert(Geo.polysOverlap(outer, hbar) && Geo.polysOverlap(hbar, outer))
+  }
+
   test("clipToCell: empty when disjoint, bounded by cell when overlapping") {
     val cell = CellMath.lonLatToCell(8, 10.0, 50.0)
     val (w, s0, e, n) = CellMath.cellBounds(cell)

@@ -328,6 +328,43 @@ class GeocoderSpec extends SparkTestBase {
     assert(plain.nonEmpty && salted == plain)
   }
 
+  test("poly_overlap_geom: general kernel ≡ rect fast path on rects; blocked ≡ brute on triangles") {
+    import graft.queries.Queries
+    // rects: the general kernel must reproduce the rect fast path exactly
+    val rects = spark.range(400).toDF("feature_id")
+      .withColumn("cx", (col("feature_id") * 37 % 100).cast("double") / 2.0)
+      .withColumn("cy", (col("feature_id") * 61 % 60).cast("double") / 2.0)
+      .withColumn("west", col("cx") - 0.9).withColumn("south", col("cy") - 0.7)
+      .withColumn("east", col("cx") + 0.9).withColumn("north", col("cy") + 0.7)
+      .withColumn("geom_wkb",
+        graft.functions.F.rectWkb(col("west"), col("south"), col("east"), col("north")))
+    val viaGeom = Queries.polyOverlapGeomOf(
+      rects.select(col("feature_id"), col("geom_wkb")), z = 6).collect().toSet
+    val viaRect = Queries.polyOverlapOf(rects, z = 6).collect().toSet
+    assert(viaGeom.nonEmpty && viaGeom == viaRect)
+    // triangles: non-rect shells where the bbox gate over-approximates —
+    // blocked join must equal the brute kernel join, exactly-once
+    import spark.implicits._
+    val tris = spark.range(300).toDF("feature_id")
+      .withColumn("cx", (col("feature_id") * 37 % 100).cast("double") / 2.0)
+      .withColumn("cy", (col("feature_id") * 61 % 60).cast("double") / 2.0)
+      .withColumn("r", (col("feature_id") % 5).cast("double") / 5.0 + 0.6)
+    val mk = udf((cx: Double, cy: Double, r: Double) =>
+      graft.core.Geo.writeWkbPolygon(Array(Array(
+        cx - r, cy - r, cx + r, cy - r, cx, cy + r, cx - r, cy - r))))
+    val tf = tris.withColumn("geom_wkb", mk(col("cx"), col("cy"), col("r")))
+      .select(col("feature_id"), col("geom_wkb"))
+    val got = Queries.polyOverlapGeomOf(tf, z = 6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.distinct.length == got.length, "triangle pair reported twice")
+    def s2(p: String) = tf.select(col("feature_id").as(s"${p}_id"),
+      col("geom_wkb").as(s"${p}_wkb"))
+    val brute = s2("a").crossJoin(s2("b")).filter(col("a_id") < col("b_id"))
+      .filter(graft.functions.F.polysOverlap(col("a_wkb"), col("b_wkb")))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got.toSet == brute)
+  }
+
   test("poly_overlap: touching rects (shared edge) do not pair — overlap is open-interval") {
     import graft.queries.Queries
     import spark.implicits._
