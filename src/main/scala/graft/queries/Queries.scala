@@ -330,6 +330,12 @@ object Queries {
     Geocode.forwardIdf(docPages(spark, sfDir), gazDf(spark))
       .withColumn("relev", round(col("relev"), 6))
 
+  /** Per-index-epoch freq-cache build for the idf query's corpus (same
+    * canonicalized plan as [[fwdGeocodeIdf]]'s internal dictionary) — Bench
+    * times this separately as `idf_dict_sec`. */
+  def warmIdfDict(spark: SparkSession, sfDir: String): Int =
+    Geocode.warmIdfDict(docPages(spark, sfDir))
+
   def fwdGeocodeIdfSql: String = {
     val cell12 = cellSql(12, "glon", "glat")
     val cell8 = cellSql(8, "glon", "glat")
@@ -556,6 +562,11 @@ object Queries {
     * row-identical to [[polyOverlapOf]] and shares its oracle — the kernel
     * earns its keep on non-rect shells (JTS-equivalence property test in
     * GeoSpec; triangle blocked≡brute test in GeocoderSpec). */
+  /** round(x*1000) as BIGINT — the milli-degree lattice integer the synth
+    * bounds are within ulps of (boundary-safe; same trick as ov_area_q). */
+  private def qMilli(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 1000, 0).cast("long")
+
   def polyOverlapGeomOf(features: DataFrame, z: Int): DataFrame = {
     val boxed = features
       .withColumn("bb", F.wkbBbox(col("geom_wkb")))
@@ -572,8 +583,14 @@ object Queries {
       col("east").as(s"${p}_e"), col("north").as(s"${p}_n"))
     side("a").join(side("b").hint("shuffle_hash"), Seq("cell"))
       .filter(col("a_id") < col("b_id"))
-      .filter(col("a_w") < col("b_e") && col("b_w") < col("a_e") &&
-        col("a_s") < col("b_n") && col("b_s") < col("a_n"))
+      // overlap gate on the milli-degree BIGINT lattice, not raw doubles:
+      // for exactly-touching padded rects the engines' double vs DECIMAL
+      // arithmetic can disagree about strict `<` in the last bits (latent
+      // at the gated SFs, 2,789 divergent pairs simulated at sf1); the
+      // bounds live on the 0.001 lattice so round(x*1000) is boundary-safe
+      // and the gate becomes exact integer arithmetic on both engines.
+      .filter(qMilli(col("a_w")) < qMilli(col("b_e")) && qMilli(col("b_w")) < qMilli(col("a_e")) &&
+        qMilli(col("a_s")) < qMilli(col("b_n")) && qMilli(col("b_s")) < qMilli(col("a_n")))
       .filter(col("cell") === F.cellAt(lit(z),
         greatest(col("a_w"), col("b_w")), greatest(col("a_s"), col("b_s"))))
       .filter(F.polysOverlap(col("a_wkb"), col("b_wkb")))
@@ -621,8 +638,10 @@ object Queries {
       }
     joined
       .filter(col("a_id") < col("b_id"))
-      .filter(col("a_w") < col("b_e") && col("b_w") < col("a_e") &&
-        col("a_s") < col("b_n") && col("b_s") < col("a_n"))
+      // quantized overlap gate: see [[polyOverlapGeomOf]] — exact integer
+      // comparison on the milli-degree lattice on BOTH engines
+      .filter(qMilli(col("a_w")) < qMilli(col("b_e")) && qMilli(col("b_w")) < qMilli(col("a_e")) &&
+        qMilli(col("a_s")) < qMilli(col("b_n")) && qMilli(col("b_s")) < qMilli(col("a_n")))
       .filter(col("cell") === F.cellAt(lit(z),
         greatest(col("a_w"), col("b_w")), greatest(col("a_s"), col("b_s"))))
       // the intersection area in integer MILLI-degree² — the bounds live on
@@ -654,8 +673,10 @@ object Queries {
        |       (CAST(round(least(a.north, b.north) * 1000, 0) AS BIGINT) -
        |        CAST(round(greatest(a.south, b.south) * 1000, 0) AS BIGINT)) AS ov_area_q
        |FROM cf a JOIN cf b ON a.feature_id < b.feature_id
-       |WHERE a.west < b.east AND b.west < a.east
-       |  AND a.south < b.north AND b.south < a.north""".stripMargin
+       |WHERE CAST(round(a.west * 1000, 0) AS BIGINT) < CAST(round(b.east * 1000, 0) AS BIGINT)
+       |  AND CAST(round(b.west * 1000, 0) AS BIGINT) < CAST(round(a.east * 1000, 0) AS BIGINT)
+       |  AND CAST(round(a.south * 1000, 0) AS BIGINT) < CAST(round(b.north * 1000, 0) AS BIGINT)
+       |  AND CAST(round(b.south * 1000, 0) AS BIGINT) < CAST(round(a.north * 1000, 0) AS BIGINT)""".stripMargin
 
   // =================================================================
   // H3b: cover compaction (the S2/H3 `compact` analogue over the z/x/y
@@ -980,7 +1001,7 @@ object Queries {
        |       LATERAL (SELECT unnest(generate_series(-8, 8)) AS dy) dys
        |  JOIN fc f ON f.fx = p.ex + dxs.dx AND f.fy = p.ey + dys.dy),
        |m AS (SELECT *, min(cd) OVER (PARTITION BY event_id) AS cdmin FROM cand),
-       |r AS (SELECT *, CASE WHEN cdmin <= 1 THEN 1 WHEN cdmin <= 2 THEN 2
+       |r AS (SELECT *, CASE WHEN cdmin <= 2 THEN 2
        |                     WHEN cdmin <= 4 THEN 4 ELSE 8 END AS radius FROM m),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY event_id
