@@ -102,6 +102,70 @@ object Bench {
     else setAffinity(s"${totalCpus - k}-${totalCpus - 1}")
   private def unpinCpus(): Unit = setAffinity(s"0-${totalCpus - 1}")
 
+  // ---- shared scaling estimator (headline / curate / dedup modes) ----
+  // PINNED samples, efficiency = median of PER-PAIR interleaved ratios over
+  // clean pairs; see the headline-section comment for the full rationale.
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+  private def probeSec(): Double = {
+    var acc = 0L; var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 300000000L) { acc += i * 31L + (acc >>> 7); i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) println("") // defeat DCE
+    dt
+  }
+  private lazy val probeBase: Double = {
+    pinCpus(1) // quiet single-CPU reference on the top core
+    try (1 to 3).map(_ => probeSec()).min finally unpinCpus()
+  }
+  private val CleanRatio = 1.2
+  private var probeWorst = 1.0
+  private def probeRatio(): Double = {
+    val r = probeSec() / probeBase
+    probeWorst = math.max(probeWorst, r)
+    r
+  }
+  private def loadGate(patience: Int): Double = {
+    var r = probeRatio()
+    var tries = 0
+    while (r > CleanRatio && tries < patience) { // box busy: wait it out
+      Thread.sleep(5000); r = probeRatio(); tries += 1
+    }
+    r
+  }
+  /** Interleaved pinned sample pairs of `sample(cores, warm)`; returns
+    * (medianRateA, medianRateB, samplesA, samplesB, perPairEffs, cleanPairs). */
+  private def pairLoop(sample: (String, Boolean) => Double,
+                       coresA: String, coresB: String, samples: Int)
+      : (Double, Double, Seq[Double], Seq[Double], Seq[Double], Int) = {
+    val a = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val dirt = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def cleanIdx = dirt.indices.filter(dirt(_) <= CleanRatio)
+    var i = 0
+    while (i < samples || (i < samples + 4 && cleanIdx.size < 2)) {
+      val patience = if (i < samples) 6 else 12 // make-up pairs wait harder
+      pinCpus(coresA.toInt)
+      val pa0 = loadGate(patience)
+      a += sample(coresA, i == 0)
+      val pa1 = probeRatio()
+      pinCpus(coresB.toInt)
+      val pb0 = loadGate(patience)
+      b += sample(coresB, i == 0)
+      val pb1 = probeRatio()
+      unpinCpus()
+      dirt += Seq(pa0, pa1, pb0, pb1).max
+      i += 1
+    }
+    val sel = if (cleanIdx.size >= 2) cleanIdx else dirt.indices.toSeq
+    val pairEffs = sel.map(j => b(j) / (4.0 * a(j))).toSeq
+    (median(sel.map(a).toSeq), median(sel.map(b).toSeq), a.toSeq, b.toSeq,
+      pairEffs, cleanIdx.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -194,19 +258,55 @@ object Bench {
       }
       val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
       val samples = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt
-      val a = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
-      (0 until samples).foreach { i =>
-        a += curateRate(n.toString, warm = i == 0)
-        b += curateRate((4 * n).toString, warm = i == 0)
-      }
-      def med(xs: Seq[Double]): Double = {
-        val s0 = xs.sorted
-        if (s0.size % 2 == 1) s0(s0.size / 2) else (s0(s0.size / 2 - 1) + s0(s0.size / 2)) / 2.0
-      }
       def arr0(xs: Seq[Double]): String = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
-      val (rn, r4n) = (med(a.toSeq), med(b.toSeq))
-      println(s"""{"metric":"corpus-curate throughput (docs/sec)","scale_n":$n,"docs_per_sec_n":${f"$rn%.1f"},"docs_per_sec_4n":${f"$r4n%.1f"},"scaling_efficiency":${f"${r4n / (4.0 * rn)}%.3f"},"samples_n":${arr0(a.toSeq)},"samples_4n":${arr0(b.toSeq)},"amplification":$ampC,"sf":"$sfDir"}""")
+      val (rn, r4n, sa, sb, effs, clean) =
+        pairLoop(curateRate, n.toString, (4 * n).toString, samples)
+      println(s"""{"metric":"corpus-curate throughput (docs/sec)","scale_n":$n,"docs_per_sec_n":${f"$rn%.1f"},"docs_per_sec_4n":${f"$r4n%.1f"},"scaling_efficiency":${f"${median(effs)}%.3f"},"samples_n":${arr0(sa)},"samples_4n":${arr0(sb)},"pair_efficiencies":${effs.map(x => f"$x%.3f").mkString("[", ",", "]")},"clean_pairs":$clean,"cpu_pinning":$pinningWorks,"load_probe_worst_ratio":${f"$probeWorst%.2f"},"amplification":$ampC,"sf":"$sfDir"}""")
+      return
+    }
+
+    // dedup-scaling mode (SPARK_GRAFT_DEDUP_SCALE=1): N-vs-4N throughput of
+    // the MinHash+LSH near-dup pipeline (shingle -> 64-perm signature -> 8
+    // band buckets -> capped bucket self-join -> jaccard verify) on an
+    // amplified NEAR-DUPLICATE corpus: each base doc becomes `amp` variants
+    // truncated by rep%4 trailing tokens — families of true near-dups, the
+    // workload LSH exists for. Third scaling witness, independent pipeline
+    // shape (sketch self-join; geocode = broadcast join, curate = agg/gate
+    // chain). Same pinned per-pair estimator as the headline.
+    if (sys.env.get("SPARK_GRAFT_DEDUP_SCALE").contains("1")) {
+      val ampD = sys.env.getOrElse("SPARK_GRAFT_DEDUP_AMP", "20").toInt
+      val docsPath = {
+        val s = session(cpus)
+        try {
+          val dir = java.nio.file.Files.createTempDirectory("graft-bench-dedup")
+          val p = dir.resolve(s"docs_amp$ampD").toString
+          val base = s.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          base.withColumn("rep", explode(sequence(lit(0), lit(ampD - 1))))
+            .select((col("doc_id") * ampD + col("rep")).as("doc_id"),
+              expr("array_join(slice(split(text, ' '), 1, " +
+                "greatest(size(split(text, ' ')) - rep % 4, 1)), ' ')").as("text"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(p)
+          p
+        } finally s.stop()
+      }
+      def dedupRate(cores: String, warm: Boolean): Double = {
+        val s = session(cores, cores.toInt)
+        try {
+          def docs = s.read.parquet(docsPath)
+          if (warm) graft.ops.TextOps.dedupMinHash(docs.limit(2000)).count()
+          val nDocs = docs.count()
+          s.catalog.clearCache()
+          nDocs / time(graft.ops.TextOps.dedupMinHash(docs).count())
+        } finally s.stop()
+      }
+      val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+      val samples = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt
+      def arr0(xs: Seq[Double]): String = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+      val (rn, r4n, sa, sb, effs, clean) =
+        pairLoop(dedupRate, n.toString, (4 * n).toString, samples)
+      println(s"""{"metric":"minhash-dedup throughput (docs/sec)","scale_n":$n,"docs_per_sec_n":${f"$rn%.1f"},"docs_per_sec_4n":${f"$r4n%.1f"},"scaling_efficiency":${f"${median(effs)}%.3f"},"samples_n":${arr0(sa)},"samples_4n":${arr0(sb)},"pair_efficiencies":${effs.map(x => f"$x%.3f").mkString("[", ",", "]")},"clean_pairs":$clean,"cpu_pinning":$pinningWorks,"load_probe_worst_ratio":${f"$probeWorst%.2f"},"amplification":$ampD,"sf":"$sfDir"}""")
       return
     }
 
@@ -271,65 +371,11 @@ object Bench {
       *    are clean; all-pairs fallback with `load_probe_worst_ratio`
       *    flagging the run as load-bound. Per-pair ratios and the clean
       *    count are reported so rejection is visible in the JSON. */
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
-    def probeSec(): Double = {
-      var acc = 0L; var i = 0L
-      val t0 = System.nanoTime()
-      while (i < 300000000L) { acc += i * 31L + (acc >>> 7); i += 1 }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (acc == 42L) println("") // defeat DCE
-      dt
-    }
-    val probeBase = {
-      pinCpus(1) // quiet single-CPU reference on the top core
-      try (1 to 3).map(_ => probeSec()).min finally unpinCpus()
-    }
-    val CleanRatio = 1.2
-    var probeWorst = 1.0
-    def probeRatio(): Double = {
-      val r = probeSec() / probeBase
-      probeWorst = math.max(probeWorst, r)
-      r
-    }
-    def loadGate(patience: Int): Double = {
-      var r = probeRatio()
-      var tries = 0
-      while (r > CleanRatio && tries < patience) { // box busy: wait it out
-        Thread.sleep(5000); r = probeRatio(); tries += 1
-      }
-      r
-    }
     val samplesPerConfig = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "5").toInt
     def headlinePair(coresA: String, coresB: String,
                      samples: Int = samplesPerConfig)
-        : (Double, Double, Seq[Double], Seq[Double], Seq[Double], Int) = {
-      val a = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val dirt = scala.collection.mutable.ArrayBuffer.empty[Double]
-      def cleanIdx = dirt.indices.filter(dirt(_) <= CleanRatio)
-      var i = 0
-      while (i < samples || (i < samples + 4 && cleanIdx.size < 2)) {
-        val patience = if (i < samples) 6 else 12 // make-up pairs wait harder
-        pinCpus(coresA.toInt)
-        val pa0 = loadGate(patience)
-        a += sampleRate(coresA, warm = i == 0)
-        val pa1 = probeRatio()
-        pinCpus(coresB.toInt)
-        val pb0 = loadGate(patience)
-        b += sampleRate(coresB, warm = i == 0)
-        val pb1 = probeRatio()
-        unpinCpus()
-        dirt += Seq(pa0, pa1, pb0, pb1).max
-        i += 1
-      }
-      val sel = if (cleanIdx.size >= 2) cleanIdx else dirt.indices.toSeq
-      val pairEffs = sel.map(j => b(j) / (4.0 * a(j))).toSeq
-      (median(sel.map(a).toSeq), median(sel.map(b).toSeq), a.toSeq, b.toSeq,
-        pairEffs, cleanIdx.size)
-    }
+        : (Double, Double, Seq[Double], Seq[Double], Seq[Double], Int) =
+      pairLoop(sampleRate, coresA, coresB, samples)
     // at-scale forward paths (grid-index equi-join, no gazetteer broadcast)
     // measured at 4N for comparison with the broadcast-path headline:
     // skinny index (3 exchanges, feature verify-join) and fat index

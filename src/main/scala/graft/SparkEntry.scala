@@ -107,6 +107,9 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(s.read.parquet(s"$d/documents.parquet"))),
     "lang_id_ngram" -> ((s, d) =>
       TextOps.langIdNgram(s.read.parquet(s"$d/documents.parquet"))),
+    "lang_id_wide" -> ((s, d) =>
+      TextOps.langIdNgramJoin(s.read.parquet(s"$d/documents.parquet"),
+        TextOps.langNgramProfilesWide)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s.read.parquet(s"$d/documents.parquet"))),
     "quality_repetition" -> ((s, d) =>
       TextOps.qualityRepetition(s.read.parquet(s"$d/documents.parquet"))),
@@ -177,6 +180,8 @@ object SparkEntry {
     // closed forms over the synthesis parameters / pixel formula)
     "mm_decode" -> ((s, d) => Multimodal.decodeMeta(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(s, s.read.parquet(s"$d/documents.parquet"))),
+    "mm_decode_jpeg" -> ((s, d) => Multimodal.decodeJpeg(s, s.read.parquet(s"$d/documents.parquet"))),
+    "mm_frames_gif" -> ((s, d) => Multimodal.frameSampleGif(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_features" -> ((s, d) => Multimodal.features(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, s.read.parquet(s"$d/documents.parquet"))),
     "mm_audio" -> ((s, d) => Multimodal.decodeAudio(s, s.read.parquet(s"$d/documents.parquet"))),
@@ -265,6 +270,7 @@ object SparkEntry {
     "dedup_winnow" -> TextOps.dedupWinnowSql(),
     "lang_id" -> TextOps.langIdSql,
     "lang_id_ngram" -> TextOps.langIdNgramSql,
+    "lang_id_wide" -> TextOps.langIdNgramWideSql,
     "quality_score" -> TextOps.qualityScoreSql,
     "quality_repetition" -> TextOps.qualityRepetitionSql(),
     "pii_scrub" -> TextOps.piiScrubSql,
@@ -287,6 +293,8 @@ object SparkEntry {
     "dedup_embed" -> Ann.dedupEmbedSql(),
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,
+    "mm_decode_jpeg" -> Multimodal.decodeJpegSql,
+    "mm_frames_gif" -> Multimodal.frameSampleGifSql,
     "mm_features" -> Multimodal.featuresSql,
     "mm_resize" -> Multimodal.resizeSql,
     "mm_audio" -> Multimodal.decodeAudioSql,

@@ -18,6 +18,38 @@ final class AhoCorasickData private[core] (
     val fail: Array[Int],
     val out: Array[List[String]]) extends Serializable {
 
+  /** [[matchTokens]] plus the 1-BASED TOKEN INDEX where each phrase's FIRST
+    * occurrence STARTS (= matched end index − phrase token count + 2): the
+    * same (phrase, pos) pairs the positional window generator emits, feeding
+    * the stack-relevance gap/order penalties. */
+  def matchTokensPos(tokens: Array[String]): Array[(String, Int)] = {
+    val seen = new java.util.LinkedHashMap[String, Integer]()
+    var state = 0
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      var s = state
+      while (s != 0 && !next(s).contains(t)) s = fail(s)
+      state = next(s).getOrElse(t, 0)
+      var o = state
+      while (o != 0) {
+        out(o).foreach { p =>
+          // phrase token count from its space count (phrases are space-joined)
+          var spaces = 0; var k = 0
+          while (k < p.length) { if (p.charAt(k) == ' ') spaces += 1; k += 1 }
+          seen.putIfAbsent(p, i - spaces + 1) // 1-based start of this match
+        }
+        o = fail(o)
+      }
+      i += 1
+    }
+    val res = new Array[(String, Int)](seen.size)
+    val it = seen.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) { val e = it.next(); res(j) = (e.getKey, e.getValue.intValue()); j += 1 }
+    res
+  }
+
   /** All distinct phrases matched in the token stream, in first-match order. */
   def matchTokens(tokens: Array[String]): Array[String] = {
     val seen = new java.util.LinkedHashSet[String]()

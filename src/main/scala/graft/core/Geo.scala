@@ -191,7 +191,20 @@ object Geo {
     * [[pointInRings]]'s half-open crossing rule (deterministic). Holes are
     * ignored — shell semantics, like carmen's feature covers. Callers
     * wanting strict open-interval behavior on axis-aligned data must gate
-    * on the open bbox overlap first (polyOverlapGeomOf does). */
+    * on the open bbox overlap first (polyOverlapGeomOf does).
+    *
+    * KNOWN LIMITATION (degenerate boundary coincidences): when boundary
+    * intersections are vertex-on-edge / vertex-on-vertex (no proper
+    * open-interior crossing), the answer is decided by [[pointInRings]]'s
+    * half-open rule on the coincident vertices, NOT by interior overlap.
+    * Measured on fixed fixtures (GeoSpec pins all three): a square and the
+    * diamond through its corners → true (correct); an inscribed diamond
+    * with vertices on the square's edges → true (correct); two squares
+    * sharing ONLY a corner point → true (FALSE POSITIVE — interiors are
+    * disjoint). General-position inputs (random doubles) never hit these;
+    * on lattice-aligned data callers needing strict open-interval semantics
+    * must gate on the open bbox overlap first (polyOverlapGeomOf does,
+    * which masks the corner-touch case). */
   def polysOverlap(a: Geom, b: Geom): Boolean = {
     if (a.kind != Geom.Poly || b.kind != Geom.Poly) return false
     val ra = a.rings(0); val rb = b.rings(0)

@@ -307,6 +307,50 @@ object Exprs {
       copy(child = c)
   }
 
+  /** window_pos(text): the DISTINCT space-joined token windows of the given
+    * EXACT lengths, each with the 1-BASED TOKEN INDEX of its FIRST
+    * occurrence — array<struct<phrase,pos>>. The positional sibling of
+    * [[WindowStrings]] (same single native pass + built-in explode shape;
+    * the in-row first-occurrence dedup is a hashmap, linear, where the HOF
+    * equivalent is a quadratic array_position scan per window). `pos` feeds
+    * carmen's stack-relevance penalties (gap / out-of-order mentions —
+    * upstream verifymatch [U]): the oracle mirror recovers the same index
+    * from `strpos(' '||text||' ', ' '||name||' ')` space-counting, valid
+    * because corpus text is single-space normalized tokens. */
+  case class WindowPos(child: Expression, lengths: Seq[Int])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("phrase", StringType, nullable = false),
+        StructField("pos", IntegerType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "window_pos"
+    override def nullSafeEval(s: Any): Any = {
+      val toks = Text.tokenize(s.toString)
+      val seen = new java.util.LinkedHashMap[String, Integer]()
+      lengths.foreach { len =>
+        var i = 0
+        while (i + len <= toks.length) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < len) { sb.append(' ').append(toks(i + j)); j += 1 }
+          seen.putIfAbsent(sb.toString, i + 1) // 1-based token index
+          i += 1
+        }
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.entrySet().iterator()
+      var k = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue.intValue())
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WindowPos =
+      copy(child = c)
+  }
+
   /** shingle_hashes(text): the DISTINCT xxhash64 values (seed 42, byte-equal
     * to the built-in `xxhash64` over the space-joined shingle string) of the
     * text's raw-space token n-grams — RAW `split(text, ' ')` semantics, NOT
@@ -423,6 +467,26 @@ object Exprs {
         .map(p => InternalRow(UTF8String.fromString(p)))
     }
     override protected def withNewChildInternal(c: Expression): AcMentionsLazy =
+      copy(child = c)
+  }
+
+  /** [[AcMentionsLazy]] emitting (phrase, pos) — pos the 1-based token index
+    * of the phrase's first occurrence, identical to [[WindowPos]]'s, so the
+    * AC and window matchers stay row-identical with penalties on. */
+  case class AcMentionsPosLazy(child: Expression,
+                               bc: org.apache.spark.broadcast.Broadcast[Seq[String]])
+      extends UnaryExpression with Generator with CodegenFallback {
+    override def elementSchema: StructType =
+      StructType(StructField("phrase", StringType, nullable = false) ::
+        StructField("pos", IntegerType, nullable = false) :: Nil)
+    override def prettyName: String = "ac_mentions_pos_lazy"
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val t = child.eval(input)
+      if (t == null) return Iterator.empty
+      AcAutomatonCache.get(bc).matchTokensPos(Text.tokenize(t.toString)).iterator
+        .map { case (p, pos) => InternalRow(UTF8String.fromString(p), pos) }
+    }
+    override protected def withNewChildInternal(c: Expression): AcMentionsPosLazy =
       copy(child = c)
   }
 
@@ -720,6 +784,11 @@ object F {
     c(SortedInterCount(x(a), x(b)))
   def windowStrings(text: Column, lengths: Seq[Int]): Column =
     c(WindowStrings(x(text), lengths))
+  def windowPos(text: Column, lengths: Seq[Int]): Column =
+    c(WindowPos(x(text), lengths))
+  def acMentionsPosLazy(s: Column,
+                        bc: org.apache.spark.broadcast.Broadcast[Seq[String]]): Column =
+    c(AcMentionsPosLazy(x(s), bc))
   def shingleHashes(text: Column, n: Int): Column =
     c(ShingleHashes(x(text), n))
   def delKeys(tok: Column): Column = c(DelKeys(x(tok)))

@@ -147,6 +147,12 @@ object Address {
       .withColumn("y1", col("y0"))
       .withColumn("x2", col("x1") + lit(0.006))
       .withColumn("y2", col("y1") + lit(0.008))
+      .withColumn("x3", col("x2") + lit(0.004))
+      .withColumn("y3", col("y2") - lit(0.003))
+      .withColumn("x4", col("x3") + lit(0.007))
+      .withColumn("y4", col("y3") + lit(0.005))
+      .withColumn("vx", array(col("x0"), col("x1"), col("x2"), col("x3"), col("x4")))
+      .withColumn("vy", array(col("y0"), col("y1"), col("y2"), col("y3"), col("y4")))
   }
 
   def streetsAddrSql: String = {
@@ -165,7 +171,11 @@ object Address {
        |       ((s_suppkey * 7919) % 350000) / 1000.0 - 175.0 + 0.01 AS x1,
        |       ((s_suppkey * 104729) % 160000) / 1000.0 - 80.0 AS y1,
        |       ((s_suppkey * 7919) % 350000) / 1000.0 - 175.0 + 0.01 + 0.006 AS x2,
-       |       ((s_suppkey * 104729) % 160000) / 1000.0 - 80.0 + 0.008 AS y2
+       |       ((s_suppkey * 104729) % 160000) / 1000.0 - 80.0 + 0.008 AS y2,
+       |       ((s_suppkey * 7919) % 350000) / 1000.0 - 175.0 + 0.01 + 0.006 + 0.004 AS x3,
+       |       ((s_suppkey * 104729) % 160000) / 1000.0 - 80.0 + 0.008 - 0.003 AS y3,
+       |       ((s_suppkey * 7919) % 350000) / 1000.0 - 175.0 + 0.01 + 0.006 + 0.004 + 0.007 AS x4,
+       |       ((s_suppkey * 104729) % 160000) / 1000.0 - 80.0 + 0.008 - 0.003 + 0.005 AS y4
        |FROM supplier""".stripMargin
   }
 
@@ -196,14 +206,32 @@ object Address {
     val f = when(col("mto") === col("mfrom"), lit(0.0))
       .otherwise((col("h") - col("mfrom")).cast("double") /
         (col("mto") - col("mfrom")).cast("double"))
-    val len1 = sqrt(pow(col("x1") - col("x0"), 2) + pow(col("y1") - col("y0"), 2))
-    val len2 = sqrt(pow(col("x2") - col("x1"), 2) + pow(col("y2") - col("y1"), 2))
-    val d = f * (len1 + len2)
-    val alon = when(d <= len1, col("x0") + (col("x1") - col("x0")) * d / len1)
-      .otherwise(col("x1") + (col("x2") - col("x1")) * (d - len1) / len2)
-    val alat = when(d <= len1, col("y0") + (col("y1") - col("y0")) * d / len1)
-      .otherwise(col("y1") + (col("y2") - col("y1")) * (d - len1) / len2)
-    matched.select(col("street_id"), col("h"), col("side"),
+    // N-VERTEX cumulative-length walk (carmen interpolates along the full
+    // street LineString, not a fixed 2-segment demo): per-segment lengths,
+    // left-fold cumulative sums (the oracle's list_reduce is the same left
+    // fold, so the doubles match bit-exactly), the range fraction maps to
+    // distance d along the whole polyline, and the point lands inside the
+    // first segment whose cumulative length reaches d. Segment counts are
+    // street-geometry-sized (here 4), so the quadratic slice-sum is flat.
+    val nSeg = size(col("vx")) - 1
+    val withLens = matched
+      .withColumn("lens", transform(sequence(lit(1), nSeg), i =>
+        sqrt(pow(element_at(col("vx"), i + 1) - element_at(col("vx"), i), 2) +
+          pow(element_at(col("vy"), i + 1) - element_at(col("vy"), i), 2))))
+      .withColumn("cums", transform(sequence(lit(1), nSeg), i =>
+        aggregate(slice(col("lens"), lit(1), i), lit(0.0), (a, x) => a + x)))
+      .withColumn("d", f * element_at(col("cums"), nSeg))
+      .withColumn("si", try_element_at(
+        filter(sequence(lit(1), nSeg), i =>
+          element_at(col("cums"), i) >= col("d")), lit(1)))
+      .withColumn("si", coalesce(col("si"), nSeg)) // guard fp undershoot at f=1
+      .withColumn("prev", element_at(col("cums"), col("si")) - element_at(col("lens"), col("si")))
+      .withColumn("t", (col("d") - col("prev")) / element_at(col("lens"), col("si")))
+    val alon = element_at(col("vx"), col("si")) +
+      (element_at(col("vx"), col("si") + 1) - element_at(col("vx"), col("si"))) * col("t")
+    val alat = element_at(col("vy"), col("si")) +
+      (element_at(col("vy"), col("si") + 1) - element_at(col("vy"), col("si"))) * col("t")
+    withLens.select(col("street_id"), col("h"), col("side"),
       round(alon, 6).as("alon"), round(alat, 6).as("alat"))
   }
 
@@ -221,21 +249,32 @@ object Address {
        |          h >= froms[mi] AND h <= tos[mi] AND $parOk)[1] AS mi
        |      FROM probe),
        |mm AS (SELECT *, froms[mi] AS mfrom, tos[mi] AS mto,
-       |              sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2) AS len1,
-       |              sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2) AS len2
+       |              [x0, x1, x2, x3, x4] AS vx, [y0, y1, y2, y3, y4] AS vy
        |       FROM m WHERE mi IS NOT NULL),
+       |seg AS (SELECT *,
+       |          list_transform(generate_series(1, len(vx) - 1), i ->
+       |            sqrt((vx[i + 1] - vx[i]) ** 2 + (vy[i + 1] - vy[i]) ** 2)) AS lens
+       |        FROM mm),
+       |cum AS (SELECT *,
+       |          list_transform(generate_series(1, len(lens)), i ->
+       |            list_reduce(list_prepend(CAST(0 AS DOUBLE), list_slice(lens, 1, i)),
+       |                        (a, x) -> a + x)) AS cums
+       |        FROM seg),
        |ff AS (SELECT *,
        |         (CASE WHEN mto = mfrom THEN 0.0
        |               ELSE CAST(h - mfrom AS DOUBLE) / CAST(mto - mfrom AS DOUBLE) END)
-       |           * (len1 + len2) AS d
-       |       FROM mm)
+       |           * cums[len(cums)] AS d
+       |       FROM cum),
+       |fs AS (SELECT *,
+       |         COALESCE(list_filter(generate_series(1, len(lens)), i ->
+       |                    cums[i] >= d)[1], len(lens)) AS si
+       |       FROM ff),
+       |ft AS (SELECT *, (d - (cums[si] - lens[si])) / lens[si] AS t FROM fs)
        |SELECT street_id, CAST(h AS BIGINT) AS h,
        |       CASE WHEN mi <= len(lfromhn) THEN 'L' ELSE 'R' END AS side,
-       |       round(CASE WHEN d <= len1 THEN x0 + (x1 - x0) * d / len1
-       |                  ELSE x1 + (x2 - x1) * (d - len1) / len2 END, 6) AS alon,
-       |       round(CASE WHEN d <= len1 THEN y0 + (y1 - y0) * d / len1
-       |                  ELSE y1 + (y2 - y1) * (d - len1) / len2 END, 6) AS alat
-       |FROM ff""".stripMargin
+       |       round(vx[si] + (vx[si + 1] - vx[si]) * t, 6) AS alon,
+       |       round(vy[si] + (vy[si + 1] - vy[si]) * t, 6) AS alat
+       |FROM ft""".stripMargin
   }
 
   def interpolateSql: String =

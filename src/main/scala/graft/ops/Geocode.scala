@@ -114,6 +114,28 @@ object Geocode {
       explode(wins).as("phrase"): _*)
   }
 
+  /** Carmen's stack-relevance penalties (upstream verifymatch/spatialmatch
+    * [U] — tree empty at survey time, constants FROZEN here and documented):
+    * a stacked pair loses GapPenalty when its two mentions are non-adjacent
+    * in the doc token stream (>=1 token strictly between the spans —
+    * "austin ... texas") and OrderPenalty when the coarser mention starts
+    * BEFORE the finer one ("usa austin"; natural order is fine->coarse).
+    * Both use each mention's FIRST occurrence (the pos the matchers emit);
+    * both can apply at once. Mirrored token-for-token in forwardSql. */
+  final val GapPenalty = 0.01
+  final val OrderPenalty = 0.01
+
+  /** [[tokenWindows]] with each phrase's first-occurrence 1-based token
+    * index, via the native [[graft.functions.Exprs.WindowPos]] pass (the
+    * in-row first-occurrence dedup is a linear hashmap; the HOF equivalent
+    * is a quadratic array_position scan per window). */
+  def tokenWindowsPos(docs: DataFrame, maxLen: Int,
+                      extraCols: Seq[String] = Seq("qlon", "qlat")): DataFrame =
+    docs.select(col("doc_id") +: extraCols.map(col) :+
+        explode(F.windowPos(col("text"), 1 to maxLen)).as("wp"): _*)
+      .select(col("doc_id") +: extraCols.map(col) :+
+        col("wp.phrase").as("phrase") :+ col("wp.pos").as("pos"): _*)
+
   /** Max window length needed to match every gazetteer name — derived from
     * the data (a 3-token name silently never matching was the failure mode
     * of a hard-coded cap). A static property of the dictionary, so the tiny
@@ -162,9 +184,10 @@ object Geocode {
     // at-scale form; this keeps the literal-gazetteer surface correct too)
     val gazSide =
       if (memoCount(gaz) <= dictCeiling) broadcast(gaz) else gaz.hint("shuffle_hash")
-    tokenWindows(docs, maxNameTokens(gaz), extraCols)
+    tokenWindowsPos(docs, maxNameTokens(gaz), extraCols)
       .join(gazSide, col("phrase") === col("name"))
       .withColumn("w", size(split(col("name"), " ")) / lit(3.0))
+      .withColumn("plen", size(split(col("name"), " ")))
   }
 
   /** B8 alternative matcher: mention extraction via a broadcast token-level
@@ -189,9 +212,10 @@ object Geocode {
     val bc = docs.sparkSession.sparkContext.broadcast(names)
     docs
       .select(col("doc_id") +: extraCols.map(col) :+
-        F.acMentionsLazy(col("text"), bc).as("phrase"): _*)
+        F.acMentionsPosLazy(col("text"), bc).as(Seq("phrase", "pos")): _*)
       .join(broadcast(gaz), col("phrase") === col("name"))
       .withColumn("w", size(split(col("name"), " ")) / lit(3.0))
+      .withColumn("plen", size(split(col("name"), " ")))
   }
 
   /** D2+E2: zoom-aligned coalesce — place candidates stack with mentioned
@@ -229,19 +253,31 @@ object Geocode {
                             maskRelev: Boolean): DataFrame = {
     val regionSide = regionCands.select(
       col("doc_id").as("r_doc_id"), col("cell").as("r_cell"),
-      col("gid").as("rid"), col("w").as("wr"), col("name").as("rname"))
+      col("gid").as("rid"), col("w").as("wr"), col("name").as("rname"),
+      col("pos").as("r_pos"), col("plen").as("r_plen"))
       .withColumn("rcap", row_number().over(
         Window.partitionBy(col("r_doc_id"))
           .orderBy(col("wr").desc, col("rid").asc)))
       .filter(col("rcap") <= StackRegionCap)
       .drop("rcap")
 
+    // gap / out-of-order penalties (see [[GapPenalty]]): spans are
+    // [pos, pos+plen-1] (place, finer) and [r_pos, r_pos+r_plen-1] (region,
+    // coarser), 1-based first-occurrence token indices. Gap iff one span
+    // starts more than one past the other's end; out-of-order iff the
+    // coarser starts first. Unstacked places (null rid) carry no penalty.
+    val stackPen = when(col("rid").isNull, lit(0.0)).otherwise(
+      when(col("r_pos") > col("pos") + col("plen"), lit(GapPenalty))
+        .when(col("pos") > col("r_pos") + col("r_plen"), lit(GapPenalty))
+        .otherwise(lit(0.0)) +
+        when(col("r_pos") < col("pos"), lit(OrderPenalty)).otherwise(lit(0.0)))
+
     val stackedRelev =
-      if (maskRelev)
+      (if (maskRelev)
         when(col("rid").isNull, col("w"))
           .otherwise(size(array_distinct(concat(
             split(col("name"), " "), split(col("rname"), " ")))) / lit(3.0))
-      else col("w") + coalesce(col("wr"), lit(0.0))
+      else col("w") + coalesce(col("wr"), lit(0.0))) - stackPen
 
     // The region side is per-doc data (grows with the corpus, 10^12-row
     // design point) — never broadcastable. Force a shuffle-hash join so the
@@ -326,11 +362,13 @@ object Geocode {
           cands.withColumn("chain_ids", array(col("gid")))
             .withColumn("utoks", array_distinct(split(col("name"), " ")))
             .withColumn("ctx", lit(-1L))
+            .withColumn("pen", lit(0.0))
         case Some(p) =>
           val prevZooms = levels.take(i).map(_.zoom)
           val poolSide = p.select(col("doc_id").as("p_doc_id"), col("cell").as("p_cell"),
             col("leaf_zoom").as("p_zoom"), col("gid").as("p_gid"),
-            col("chain_ids").as("p_chain"), col("utoks").as("p_utoks"), col("wc").as("p_wc"))
+            col("chain_ids").as("p_chain"), col("utoks").as("p_utoks"), col("wc").as("p_wc"),
+            col("pen").as("p_pen"), col("pos").as("p_pos"), col("plen").as("p_plen"))
           cands
             .withColumn("anc", explode(array(prevZooms.map(z =>
               struct(lit(z).as("az"),
@@ -352,8 +390,18 @@ object Geocode {
             .withColumn("utoks",
               array_distinct(concat(coalesce(col("p_utoks"), emptyToks), split(col("name"), " "))))
             .withColumn("ctx", coalesce(col("p_gid"), lit(-1L)))
+            // chain penalty: the coarser pool leaf's accumulated pen plus
+            // this link's gap/order penalties vs the pool leaf's first
+            // occurrence (same formulas as [[stackAndUnion]]; at 2 levels
+            // the two reduce to the same relev — GeocoderSpec equivalence)
+            .withColumn("pen", coalesce(col("p_pen"), lit(0.0)) +
+              when(col("p_gid").isNull, lit(0.0)).otherwise(
+                when(col("p_pos") > col("pos") + col("plen"), lit(GapPenalty))
+                  .when(col("pos") > col("p_pos") + col("p_plen"), lit(GapPenalty))
+                  .otherwise(lit(0.0)) +
+                  when(col("p_pos") < col("pos"), lit(OrderPenalty)).otherwise(lit(0.0))))
             .drop("anc", "rn", "p_doc_id", "p_cell", "p_zoom", "p_gid",
-              "p_chain", "p_utoks", "p_wc")
+              "p_chain", "p_utoks", "p_wc", "p_pen", "p_pos", "p_plen")
       }
       // each level's chained frame feeds THREE consumers (its capped pool
       // entry, every finer level's join via the pool union, and the output
@@ -361,7 +409,7 @@ object Geocode {
       // levels' joins per consumer — measured 2.3× on the 4-level bench
       // query (cold). At cluster scale these are the per-level chain tables.
       val withW = chained
-        .withColumn("wc", size(col("utoks")) / lit(3.0))
+        .withColumn("wc", size(col("utoks")) / lit(3.0) - col("pen"))
         .withColumn("leaf_zoom", lit(zoom))
         .persist()
       val capped = withW
@@ -589,7 +637,7 @@ object Geocode {
                      dedupe: Boolean = false,
                      dictCeiling: Long = BroadcastDictCeiling): DataFrame = {
     val maxLen = maxNameTokens(features)
-    val windows = tokenWindows(docs, maxLen)
+    val windows = tokenWindowsPos(docs, maxLen)
       .withColumn("phrase_id", xxhash64(col("phrase")))
     // Semi-join reduction BEFORE the shuffle (see [[prefilterPhrases]]):
     // exact set ≤ ceiling, Bloom ≤ 8× ceiling, unfiltered beyond.
@@ -608,7 +656,8 @@ object Geocode {
       .filter(col("phrase") === col("name"))
       .select(col("doc_id"), col("qlon"), col("qlat"), col("gid"), col("name"),
         col("typ"), col("score"), col("glon"), col("glat"), col("cell"),
-        (size(split(col("name"), " ")) / lit(3.0)).as("w"))
+        (size(split(col("name"), " ")) / lit(3.0)).as("w"),
+        col("pos"), size(split(col("name"), " ")).as("plen"))
       .persist()
     val placeCands = verified.filter(col("typ") === "place")
       .withColumn("cell8p", F.parentCell(col("cell"), lit(ZRegion)))
@@ -636,7 +685,7 @@ object Geocode {
                         dedupe: Boolean = false,
                         dictCeiling: Long = BroadcastDictCeiling): DataFrame = {
     val maxLen = maxNameTokens(fatGrid)
-    val windows = tokenWindows(docs, maxLen)
+    val windows = tokenWindowsPos(docs, maxLen)
       .withColumn("phrase_id", xxhash64(col("phrase")))
     // same tiered semi-join prefilter as [[forwardIndexed]]: the distinct
     // phrase-id SET stays dictionary-sized no matter how fat the index rows
@@ -659,7 +708,8 @@ object Geocode {
       .select(col("doc_id"), col("qlon"), col("qlat"),
         col("feature_id").as("gid"), col("name"), col("typ"), col("score"),
         col("glon"), col("glat"), col("cell"),
-        (size(split(col("name"), " ")) / lit(3.0)).as("w"))
+        (size(split(col("name"), " ")) / lit(3.0)).as("w"),
+        col("pos"), size(split(col("name"), " ")).as("plen"))
       .persist()
     val placeCands = verified.filter(col("typ") === "place")
       .withColumn("cell8p", F.parentCell(col("cell"), lit(ZRegion)))
@@ -682,7 +732,7 @@ object Geocode {
                              k: Int = 5, stackCap: Int = 64,
                              dictCeiling: Long = BroadcastDictCeiling): DataFrame = {
     val maxLen = maxNameTokens(fatGrid)
-    val windows = tokenWindows(docs, maxLen)
+    val windows = tokenWindowsPos(docs, maxLen)
       .withColumn("phrase_id", xxhash64(col("phrase")))
     val prefiltered = prefilterPhrases(windows, fatGrid, dictCeiling)
     // in-row D4 verify as a RANGE residual (see [[forwardIndexedFat]]): the
@@ -698,7 +748,8 @@ object Geocode {
       .filter(col("gr") <= stackCap)
       .select(col("doc_id"), col("qlon"), col("qlat"),
         col("feature_id").as("gid"), col("name"), col("typ"), col("score"),
-        col("glon"), col("glat"))
+        col("glon"), col("glat"),
+        col("pos"), size(split(col("name"), " ")).as("plen"))
       .persist()
     rank(coalesceN(verified, levels), k, extraCols = Seq("chain"))
   }

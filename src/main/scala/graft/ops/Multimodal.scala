@@ -231,6 +231,151 @@ object Multimodal {
        |LATERAL (SELECT unnest(generate_series(0, CAST(d.doc_id % 5 AS BIGINT))) AS i) g""".stripMargin
 
   // -----------------------------------------------------------------
+  // JPEG (lossy) + animated GIF — the other two codecs the JDK ships.
+  // JPEG is lossy, so the contract is dims/format (closed-form oracle),
+  // NOT a pixel checksum; the GIF container is a REAL multi-frame format
+  // (logical screen fixed per doc — GIF sub-images must fit the screen),
+  // replacing the round-2 asterisk that the only "video" container was
+  // bespoke length-prefixed PNGs.
+  // -----------------------------------------------------------------
+
+  private final class JpegCodec {
+    private val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    private val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, true, true)
+      val img = reader.read(0)
+      iis.close()
+      img
+    }
+    def formatName: String = reader.getFormatName
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
+      bos.toByteArray
+    }
+  }
+
+  /** (doc_id, media) — one REAL JPEG per doc (same pixel formula; the
+    * encoder's DCT loss is irrelevant to the dims/format contract). */
+  def syntheticJpeg(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val codec = new JpegCodec
+      it.map { id =>
+        val w = imgW(id); val h = imgH(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val buf = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { buf(y * w + x) = pixel(id, 0L, x, y); x += 1 }
+          y += 1
+        }
+        MediaPayload(id, codec.encode(img))
+      }
+    }
+  }
+
+  final case class JpegMeta(doc_id: Long, width: Long, height: Long,
+                            channels: Long, fmt: String)
+
+  /** REAL JPEG decode: ImageIO parses the JFIF stream; dims/channels/format
+    * must match the synthesis ground truth (dims closed form; checksum is
+    * deliberately NOT asserted — JPEG is lossy and encoder-dependent). */
+  def decodeJpeg(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    syntheticJpeg(spark, docs).mapPartitions { it =>
+      val codec = new JpegCodec
+      it.map { p =>
+        val img = codec.decode(p.payload)
+        JpegMeta(p.doc_id, img.getWidth.toLong, img.getHeight.toLong,
+          img.getColorModel.getNumComponents.toLong,
+          codec.formatName.toLowerCase(java.util.Locale.ROOT))
+      }
+    }.toDF()
+  }
+
+  def decodeJpegSql: String =
+    s"""SELECT doc_id,
+       |       CAST(doc_id % 24 + 8 AS BIGINT) AS width,
+       |       CAST(doc_id % 16 + 8 AS BIGINT) AS height,
+       |       CAST(3 AS BIGINT) AS channels,
+       |       'jpeg' AS fmt
+       |FROM documents""".stripMargin
+
+  /** Animated-GIF payload: a REAL multi-frame container (JDK GIF writer,
+    * writeToSequence). Frames are grayscale renders of the pixel formula's
+    * low byte; every frame uses frame-0's dimensions (the GIF logical
+    * screen bounds all sub-images). */
+  def syntheticGif(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val w = imgW(id); val h = imgH(id)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until nFrames(id)).foreach { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val buf = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { buf(y * w + x) = (pixel(id, f.toLong, x, y) & 0xff).toByte; x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        MediaPayload(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL animated-GIF frame sampling: the JDK GIF reader walks the
+    * container's image sequence; frame count and per-frame dims must match
+    * the synthesis ground truth. */
+  def frameSampleGif(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    syntheticGif(spark, docs).mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { p =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(p.payload))
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        val out = (0 until n).map { f =>
+          Frame(p.doc_id, f.toLong, f * 40L,
+            reader.getWidth(f).toLong, reader.getHeight(f).toLong)
+        }
+        iis.close()
+        out
+      }
+    }.toDF()
+  }
+
+  def frameSampleGifSql: String =
+    s"""SELECT d.doc_id, g.i AS frame_idx, g.i * 40 AS frame_ts_ms,
+       |       CAST(d.doc_id % 24 + 8 AS BIGINT) AS fwidth,
+       |       CAST(d.doc_id % 16 + 8 AS BIGINT) AS fheight
+       |FROM documents d,
+       |LATERAL (SELECT unnest(generate_series(0, CAST(d.doc_id % 5 AS BIGINT))) AS i) g""".stripMargin
+
+  // -----------------------------------------------------------------
   // Audio: REAL WAV decode via the JDK's javax.sound.sampled — the
   // synthesized payload is a genuine RIFF/WAVE container (16-bit signed PCM
   // LE, mono, 8 kHz) whose samples come from the mix64 formula; decode

@@ -630,6 +630,64 @@ object TextOps {
     "sv" -> Seq("en ", "et ", " de", "och", " oc", "ch ", "ar ", "att", " at",
       "tt ", "det", " ha", "som", " so", "om ", "der", "ill", " ti", "ing", "an "))
 
+
+  /** WIDE profile table (~30 languages): the 8 frozen literals above plus 22
+    * more drawn the same way from public trigram/function-word frequency
+    * data (Cavnar–Trenkle '94 method; ASCII subset, diacritics stripped).
+    * This is a DATA artifact consumed through [[langIdNgramJoin]] — the
+    * join+re-group shape that generalizes to learned per-domain profiles —
+    * NOT through the frozen-literal native scorer. 15 trigrams per added
+    * language, rank-weighted like the core 8. */
+  val langNgramProfilesWide: Seq[(String, Seq[String])] = langNgramProfiles ++ Seq(
+    "af" -> Seq("ie ", " di", "die", "en ", " en", "er ", "nie", " ni", "van",
+      " va", "aan", "wat", " wa", "oor", "het"),
+    "ca" -> Seq(" de", "de ", "es ", "la ", " la", "el ", " el", "que", " qu",
+      "ent", "er ", "els", "at ", "ant", "per"),
+    "cs" -> Seq(" po", "ne ", " ne", "ho ", "ou ", "na ", " na", "pro", " pr",
+      "ost", "je ", " je", "eni", "se ", " se"),
+    "da" -> Seq(" de", "de ", "er ", "en ", "et ", " og", "og ", "at ", " at",
+      "der", "til", "ing", "ede", "for", "det"),
+    "et" -> Seq("on ", " on", "se ", "ja ", " ja", "ud ", "da ", "ks ", "est",
+      "ise", "le ", "ga ", "ta ", "sel", "ele"),
+    "eu" -> Seq("en ", "an ", "eta", "ta ", " et", "ko ", "ak ", "rak", "tze",
+      "zen", "ean", "tik", "era", "ren", "n e"),
+    "fi" -> Seq("en ", "in ", "an ", "on ", " on", "ssa", "lla", "sta", "nen",
+      "een", "aan", "ksi", "ta ", "ja ", " ja"),
+    "gl" -> Seq(" de", "de ", "os ", "as ", "da ", " da", "do ", " do", "que",
+      " qu", "unh", "nha", "ent", "con", " co"),
+    "hr" -> Seq("je ", " je", "na ", " na", "ije", "og ", " pr", "ost", "ih ",
+      "ko ", "ja ", "sti", "iti", "ti ", " ko"),
+    "hu" -> Seq(" a ", "az ", " az", "ek ", "tt ", "ett", "nek", "gy ", "el ",
+      " el", "et ", "ak ", "nak", "ban", "an "),
+    "id" -> Seq("an ", "ang", "ng ", "yan", " ya", "kan", "ah ", "ber", " be",
+      "nya", "ada", " ad", "dan", " da", "men"),
+    "is" -> Seq("um ", "ad ", " ad", "ir ", "inn", " og", "og ", "ur ", "and",
+      "ver", "eru", " er", "er ", "sem"),
+    "lt" -> Seq("as ", "is ", "os ", "ai ", "us ", "ir ", " ir", "kai", " ka",
+      "iau", "tai", "mas", "ti ", "pri", " pa"),
+    "lv" -> Seq("as ", "ir ", " ir", "ar ", " ar", "ie ", "am ", "um ", "par",
+      " pa", "aja", "ais", "tas", "vai", " va"),
+    "no" -> Seq(" og", "og ", "er ", "en ", "et ", " de", "det", "som", " so",
+      "til", "ing", "ene", "ker", " en", "ter"),
+    "pl" -> Seq("ie ", "nie", " ni", " po", "ego", "ych", "ch ", "rze", "prz",
+      "owa", "na ", " na", " do", "ani", "ej "),
+    "ro" -> Seq(" de", "de ", " in", "in ", "ul ", "ea ", " si", "si ", "are",
+      " ca", "re ", "le ", "ste", "la ", " la"),
+    "sk" -> Seq(" po", "na ", " na", "ie ", "ch ", "je ", " je", "om ", "ho ",
+      "ych", "pre", "sa ", " sa", "ou ", "ost"),
+    "sl" -> Seq("je ", " je", "na ", " na", "pri", " pr", "ost", "ih ", "da ",
+      " da", "jo ", "iti", "ti ", "em ", "anj"),
+    "sq" -> Seq("te ", " te", "he ", " he", "dhe", " dh", "ne ", " ne", "per",
+      " pe", "esh", "jes", "uar", "sht", "me "),
+    "sw" -> Seq("wa ", " wa", "na ", " na", "ya ", " ya", "kwa", " kw", "ika",
+      "ali", "a m", "a k", "ani", "kat", "a n"),
+    "tr" -> Seq("lar", "ler", "bir", " bi", "ir ", "an ", "in ", "ara", "da ",
+      "de ", "eri", "ik ", "ini", " ka", "ile"))
+  require(langNgramProfilesWide.map(_._1).distinct.size == langNgramProfilesWide.size
+    && langNgramProfilesWide.forall { case (_, ts) =>
+         ts.forall(_.length == 3) && ts.distinct.size == ts.size },
+    "wide lang profiles must be distinct 3-char trigrams per distinct language")
+
   /** Char-trigram language ID: doc score per language = Σ over the doc's
     * character trigram POSITIONS of the profile weight (overlap-correct);
     * argmax with alphabetical tie-break; docs matching no profile trigram
@@ -656,11 +714,12 @@ object TextOps {
     * doc's trigrams, join the 160-row profile, re-group per doc) — kept for
     * the equivalence test and as the shape that generalizes when the
     * profile is data (not a literal): e.g. per-domain learned profiles. */
-  def langIdNgramJoin(docs: DataFrame): DataFrame = {
+  def langIdNgramJoin(docs: DataFrame,
+                      profiles: Seq[(String, Seq[String])] = langNgramProfiles): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val profRows = for {
-      (l, ts) <- langNgramProfiles
+      (l, ts) <- profiles
       (t, i) <- ts.zipWithIndex
     } yield (l, t, (ts.size - i).toLong)
     val prof = profRows.toDF("plang", "tri", "wt")
@@ -674,9 +733,14 @@ object TextOps {
       .select(col("doc_id"), col("plang").as("pred_lang"), col("score"))
   }
 
-  def langIdNgramSql: String = {
+  def langIdNgramSql: String = langIdNgramSqlOver(langNgramProfiles)
+
+  /** `lang_id_wide` oracle: same shape over the wide profile table. */
+  def langIdNgramWideSql: String = langIdNgramSqlOver(langNgramProfilesWide)
+
+  private def langIdNgramSqlOver(profiles: Seq[(String, Seq[String])]): String = {
     val rows = (for {
-      (l, ts) <- langNgramProfiles
+      (l, ts) <- profiles
       (t, i) <- ts.zipWithIndex
     } yield s"('$l', '$t', ${ts.size - i})").mkString(", ")
     s"""WITH prof(plang, tri, wt) AS (VALUES $rows),
@@ -1134,14 +1198,21 @@ object TextOps {
     * double division per doc. keep = mean NLL ≤ threshold (high-perplexity
     * docs are the junk under a unigram LM). */
   def lmPerplexity(docs: DataFrame, keepBelowQ: Long = 3912000L): DataFrame = {
-    // tf feeds both the global total and the scoring pass: persist it (the
-    // un-persisted form re-ran the tokenize+explode+count lineage twice).
-    // Unigram counts come from a term-keyed WINDOW over tf — the former
-    // groupBy(term) + join-back-on-term pair cost a second term exchange for
-    // the same clustering; identical values (sum(tf) per term either way).
+    // tf feeds the global total, the unigram-count aggregate AND the
+    // scoring join: persist it. The unigram model is a MAP-SIDE-COMBINED
+    // groupBy — NOT a term-keyed window: term frequency is the canonical
+    // Zipf key (a stopword appears in ~every doc), and a window funnels the
+    // hot term's entire posting list through ONE task's buffer — the skew
+    // carve-out in this repo's window-vs-join-back rule. The vocab-sized
+    // model broadcasts under the dict ceiling (one tiny count job on the
+    // cached tf); beyond it the term equi-join is AQE skew-splittable.
+    // Identical values either way (sum(tf) per term).
     val tf = termFreq(docs).persist()
     val tot = tf.agg(sum(col("tf")).as("t_tok"))
-    tf.withColumn("cnt", sum(col("tf")).over(Window.partitionBy(col("term"))))
+    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val lmSide =
+      if (lm.count() <= graft.ops.Geocode.BroadcastDictCeiling) broadcast(lm) else lm
+    tf.join(lmSide, "term")
       .crossJoin(broadcast(tot))
       .withColumn("logp_q",
         round(log(col("cnt").cast("double") / col("t_tok").cast("double"))
@@ -1245,21 +1316,26 @@ object TextOps {
 
   /** Per-doc keyword extraction: top-m terms by TF-IDF
     * (tf × ln(N/df), quantized to 1e-6 like [[bm25TopK]]). Unlike BM25 the
-    * df dimension here is the FULL vocabulary, not a query-sized set — at
-    * web scale that's ~10^8 rows, past any broadcast ceiling. So df is never
-    * materialized as a dim table at all: it is a count over a term-keyed
-    * WINDOW on the tf frame — the exact clustering a shuffle tf ⋈ df join
-    * would have paid for, with no second tf computation and no broadcast
-    * question. The per-doc top-m window then plans as a partial
-    * WindowGroupLimit over the (doc_id)-keyed exchange. */
+    * df dimension here is the FULL vocabulary — ~10^8 rows at web scale —
+    * and term frequency is Zipf-skewed, so df comes from a
+    * map-side-combined groupBy(term) joined back (broadcast under the dict
+    * ceiling, AQE-skew-splittable term equi-join beyond), NOT a term-keyed
+    * window: a window would buffer a stopword's ~n_docs rows in one task
+    * (the skew carve-out in this repo's window-vs-join-back rule). tf
+    * persists — it feeds the df aggregate and the scoring join. The
+    * per-doc top-m window still plans as a partial WindowGroupLimit over
+    * the (doc_id)-keyed exchange. */
   def keywordsTfIdf(docs: DataFrame, m: Int = 3): DataFrame = {
-    val tf = termFreq(docs)
+    val tf = termFreq(docs).persist()
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     val q = round(
       col("tf").cast("double") *
         log(col("n_docs").cast("double") / col("df").cast("double")) *
         lit(1000000.0)).cast("long")
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dftSide =
+      if (dft.count() <= graft.ops.Geocode.BroadcastDictCeiling) broadcast(dft) else dft
+    tf.join(dftSide, "term")
       .crossJoin(broadcast(stats))
       .withColumn("tfidf_q", q)
       .filter(col("tfidf_q") > 0) // df = N terms carry zero signal

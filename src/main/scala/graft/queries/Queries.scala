@@ -50,9 +50,15 @@ object Queries {
     s"""WITH $gazCtes,
        |docs AS (${docPagesSql}),
        |mention AS (
-       |  SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score, g.glon, g.glat,
-       |         len(string_split(g.name, ' ')) / 3.0 AS w
-       |  FROM docs d JOIN gaz g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')$sf),
+       |  SELECT doc_id, qlon, qlat, gid, name, typ, score, glon, glat,
+       |         len(string_split(name, ' ')) / 3.0 AS w,
+       |         len(string_split(name, ' ')) AS plen,
+       |         length(pfx) - length(replace(pfx, ' ', '')) + 1 AS pos
+       |  FROM (SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score,
+       |               g.glon, g.glat,
+       |               substr(' ' || d.text || ' ', 1,
+       |                      strpos(' ' || d.text || ' ', ' ' || g.name || ' ') - 1) AS pfx
+       |        FROM docs d JOIN gaz g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')$sf)),
        |placecand AS (
        |  SELECT *, $cell12 AS cell, $cell8 AS cell8p FROM mention WHERE typ = 'place'),
        |regioncand AS (
@@ -64,12 +70,19 @@ object Queries {
        |    FROM regioncand) WHERE rcap <= ${Geocode.StackRegionCap}),
        |stacked AS (
        |  SELECT p.*, r.gid AS rid, r.w AS wr, r.name AS rname,
+       |         r.pos AS r_pos, r.plen AS r_plen,
        |         row_number() OVER (PARTITION BY p.doc_id, p.gid
        |                            ORDER BY r.w DESC NULLS LAST, r.gid ASC NULLS LAST) AS rn
        |  FROM placecand p
        |  LEFT JOIN regioncap r ON r.doc_id = p.doc_id AND r.cell = p.cell8p),
        |cands AS (
-       |  SELECT doc_id, gid AS feature_id, name, typ, $maskRelevSql AS relev,
+       |  SELECT doc_id, gid AS feature_id, name, typ,
+       |         $maskRelevSql - (CASE WHEN rid IS NULL THEN CAST(0 AS DOUBLE) ELSE
+       |           (CASE WHEN r_pos > pos + plen THEN CAST(0.01 AS DOUBLE)
+       |                 WHEN pos > r_pos + r_plen THEN CAST(0.01 AS DOUBLE)
+       |                 ELSE CAST(0 AS DOUBLE) END) +
+       |           (CASE WHEN r_pos < pos THEN CAST(0.01 AS DOUBLE)
+       |                 ELSE CAST(0 AS DOUBLE) END) END) AS relev,
        |         cell, COALESCE(rid, -1) AS ctx, score, glon, glat, qlon, qlat
        |  FROM stacked WHERE rn = 1
        |  UNION ALL
@@ -110,10 +123,16 @@ object Queries {
     sb ++= s"WITH $gazMultiCte,\ndocs AS (${docPagesSql}),\n"
     sb ++=
       s"""mention AS (
-         |  SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score, g.glon, g.glat
-         |  FROM docs d JOIN gazm g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')),
+         |  SELECT doc_id, qlon, qlat, gid, name, typ, score, glon, glat,
+         |         len(string_split(name, ' ')) AS plen,
+         |         length(pfx) - length(replace(pfx, ' ', '')) + 1 AS pos
+         |  FROM (SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.typ, g.score,
+         |               g.glon, g.glat,
+         |               substr(' ' || d.text || ' ', 1,
+         |                      strpos(' ' || d.text || ' ', ' ' || g.name || ' ') - 1) AS pfx
+         |        FROM docs d JOIN gazm g ON contains(' ' || d.text || ' ', ' ' || g.name || ' '))),
          |""".stripMargin
-    val poolCols = "doc_id, gid, cell, leaf_zoom, chain_ids, utoks, wc"
+    val poolCols = "doc_id, gid, cell, leaf_zoom, chain_ids, utoks, wc, pen, pos, plen"
     multiLevels.zipWithIndex.foreach { case (lvl, i) =>
       val cell = cellSql(lvl.zoom, "glon", "glat")
       sb ++= s"c$i AS (SELECT *, $cell AS cell FROM mention WHERE typ = '${lvl.typ}'),\n"
@@ -121,9 +140,11 @@ object Queries {
         sb ++=
           s"""ch0 AS (
              |  SELECT doc_id, gid, name, typ, score, glon, glat, qlon, qlat, cell,
+             |         pos, plen,
              |         ${lvl.zoom} AS leaf_zoom, [gid] AS chain_ids,
              |         list_distinct(string_split(name, ' ')) AS utoks,
-             |         CAST(-1 AS BIGINT) AS ctx
+             |         CAST(-1 AS BIGINT) AS ctx,
+             |         CAST(0 AS DOUBLE) AS pen
              |  FROM c0),
              |""".stripMargin
       } else {
@@ -133,6 +154,7 @@ object Queries {
         sb ++=
           s"""j$i AS (
              |  SELECT c.*, p.gid AS p_gid, p.chain_ids AS p_chain, p.utoks AS p_utoks,
+             |         p.pen AS p_pen, p.pos AS p_pos, p.plen AS p_plen,
              |         row_number() OVER (PARTITION BY c.doc_id, c.gid
              |                            ORDER BY p.wc DESC NULLS LAST,
              |                                     p.leaf_zoom DESC NULLS LAST,
@@ -142,15 +164,23 @@ object Queries {
              |   AND p.cell = CASE p.leaf_zoom $caseCell END),
              |ch$i AS (
              |  SELECT doc_id, gid, name, typ, score, glon, glat, qlon, qlat, cell,
+             |         pos, plen,
              |         ${lvl.zoom} AS leaf_zoom,
              |         list_append(COALESCE(p_chain, []), gid) AS chain_ids,
              |         list_distinct(list_cat(COALESCE(p_utoks, []),
              |                                string_split(name, ' '))) AS utoks,
-             |         COALESCE(p_gid, -1) AS ctx
+             |         COALESCE(p_gid, -1) AS ctx,
+             |         COALESCE(p_pen, CAST(0 AS DOUBLE)) +
+             |           (CASE WHEN p_gid IS NULL THEN CAST(0 AS DOUBLE) ELSE
+             |             (CASE WHEN p_pos > pos + plen THEN CAST(0.01 AS DOUBLE)
+             |                   WHEN pos > p_pos + p_plen THEN CAST(0.01 AS DOUBLE)
+             |                   ELSE CAST(0 AS DOUBLE) END) +
+             |             (CASE WHEN p_pos < pos THEN CAST(0.01 AS DOUBLE)
+             |                   ELSE CAST(0 AS DOUBLE) END) END) AS pen
              |  FROM j$i WHERE rn = 1),
              |""".stripMargin
       }
-      sb ++= s"chw$i AS (SELECT *, len(utoks) / 3.0 AS wc FROM ch$i),\n"
+      sb ++= s"chw$i AS (SELECT *, len(utoks) / 3.0 - pen AS wc FROM ch$i),\n"
       sb ++=
         s"""cap$i AS (SELECT * FROM (
            |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -573,6 +603,10 @@ object Queries {
       .select(col("feature_id"), col("geom_wkb"),
         element_at(col("bb"), 1).as("west"), element_at(col("bb"), 2).as("south"),
         element_at(col("bb"), 3).as("east"), element_at(col("bb"), 4).as("north"))
+    // persisted like every multi-consumer frame in this file (both join
+    // sides read it); accumulation across a shared Verify session is
+    // intentional — same convention as the bm25/tf persists (PlanSpec
+    // clearCache()s where live caches would shift its exchange counts)
     val cov = boxed
       .withColumn("cell", explode(F.tileCover(
         F.rectWkb(col("west"), col("south"), col("east"), col("north")), lit(z))))

@@ -248,4 +248,22 @@ class GeoSpec extends AnyFunSuite {
       assert(x >= w - 1e-9 && x <= e + 1e-9 && y >= s0 - 1e-9 && y <= n + 1e-9)
     }
   }
+
+  test("polysOverlap: degenerate lattice coincidences pin the half-open contract") {
+    import graft.core.Geo
+    def poly(pts: Double*) = Geo.Geom(Geo.Geom.Poly, Array(pts.toArray))
+    val square = poly(0, 0, 2, 0, 2, 2, 0, 2, 0, 0)
+    // diamond whose edges pass exactly through the square's corners:
+    // interiors overlap, every boundary intersection is vertex-on-edge
+    val through = poly(1, -1, 3, 1, 1, 3, -1, 1, 1, -1)
+    assert(Geo.polysOverlap(square, through) && Geo.polysOverlap(through, square))
+    // inscribed diamond, vertices ON the square's edges: contained interior
+    val inscribed = poly(1, 0, 2, 1, 1, 2, 0, 1, 1, 0)
+    assert(Geo.polysOverlap(square, inscribed) && Geo.polysOverlap(inscribed, square))
+    // two squares sharing ONLY the corner (2,2): interiors disjoint, but the
+    // half-open vertex rule reports true — the documented false positive
+    // (masked in polyOverlapGeomOf by the open bbox gate)
+    val corner = poly(2, 2, 4, 2, 4, 4, 2, 4, 2, 2)
+    assert(Geo.polysOverlap(square, corner))
+  }
 }

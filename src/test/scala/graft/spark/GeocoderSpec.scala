@@ -379,4 +379,44 @@ class GeocoderSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 3L), (2L, 3L)))
   }
+
+  test("stack penalties: gap / out-of-order mentions lose relev (frozen constants)") {
+    import spark.implicits._
+    val gaz = Synth.gazDf(spark)
+    def fwd(text: String, qlon: Double = 10.0, qlat: Double = 20.0) =
+      Geocode.forward(Seq((1L, text, qlon, qlat))
+        .toDF("doc_id", "text", "qlon", "qlat"), gaz).collect()
+    def relevOf(rows: Array[org.apache.spark.sql.Row], gid: Long) =
+      rows.find(_.getLong(1) == gid).get.getDouble(3)
+    val hj = Synth.places.find(_.name == "hash join").get.id
+    // adjacent, natural fine->coarse order: no penalty
+    assert(relevOf(fwd("hash join data"), hj) == 1.0)
+    // one uncovered token between place and region: gap penalty
+    assert(relevOf(fwd("hash join x data"), hj) == 1.0 - Geocode.GapPenalty)
+    // region before place (touching): order penalty only
+    assert(relevOf(fwd("data hash join"), hj) == 1.0 - Geocode.OrderPenalty)
+    // gappy AND out of order: both penalties
+    assert(relevOf(fwd("data x hash join"), hj) ==
+      1.0 - Geocode.GapPenalty - Geocode.OrderPenalty)
+  }
+
+  test("stack penalties change a winner the scoredist would otherwise pick") {
+    import spark.implicits._
+    val gaz = Synth.gazDf(spark)
+    val hj = Synth.places.find(_.name == "hash join").get
+    val sm = Synth.places.find(_.name == "sort merge").get
+    // proximity pinned AT "sort merge": without penalties both stacks mask
+    // to 3/3 and sort merge wins rank 1 on scoredist (higher score, zero
+    // distance). Its region mention is gappy ("sort merge x spark"), hash
+    // join's is adjacent — the 0.01 penalty must flip rank 1 to hash join.
+    val rows = Geocode.forward(
+      Seq((1L, "sort merge x spark hash join data", sm.lon, sm.lat))
+        .toDF("doc_id", "text", "qlon", "qlat"), gaz).collect()
+    def row(gid: Long) = rows.find(_.getLong(1) == gid).get
+    assert(row(sm.id).getDouble(3) == 1.0 - Geocode.GapPenalty)
+    assert(row(hj.id).getDouble(3) == 1.0)
+    assert(row(sm.id).getDouble(6) > row(hj.id).getDouble(6),
+      "fixture must make sort merge the scoredist winner for the flip to be the penalty's")
+    assert(row(hj.id).getInt(7) < row(sm.id).getInt(7))
+  }
 }

@@ -218,12 +218,16 @@ class PlanSpec extends SparkTestBase {
     // normalizer cross join in lmPerplexity plans as one — allowed; an
     // unbroadcast cartesian is not)
     assert(!p.contains("CartesianProduct"))
-    // 8 exchanges total: tf agg + LM term window + ppl doc agg, url window,
-    // exact-rep hash window, decontam shingle agg, and the doc_id flag-join
-    // exchanges. The pre-fusion form paid 2 more (quality and repetition
-    // each forced a doc_id exchange of their own into the flag join).
+    // 9 exchanges total: tf agg + LM unigram-model agg + ppl doc agg, url
+    // window, exact-rep hash window, decontam shingle agg, and the doc_id
+    // flag-join exchanges. The LM model moved from a term-keyed WINDOW (one
+    // exchange, but a hot stopword's full posting list buffered in ONE
+    // task) to a map-side-combined groupBy + broadcast join-back: +1
+    // exchange in the COUNT, but its wire volume is the vocab-sized
+    // combined partials, not the posting rows — the skew-safe trade this
+    // repo's window-vs-join-back rule prescribes for Zipf keys.
     val nExch = "\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(nExch <= 8, s"curate exchange count regressed: $nExch > 8")
+    assert(nExch <= 9, s"curate exchange count regressed: $nExch > 9")
   }
 
   test("poly_overlap: one cell exchange per side, no pair-dedup aggregate, never broadcast") {
