@@ -123,10 +123,19 @@ object Bench {
   }
   private val CleanRatio = 1.2
   private var probeWorst = 1.0
+  // min-of-2: a single scheduler hiccup must not mark the pair dirty.
   private def probeRatio(): Double = {
-    val r = probeSec() / probeBase
+    val r = math.min(probeSec(), probeSec()) / probeBase
     probeWorst = math.max(probeWorst, r)
     r
+  }
+  // Post-sample probes race the JVM's own job teardown (GC, block-manager
+  // cleanup threads) on the pinned set — r4's first run read every pair
+  // dirty (worst 1.40) from its OWN drain while the pair ratios clustered
+  // tightly. Settle the JVM first so the probe measures BOX load only.
+  private def settledProbeRatio(): Double = {
+    System.gc(); Thread.sleep(400)
+    probeRatio()
   }
   private def loadGate(patience: Int): Double = {
     var r = probeRatio()
@@ -151,11 +160,11 @@ object Bench {
       pinCpus(coresA.toInt)
       val pa0 = loadGate(patience)
       a += sample(coresA, i == 0)
-      val pa1 = probeRatio()
+      val pa1 = settledProbeRatio()
       pinCpus(coresB.toInt)
       val pb0 = loadGate(patience)
       b += sample(coresB, i == 0)
-      val pb1 = probeRatio()
+      val pb1 = settledProbeRatio()
       unpinCpus()
       dirt += Seq(pa0, pa1, pb0, pb1).max
       i += 1
