@@ -175,6 +175,12 @@ object SparkEntry {
       Ann.ivfTopKTrained(s.read.parquet(s"$d/embeddings.parquet"), 50, 5, nList0 = 16)),
     "dedup_embed" -> ((s, d) =>
       Ann.dedupEmbed(s.read.parquet(s"$d/embeddings.parquet"), nList0 = 16)),
+    // multi-round Lloyd k-means (the oracle replays all 3 training rounds
+    // in unrolled CTEs) and SemDeDup-style within-cluster semantic dedup
+    "embed_kmeans" -> ((s, d) =>
+      Ann.kmeansAssign(s.read.parquet(s"$d/embeddings.parquet"), rounds = 3, nList0 = 16)),
+    "semantic_dedup" -> ((s, d) =>
+      Ann.semanticDedup(s.read.parquet(s"$d/embeddings.parquet"), rounds = 3, nList0 = 16)),
     // REAL media decode (JDK ImageIO): deterministic PNG synthesis is the
     // ground truth; decode/resize/frame-parse must recover it (oracles are
     // closed forms over the synthesis parameters / pixel formula)
@@ -291,6 +297,8 @@ object SparkEntry {
     "ann_ivf" -> Ann.ivfTopKSql(50, 5),
     "ann_ivf_trained" -> Ann.ivfTopKTrainedSql(50, 5),
     "dedup_embed" -> Ann.dedupEmbedSql(),
+    "embed_kmeans" -> Ann.kmeansAssignSql(rounds = 3, nList = 16),
+    "semantic_dedup" -> Ann.semanticDedupSql(rounds = 3, nList = 16),
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,
     "mm_decode_jpeg" -> Multimodal.decodeJpegSql,

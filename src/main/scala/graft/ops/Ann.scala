@@ -464,6 +464,179 @@ object Ann {
        |WHERE dp > 0 AND CAST(dp AS DOUBLE) * CAST(dp AS DOUBLE) >= $t2 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // Multi-round Lloyd k-means + SemDeDup-style semantic dedup.
+  //
+  // Semantic dedup at corpus scale (Abbas et al. 2023, "SemDeDup": cluster
+  // the embedding space with k-means, then remove near-duplicates WITHIN
+  // each cluster) needs a real multi-round Lloyd loop, not the single
+  // training round ivfTopKTrained uses. Every round is bit-reproducible in
+  // the DuckDB mirror for the same reasons as trainCentroids: assignment is
+  // an integer-dot argmax with a cid-asc tiebreak, and the centroid update
+  // is per-component integer sums (order-independent) closed by ONE IEEE
+  // double division + floor(x+0.5). Empty clusters keep their previous
+  // centroid, so the round recursion is total.
+  // ---------------------------------------------------------------
+
+  /** Frozen seed centroid frame (cid, cv), nList rows. */
+  private def seedFrame(spark: SparkSession, nList: Int): DataFrame =
+    spark.range(nList).toDF("cid")
+      .select(col("cid").cast("int").as("cid"),
+        element_at(centroidStructs(nList), col("cid").cast("int") + 1)
+          .getField("cv").as("cv"))
+
+  /** One Lloyd round against an ARBITRARY centroid frame (vs
+    * [[trainCentroids]], which is hard-wired to the literal seeds):
+    * integer-dot argmax assignment, rounded-mean update, empty clusters
+    * keep their previous centroid. */
+  private def lloydRound(base: DataFrame, cent: DataFrame): DataFrame = {
+    val assigned = centroidRanksTrained(base, cent).filter(col("crn") === 1)
+      .select(col("cid"), col("q"))
+    val means = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("cid"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .withColumn("m",
+        floor(col("s").cast("double") / col("c").cast("double") + lit(0.5)).cast("long"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        x => x.getField("m")).as("mv"))
+    cent.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+  }
+
+  /** `rounds`-iteration Lloyd spherical k-means from the frozen seeds;
+    * returns the final (vec_id, cid, csize) assignment.
+    *
+    * Scale shape: each round costs one broadcast cross-join against the
+    * nList-row centroid dim (n·nList integer dots, zero exchange on the
+    * corpus beyond the assignment window) plus a (cid, component)-keyed
+    * aggregate whose output is nList·64 rows — the corpus is never
+    * re-shuffled on a data-dependent key. The centroid frame is
+    * localCheckpoint-truncated each round (iterative-lineage invariant:
+    * the frame is consumed twice per round, by the next assignment and by
+    * the empty-cluster left join). Cluster size attaches by a map-side-
+    * combined groupBy + broadcast join-back, NOT a cid window — cluster
+    * populations are the canonical skewed key (one hot cluster would
+    * funnel its full membership through a single window partition). */
+  def kmeansAssign(emb: DataFrame, rounds: Int = 3, nList0: Int = 0): DataFrame = {
+    val base = quantBase(emb).persist()
+    val nList = if (nList0 > 0) nList0 else derivedNListDedup(base.count())
+    var cent = seedFrame(emb.sparkSession, nList)
+    for (_ <- 1 to rounds)
+      cent = lloydRound(base, cent).localCheckpoint()
+    val assign = centroidRanksTrained(base, cent).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .persist()
+    val sizes = assign.groupBy(col("cid")).agg(count(lit(1)).as("csize"))
+    assign.join(broadcast(sizes), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("csize"))
+  }
+
+  /** The k-means CTE chain shared by [[kmeansAssignSql]] and
+    * [[semanticDedupSql]]: seeds → `rounds`× (rank/comp/means/cent) →
+    * `assign`(vec_id, cid). Each centN is MATERIALIZED — it is referenced
+    * twice (next round's rank + its own empty-cluster join) and DuckDB
+    * re-inlines plain CTEs once per reference, which would re-run the
+    * whole training chain per round (CLAUDE.md invariant). */
+  private def kmeansCtes(rounds: Int, nList: Int, srcCte: String): String = {
+    val centRows = (0 until nList).map(c =>
+      s"($c, [${ivfCentroid(c).mkString(", ")}])").mkString(", ")
+    val sb = new StringBuilder
+    sb.append(s"cent0(cid, cv) AS (VALUES $centRows),\n")
+    sb.append(s"""e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+                 |      FROM $srcCte)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = s"cent${r - 1}"
+      sb.append(s""",
+                   |rank$r AS (
+                   |  SELECT e.vec_id, e.q, c.cid,
+                   |         row_number() OVER (PARTITION BY e.vec_id
+                   |                            ORDER BY list_inner_product(e.q, c.cv) DESC, c.cid ASC) AS crn
+                   |  FROM e CROSS JOIN $p c),
+                   |comp$r AS (
+                   |  SELECT cid, i.i, sum(q[i.i]) AS s, count(*) AS c
+                   |  FROM (SELECT cid, q FROM rank$r WHERE crn = 1) a,
+                   |       (SELECT unnest(generate_series(1, 64)) AS i) i
+                   |  GROUP BY cid, i.i),
+                   |means$r AS (
+                   |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) + 0.5) AS BIGINT) ORDER BY i) AS mv
+                   |  FROM comp$r GROUP BY cid),
+                   |cent$r AS MATERIALIZED (
+                   |  SELECT p.cid, COALESCE(m.mv, p.cv) AS cv
+                   |  FROM $p p LEFT JOIN means$r m ON m.cid = p.cid)""".stripMargin)
+    }
+    sb.append(s""",
+                 |frank AS (
+                 |  SELECT e.vec_id, e.q, c.cid,
+                 |         row_number() OVER (PARTITION BY e.vec_id
+                 |                            ORDER BY list_inner_product(e.q, c.cv) DESC, c.cid ASC) AS crn
+                 |  FROM e CROSS JOIN cent$rounds c),
+                 |assign AS MATERIALIZED (SELECT vec_id, cid, q FROM frank WHERE crn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  /** Full DuckDB mirror of [[kmeansAssign]] (training replayed in SQL). */
+  def kmeansAssignSql(rounds: Int = 3, nList: Int = 16): String =
+    s"""WITH ${kmeansCtes(rounds, nList, "embeddings")},
+       |sizes AS (SELECT cid, count(*) AS csize FROM assign GROUP BY cid)
+       |SELECT a.vec_id, a.cid, s.csize
+       |FROM assign a JOIN sizes s ON s.cid = a.cid""".stripMargin
+
+  /** SemDeDup: k-means-trained clusters as the blocking structure, then
+    * drop every vector that has a LOWER-id in-cluster neighbor with cosine
+    * ≥ `threshold` (exact integer test, see [[dedupEmbed]]); returns the
+    * surviving (vec_id, cid). Runs over [[withDupCopies]] so planted
+    * near-dup pairs exist by construction.
+    *
+    * Scale shape: training as [[kmeansAssign]]; the dedup pass is an
+    * intra-cluster self-equi-join (~n²/nList pairs with the derived
+    * nList = √n) followed by a left-anti join — no window over the skewed
+    * cluster key, no vector payload on the anti-join side. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.995,
+                    rounds: Int = 3, nList0: Int = 0): DataFrame = {
+    val base = quantBase(withDupCopies(emb)).persist()
+    val nList = if (nList0 > 0) nList0 else derivedNListDedup(base.count())
+    var cent = seedFrame(emb.sparkSession, nList)
+    for (_ <- 1 to rounds)
+      cent = lloydRound(base, cent).localCheckpoint()
+    val cells = centroidRanksTrained(base, cent).filter(col("crn") === 1)
+      .select(col("cid"), col("vec_id"), col("q"), dot(col("q"), col("q")).as("nq"))
+      .persist()
+    val t2 = threshold * threshold
+    val dups = cells.select(col("cid"), col("vec_id").as("a"), col("q").as("qa"), col("nq").as("na"))
+      .join(cells.select(col("cid"), col("vec_id").as("b"), col("q").as("qb"), col("nq").as("nb")),
+        "cid")
+      .filter(col("a") < col("b"))
+      .withColumn("dp", dot(col("qa"), col("qb")))
+      .filter(col("dp") > 0 &&
+        col("dp").cast("double") * col("dp").cast("double") >=
+          lit(t2) * col("na").cast("double") * col("nb").cast("double"))
+      .select(col("b").as("vec_id")).distinct()
+    cells.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left_anti")
+  }
+
+  /** Full DuckDB mirror of [[semanticDedup]] ∘ [[withDupCopies]]. */
+  def semanticDedupSql(threshold: Double = 0.995,
+                       rounds: Int = 3, nList: Int = 16): String = {
+    val t2 = threshold * threshold
+    s"""WITH aug AS (SELECT vec_id, embedding FROM embeddings
+       |             UNION ALL
+       |             SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |${kmeansCtes(rounds, nList, "aug")},
+       |cells AS MATERIALIZED (
+       |  SELECT cid, vec_id, q, list_inner_product(q, q) AS nq FROM assign),
+       |dups AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE list_inner_product(x.q, y.q) > 0
+       |    AND CAST(list_inner_product(x.q, y.q) AS DOUBLE) * CAST(list_inner_product(x.q, y.q) AS DOUBLE)
+       |        >= $t2 * CAST(x.nq AS DOUBLE) * CAST(y.nq AS DOUBLE))
+       |SELECT c.vec_id, c.cid FROM cells c
+       |WHERE c.vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin
+  }
+
   /** FULL DuckDB mirror of [[lshTopK]] — possible because the hyperplane
     * sign test is exact integer arithmetic (see Exprs.LshBuckets) and mix64
     * is SQL-expressible via HUGEINT limbs ([[graft.queries.SqlHash]]):

@@ -205,6 +205,41 @@ class TextOpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"trained-IVF recall=$recall")
   }
 
+  test("k-means: 3 Lloyd rounds assign every vector once with exact sizes, deterministic") {
+    val emb = plantedEmb // 240 vectors: 40 planted directions × (1 base + 5 copies)
+    val out = Ann.kmeansAssign(emb, rounds = 3, nList0 = 16).collect()
+    assert(out.length == 240)
+    assert(out.map(_.getLong(0)).distinct.length == 240, "a vector was assigned twice or dropped")
+    out.groupBy(_.getInt(1)).foreach { case (cid, rows) =>
+      assert(rows.forall(_.getLong(2) == rows.length), s"csize wrong for cid=$cid")
+    }
+    // training is deterministic end-to-end (integer dots, single-division means)
+    val again = Ann.kmeansAssign(emb, rounds = 3, nList0 = 16).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      again.map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // planted cluster-mates co-assign after training: for most of the 40
+    // directions, all 6 members (base + 5 perturbed copies) share one cell
+    val cidOf = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pure = (0 until 40).count { c =>
+      val members = c.toLong +: (0 until 5).map(j => (40 + c * 5 + j).toLong)
+      members.map(cidOf).distinct.size == 1
+    }
+    assert(pure >= 28, s"only $pure/40 planted clusters are cell-pure after 3 Lloyd rounds")
+  }
+
+  test("semantic dedup: planted twins dropped, orthogonal bases survive") {
+    val emb = plantedEmb
+    val ids = Ann.semanticDedup(emb, rounds = 3, nList0 = 16)
+      .collect().map(_.getLong(0)).toSet
+    // withDupCopies plants an IDENTICAL twin at vec_id + 10^7 for every
+    // vec_id % 10 == 0: cos = 1 with its (lower-id) base in the same cell
+    assert(!ids.exists(_ >= 10000000L), "an identical planted twin survived")
+    // distinct planted directions are near-orthogonal (cos ≈ 0), so every
+    // base direction id (the lowest id of its cluster) must survive
+    assert((0L until 40L).forall(ids.contains), "a base direction was wrongly dropped")
+    assert(ids.size <= 240 && ids.size >= 40)
+  }
+
   test("IVF derived nList keeps the cell self-join sub-quadratic at 10x corpus") {
     // blocked pair count = Σ c_i·(c_i−1)/2 over cell occupancies — the cost
     // of dedupEmbed's self-join. With the FROZEN nList=16 this is ~n²/16 at
