@@ -40,6 +40,7 @@ object SparkEntry {
     // same join, GENERAL-polygon kernel (bbox-cover blocking + exact
     // shell-overlap verify); row-identical on rects, shares the oracle
     "poly_overlap_geom" -> ((s, d) => Queries.polyOverlapGeom(s, d)),
+    "poly_centroid" -> ((s, d) => Queries.polyCentroid(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
@@ -227,6 +228,7 @@ object SparkEntry {
     "tile_cover_rect" -> Queries.tileCoverRectSql,
     "poly_overlap" -> Queries.polyOverlapSql,
     "poly_overlap_geom" -> Queries.polyOverlapSql,
+    "poly_centroid" -> Queries.polyCentroidSql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan

@@ -150,6 +150,34 @@ object Geo {
     g.kind == Geom.Poly && pointInRings(g.rings, lon, lat)
   }
 
+  /** Shoelace moments of the exterior ring, exact on the milli-degree
+    * integer lattice: [A2, Cx6, Cy6] with vertices quantized by
+    * round(x·1000) (boundary-safe — synth bounds live on the 0.001°
+    * lattice), cross_i = x_i·y_{i+1} − x_{i+1}·y_i, A2 = Σ cross_i
+    * (twice the signed area, positive for CCW rings), Cx6 =
+    * Σ (x_i + x_{i+1})·cross_i = 6·A·Cx and likewise Cy6. All BIGINT-exact:
+    * |x_q| ≤ 360 000, so each Cx6 term is < 2^56 and a ring would need
+    * ~100 vertices at world scale to approach 2^63. The closing edge is
+    * degenerate when the ring repeats its first vertex (cross = 0), so
+    * open and closed rings both work. */
+  def polyMomentsQ(g: Geom): Array[Long] = {
+    require(g.isPoly && g.rings.nonEmpty, "polygon WKB required")
+    val r = g.rings(0)
+    val n = r.length / 2
+    def xq(i: Int): Long = Math.round(r(2 * (i % n)) * 1000.0)
+    def yq(i: Int): Long = Math.round(r(2 * (i % n) + 1) * 1000.0)
+    var a2 = 0L; var cx6 = 0L; var cy6 = 0L
+    var i = 0
+    while (i < n) {
+      val cross = xq(i) * yq(i + 1) - xq(i + 1) * yq(i)
+      a2 += cross
+      cx6 += (xq(i) + xq(i + 1)) * cross
+      cy6 += (yq(i) + yq(i + 1)) * cross
+      i += 1
+    }
+    Array(a2, cx6, cy6)
+  }
+
   /** Bounding box [west, south, east, north] over all coordinates. */
   def bbox(g: Geom): Array[Double] = {
     var w = Double.MaxValue; var s = Double.MaxValue

@@ -151,6 +151,19 @@ object Exprs {
       copy(child = c)
   }
 
+  /** poly_moments(geom_wkb): [A2, Cx6, Cy6] exterior-ring shoelace moments
+    * on the milli-degree integer lattice ([[Geo.polyMomentsQ]]). */
+  case class PolyMoments(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "poly_moments"
+    override def nullSafeEval(wkb: Any): Any =
+      new GenericArrayData(Geo.polyMomentsQ(Geo.parseWkb(wkb.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildInternal(c: Expression): PolyMoments =
+      copy(child = c)
+  }
+
   /** tile_cover(geom_wkb, z): packed cells covering the geometry. */
   case class TileCoverExpr(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -753,6 +766,7 @@ object F {
   def pipWkb(wkb: Column, lon: Column, lat: Column): Column = c(PipWkb(x(wkb), x(lon), x(lat)))
   def polysOverlap(a: Column, b: Column): Column = c(PolysOverlap(x(a), x(b)))
   def wkbBbox(wkb: Column): Column = c(WkbBbox(x(wkb)))
+  def polyMoments(wkb: Column): Column = c(PolyMoments(x(wkb)))
   def tileCover(wkb: Column, z: Column): Column = c(TileCoverExpr(x(wkb), x(z)))
   def clipToCell(wkb: Column, cell: Column): Column = c(ClipToCellWkb(x(wkb), x(cell)))
   def rectWkb(w: Column, s: Column, e: Column, n: Column): Column =

@@ -713,6 +713,57 @@ object Queries {
        |  AND CAST(round(b.south * 1000, 0) AS BIGINT) < CAST(round(a.north * 1000, 0) AS BIGINT)""".stripMargin
 
   // =================================================================
+  // Polygon measures: shoelace area + centroid over the WKB exterior
+  // ring (carmen derives a per-feature "center" point for scoredist the
+  // same way). The Spark kernel (F.polyMoments → Geo.polyMomentsQ) walks
+  // the ACTUAL ring vertices generically; the oracle rebuilds the same
+  // 5-vertex rect ring from the bounds and runs the identical fold —
+  // every moment is exact BIGINT on the milli-degree lattice, and the
+  // centroid close is one double division + round(_, 6) on both engines.
+  // =================================================================
+
+  /** Driver query: per-feature [2·area, centroid] from the WKB ring. */
+  def polyCentroid(spark: SparkSession, sfDir: String): DataFrame =
+    graft.synth.Synth.custFeatures(spark, sfDir)
+      .select(col("feature_id"), F.polyMoments(col("geom_wkb")).as("m"))
+      .select(col("feature_id"),
+        element_at(col("m"), 1).as("a2q"),
+        round(element_at(col("m"), 2).cast("double") /
+          (lit(3.0) * element_at(col("m"), 1).cast("double")), 6).as("cx"),
+        round(element_at(col("m"), 3).cast("double") /
+          (lit(3.0) * element_at(col("m"), 1).cast("double")), 6).as("cy"))
+
+  /** Oracle mirror of [[polyCentroid]]: the same shoelace fold over the
+    * rect ring (w,s)(e,s)(e,n)(w,n)(w,s) rebuilt from the bounds. */
+  def polyCentroidSql: String =
+    s"""WITH cf AS (${graft.synth.Synth.custFeaturesSql}),
+       |cfq AS (
+       |  SELECT feature_id,
+       |         CAST(round(west * 1000, 0) AS BIGINT) AS wq,
+       |         CAST(round(south * 1000, 0) AS BIGINT) AS sq,
+       |         CAST(round(east * 1000, 0) AS BIGINT) AS eq,
+       |         CAST(round(north * 1000, 0) AS BIGINT) AS nq
+       |  FROM cf),
+       |verts AS (
+       |  SELECT feature_id, i.i,
+       |         CASE i.i WHEN 1 THEN wq WHEN 2 THEN eq WHEN 3 THEN eq WHEN 4 THEN wq WHEN 5 THEN wq END AS x,
+       |         CASE i.i WHEN 1 THEN sq WHEN 2 THEN sq WHEN 3 THEN nq WHEN 4 THEN nq WHEN 5 THEN sq END AS y
+       |  FROM cfq, (SELECT unnest(generate_series(1, 5)) AS i) i),
+       |edges AS (
+       |  SELECT a.feature_id, a.x * b.y - b.x * a.y AS cr,
+       |         a.x + b.x AS sx, a.y + b.y AS sy
+       |  FROM verts a JOIN verts b ON b.feature_id = a.feature_id AND b.i = a.i + 1),
+       |mom AS (
+       |  SELECT feature_id, CAST(sum(cr) AS BIGINT) AS a2q,
+       |         CAST(sum(sx * cr) AS BIGINT) AS cx6,
+       |         CAST(sum(sy * cr) AS BIGINT) AS cy6
+       |  FROM edges GROUP BY feature_id)
+       |SELECT feature_id, a2q,
+       |       round(CAST(cx6 AS DOUBLE) / (3.0 * CAST(a2q AS DOUBLE)), 6) AS cx,
+       |       round(CAST(cy6 AS DOUBLE) / (3.0 * CAST(a2q AS DOUBLE)), 6) AS cy
+       |FROM mom""".stripMargin
+
+  // =================================================================
   // H3b: cover compaction (the S2/H3 `compact` analogue over the z/x/y
   // grid): replace every fully-covered aligned 2^dz × 2^dz block of cover
   // cells with its single ancestor cell. Closed form — NO fixpoint loop:

@@ -266,4 +266,36 @@ class GeoSpec extends AnyFunSuite {
     val corner = poly(2, 2, 4, 2, 4, 4, 2, 4, 2, 2)
     assert(Geo.polysOverlap(square, corner))
   }
+
+  test("polyMomentsQ: exact shoelace area + centroid vs JTS on lattice polygons") {
+    // fixed CCW rect (w,s,e,n) = (1,2,4,6): A2 = 2·3000·4000 exactly,
+    // centroid at the midpoint (2.5, 4.0) = (2500, 4000) milli
+    val rect = parseWkb(writeWkbPolygon(Array(
+      Array(1.0, 2.0, 4.0, 2.0, 4.0, 6.0, 1.0, 6.0, 1.0, 2.0))))
+    val Array(ra2, rcx6, rcy6) = polyMomentsQ(rect)
+    assert(ra2 == 2L * 3000 * 4000)
+    assert(rcx6.toDouble / (3.0 * ra2) == 2500.0)
+    assert(rcy6.toDouble / (3.0 * ra2) == 4000.0)
+    // random simple polygons snapped to the 0.001° lattice: the integer
+    // kernel must agree with JTS's double shoelace on the same vertices
+    val r = new Random(77)
+    var checked = 0
+    (0 until 60).foreach { trial =>
+      val snapped = randomPolygon(r, 3 + r.nextInt(8))
+        .map(v => math.rint(v * 1000.0) / 1000.0)
+      val Array(a2, cx6, cy6) = polyMomentsQ(parseWkb(writeWkbPolygon(Array(snapped))))
+      if (a2 != 0) {
+        val jts = toJts(snapped)
+        assert(math.abs(math.abs(a2.toDouble) / 2.0e6 - jts.getArea) < 1e-7,
+          s"trial $trial area: a2=$a2 jts=${jts.getArea}")
+        val c = jts.getCentroid
+        assert(math.abs(cx6.toDouble / (3.0 * a2) / 1000.0 - c.getX) < 1e-6,
+          s"trial $trial cx")
+        assert(math.abs(cy6.toDouble / (3.0 * a2) / 1000.0 - c.getY) < 1e-6,
+          s"trial $trial cy")
+        checked += 1
+      }
+    }
+    assert(checked >= 55, s"degenerate fixture: only $checked/60 non-zero areas")
+  }
 }
