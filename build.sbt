@@ -27,5 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Djava.awt.headless=true", // JDK ImageIO decode (Multimodal) without a display
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: an 8g heap put full-GC pauses inside later bench samples
+  // (GC threads sized for the box thrash on a small pinned CPU set as heap
+  // pressure builds across samples — measured: the N=2 dedup-scale samples
+  // declined 232k -> 123k docs/s at 8g and stabilized at 24g). Lazily
+  // committed, so small runs don't pay for it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -604,9 +604,11 @@ object Ann {
       .select(col("cid"), col("vec_id"), col("q"), dot(col("q"), col("q")).as("nq"))
       .persist()
     val t2 = threshold * threshold
+    // both pair sides and the dup set are corpus-sized — pin shuffle-hash
+    // (Catalyst misestimates under cached relations; CLAUDE.md invariant)
     val dups = cells.select(col("cid"), col("vec_id").as("a"), col("q").as("qa"), col("nq").as("na"))
-      .join(cells.select(col("cid"), col("vec_id").as("b"), col("q").as("qb"), col("nq").as("nb")),
-        "cid")
+      .join(cells.select(col("cid"), col("vec_id").as("b"), col("q").as("qb"), col("nq").as("nb"))
+        .hint("shuffle_hash"), "cid")
       .filter(col("a") < col("b"))
       .withColumn("dp", dot(col("qa"), col("qb")))
       .filter(col("dp") > 0 &&
@@ -614,7 +616,7 @@ object Ann {
           lit(t2) * col("na").cast("double") * col("nb").cast("double"))
       .select(col("b").as("vec_id")).distinct()
     cells.select(col("vec_id"), col("cid"))
-      .join(dups, Seq("vec_id"), "left_anti")
+      .join(dups.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
   }
 
   /** Full DuckDB mirror of [[semanticDedup]] ∘ [[withDupCopies]]. */

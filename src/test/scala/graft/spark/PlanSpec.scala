@@ -259,4 +259,29 @@ class PlanSpec extends SparkTestBase {
     assert(!ps.contains("BroadcastHashJoin"),
       s"shingle winners must not broadcast:\n$ps")
   }
+
+  test("embed_kmeans: centroid dims broadcast, corpus never nested-loops, sizes join back broadcast") {
+    import graft.ops.Ann
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(Ann.kmeansAssign(emb, rounds = 3, nList0 = 16))
+    // the only acceptable cross join is corpus × broadcast nList-row
+    // centroid dim; a CartesianProduct would shuffle the corpus per round
+    assert(!p.contains("CartesianProduct"),
+      s"centroid cross-join must broadcast, not cartesian:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "final assignment must join the broadcast centroid dim")
+    // cluster sizes attach by broadcast join-back (cid is skew-prone);
+    // a cid-keyed Window would funnel a hot cluster through one task
+    assert(!("Window \\[count".r.findFirstIn(p).isDefined),
+      "csize must not be a cid window")
+  }
+
+  test("semantic_dedup: intra-cluster pair join shuffles on cid, anti side skinny") {
+    import graft.ops.Ann
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(Ann.semanticDedup(emb, rounds = 1, nList0 = 16))
+    assert(!p.contains("CartesianProduct"), "pair blocking must ride the cid equi-join")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "cells self-join is corpus-sized on both sides — it must shuffle")
+  }
 }
