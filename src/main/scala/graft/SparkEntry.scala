@@ -41,6 +41,12 @@ object SparkEntry {
     // shell-overlap verify); row-identical on rects, shares the oracle
     "poly_overlap_geom" -> ((s, d) => Queries.polyOverlapGeom(s, d)),
     "poly_centroid" -> ((s, d) => Queries.polyCentroid(s, d)),
+    // segment×segment proper-crossing join: cover blocking + exact integer
+    // orientation tests; emits the exact rational intersection point
+    "seg_join" -> ((s, d) => Queries.segJoin(s, d)),
+    // grid DBSCAN over event points: eps-grid blocking, CC core clusters,
+    // deterministic min-label border attachment
+    "dbscan" -> ((s, d) => Queries.dbscan(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
@@ -229,6 +235,8 @@ object SparkEntry {
     "poly_overlap" -> Queries.polyOverlapSql,
     "poly_overlap_geom" -> Queries.polyOverlapSql,
     "poly_centroid" -> Queries.polyCentroidSql,
+    "seg_join" -> Queries.segJoinSql,
+    "dbscan" -> Queries.dbscanSql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan

@@ -764,6 +764,292 @@ object Queries {
        |FROM mom""".stripMargin
 
   // =================================================================
+  // D9: line-segment intersection JOIN (the street-intersection /
+  // boundary-crossing analogue of the polygon overlap join): PBSM
+  // blocking on the z-cell cover of each segment's bbox, CLOSED-interval
+  // bbox gate (segments can be axis-parallel → zero-width bboxes; the
+  // open gate used for rect overlap would drop them), then EXACT integer
+  // orientation predicates on the milli-degree lattice — sign tests only,
+  // never sign PRODUCTS (o1·o2 overflows BIGINT at lattice magnitudes).
+  // Exactly-once via the reference-point method on the bbox∩bbox min
+  // corner (a proper crossing implies the corner lies in both CLOSED
+  // bboxes, hence in both covers). Output is the EXACT RATIONAL
+  // intersection point as integer numerators over a sign-normalized
+  // denominator — no double division to diverge between engines.
+  // Contract: only PROPER crossings are emitted (strict sign opposition
+  // on both orientation pairs); collinear overlap and endpoint touching
+  // are excluded by construction.
+  // =================================================================
+
+  /** Two diagonal segments per padded customer rect: seg_id = 2·fid is
+    * the (w,s)→(e,n) main diagonal, 2·fid+1 the (w,n)→(e,s)
+    * anti-diagonal — same-rect diagonals always properly cross
+    * (guaranteed output at every SF) and overlapping padded rects cross
+    * each other's diagonals. */
+  private def custSegments(spark: SparkSession, sfDir: String): DataFrame =
+    paddedCustFeatures(spark, sfDir)
+      .select(col("feature_id"), explode(array(
+        struct((col("feature_id") * 2).as("seg_id"),
+          col("west").as("x1"), col("south").as("y1"),
+          col("east").as("x2"), col("north").as("y2")),
+        struct((col("feature_id") * 2 + 1).as("seg_id"),
+          col("west").as("x1"), col("north").as("y1"),
+          col("east").as("x2"), col("south").as("y2")))).as("g"))
+      .select(col("g.seg_id").as("seg_id"), col("g.x1").as("x1"),
+        col("g.y1").as("y1"), col("g.x2").as("x2"), col("g.y2").as("y2"))
+
+  def segJoin(spark: SparkSession, sfDir: String, z: Int = 6): DataFrame =
+    segJoinOf(custSegments(spark, sfDir), z)
+
+  /** Segment×segment proper-crossing join over any frame of
+    * (seg_id, x1, y1, x2, y2) degree-coordinate segments on the
+    * milli-degree lattice. Shuffle budget: ONE cell-keyed exchange per
+    * side (the cover frame is persisted — both sides read it), nothing
+    * after the join; the per-cell fan-out takes the same salting hook as
+    * [[polyOverlapOf]] if a layer concentrates (not needed for the synth
+    * layer). */
+  def segJoinOf(segs: DataFrame, z: Int): DataFrame = {
+    val cov = segs
+      .withColumn("w", least(col("x1"), col("x2")))
+      .withColumn("s", least(col("y1"), col("y2")))
+      .withColumn("e", greatest(col("x1"), col("x2")))
+      .withColumn("n", greatest(col("y1"), col("y2")))
+      .withColumn("cell", explode(F.tileCover(
+        F.rectWkb(col("w"), col("s"), col("e"), col("n")), lit(z))))
+      .persist()
+    def side(p: String) = cov.select(col("cell"), col("seg_id").as(s"${p}_id"),
+      qMilli(col("x1")).as(s"${p}x1"), qMilli(col("y1")).as(s"${p}y1"),
+      qMilli(col("x2")).as(s"${p}x2"), qMilli(col("y2")).as(s"${p}y2"),
+      col("w").as(s"${p}_w"), col("s").as(s"${p}_s"),
+      col("e").as(s"${p}_e"), col("n").as(s"${p}_n"))
+    val j = side("a").join(side("b").hint("shuffle_hash"), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(qMilli(col("a_w")) <= qMilli(col("b_e")) &&
+        qMilli(col("b_w")) <= qMilli(col("a_e")) &&
+        qMilli(col("a_s")) <= qMilli(col("b_n")) &&
+        qMilli(col("b_s")) <= qMilli(col("a_n")))
+      .filter(col("cell") === F.cellAt(lit(z),
+        greatest(col("a_w"), col("b_w")), greatest(col("a_s"), col("b_s"))))
+    // orient(p,q,r) = (qx−px)(ry−py) − (qy−py)(rx−px), exact BIGINT
+    val o1 = (col("ax2") - col("ax1")) * (col("by1") - col("ay1")) -
+      (col("ay2") - col("ay1")) * (col("bx1") - col("ax1"))
+    val o2 = (col("ax2") - col("ax1")) * (col("by2") - col("ay1")) -
+      (col("ay2") - col("ay1")) * (col("bx2") - col("ax1"))
+    val o3 = (col("bx2") - col("bx1")) * (col("ay1") - col("by1")) -
+      (col("by2") - col("by1")) * (col("ax1") - col("bx1"))
+    val o4 = (col("bx2") - col("bx1")) * (col("ay2") - col("by1")) -
+      (col("by2") - col("by1")) * (col("ax2") - col("bx1"))
+    val den0 = (col("ax1") - col("ax2")) * (col("by1") - col("by2")) -
+      (col("ay1") - col("ay2")) * (col("bx1") - col("bx2"))
+    val cab = col("ax1") * col("ay2") - col("ay1") * col("ax2")
+    val ccd = col("bx1") * col("by2") - col("by1") * col("bx2")
+    val pxn0 = cab * (col("bx1") - col("bx2")) - (col("ax1") - col("ax2")) * ccd
+    val pyn0 = cab * (col("by1") - col("by2")) - (col("ay1") - col("ay2")) * ccd
+    val sg = when(den0 < 0, lit(-1L)).otherwise(lit(1L))
+    j.filter(((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+        ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0)))
+      .select(col("a_id"), col("b_id"),
+        (pxn0 * sg).as("pxn"), (pyn0 * sg).as("pyn"), (den0 * sg).as("den"))
+  }
+
+  /** Oracle mirror of [[segJoin]]: the raw θ self-join on segment
+    * endpoints with the identical integer orientation/numerator
+    * arithmetic — the tile blocking never crosses engines, so the compare
+    * proves the cover blocking loss-free AND the reference-point dedup
+    * exact (same proof shape as [[polyOverlapSql]]). */
+  def segJoinSql: String =
+    s"""WITH cf0 AS (${custFeaturesSql}),
+       |cf AS MATERIALIZED (
+       |  SELECT feature_id, west - 1.5 AS west, south - 1.5 AS south,
+       |         east + 1.5 AS east, north + 1.5 AS north
+       |  FROM cf0),
+       |segs AS MATERIALIZED (
+       |  SELECT feature_id * 2 AS seg_id,
+       |         CAST(round(west * 1000, 0) AS BIGINT) AS x1,
+       |         CAST(round(south * 1000, 0) AS BIGINT) AS y1,
+       |         CAST(round(east * 1000, 0) AS BIGINT) AS x2,
+       |         CAST(round(north * 1000, 0) AS BIGINT) AS y2
+       |  FROM cf
+       |  UNION ALL
+       |  SELECT feature_id * 2 + 1,
+       |         CAST(round(west * 1000, 0) AS BIGINT),
+       |         CAST(round(north * 1000, 0) AS BIGINT),
+       |         CAST(round(east * 1000, 0) AS BIGINT),
+       |         CAST(round(south * 1000, 0) AS BIGINT)
+       |  FROM cf),
+       |pr AS (
+       |  SELECT a.seg_id AS a_id, b.seg_id AS b_id,
+       |         a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+       |         b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+       |  FROM segs a JOIN segs b ON a.seg_id < b.seg_id
+       |  WHERE least(a.x1, a.x2) <= greatest(b.x1, b.x2)
+       |    AND least(b.x1, b.x2) <= greatest(a.x1, a.x2)
+       |    AND least(a.y1, a.y2) <= greatest(b.y1, b.y2)
+       |    AND least(b.y1, b.y2) <= greatest(a.y1, a.y2)),
+       |o AS (
+       |  SELECT a_id, b_id, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+       |    (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS o1,
+       |    (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS o2,
+       |    (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS o3,
+       |    (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS o4,
+       |    (ax1 - ax2) * (by1 - by2) - (ay1 - ay2) * (bx1 - bx2) AS den0,
+       |    ax1 * ay2 - ay1 * ax2 AS cab,
+       |    bx1 * by2 - by1 * bx2 AS ccd
+       |  FROM pr)
+       |SELECT a_id, b_id,
+       |  (cab * (bx1 - bx2) - (ax1 - ax2) * ccd) *
+       |    (CASE WHEN den0 < 0 THEN -1 ELSE 1 END) AS pxn,
+       |  (cab * (by1 - by2) - (ay1 - ay2) * ccd) *
+       |    (CASE WHEN den0 < 0 THEN -1 ELSE 1 END) AS pyn,
+       |  den0 * (CASE WHEN den0 < 0 THEN -1 ELSE 1 END) AS den
+       |FROM o
+       |WHERE ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+       |  AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))""".stripMargin
+
+  // =================================================================
+  // Density clustering (grid DBSCAN): the mention-clustering / POI-
+  // conflation op. eps is DERIVED from the corpus count (eps = ⌊K/√n⌋)
+  // so the expected neighbor degree πK²/A stays constant across SFs —
+  // subcritical for continuum percolation, so clusters stay finite (the
+  // CC closure's round count stays bounded) at every scale. Blocking:
+  // eps-sized integer grid, 9-neighbor-cell DIRECTED join — a pair meets
+  // in exactly ONE (probe-cell = home-cell) combination, so there is no
+  // dedup exchange; dist² ≤ eps² is exact BIGINT lattice arithmetic.
+  // Core points (≥ minPts−1 neighbors) cluster via connected components
+  // (TextOps.dupClusters: star contraction + driver union-find under an
+  // explicit ceiling, distributed min-label loop beyond); border points
+  // attach to the MIN core-neighbor cluster label — classic DBSCAN is
+  // scan-order-dependent here, min is the deterministic choice the
+  // oracle mirrors. Noise points are dropped.
+  // =================================================================
+
+  private val DbscanK = 214000.0
+  private val DbscanMinPts = 4
+
+  /** DBSCAN probe points: event ids scattered by a QUADRATIC hash, not the
+    * linear multiplicative lattice of [[eventPointsSql]] — on the linear
+    * lattice a pair is within eps iff the id DIFFERENCE Δ has both
+    * residues small, so the neighbor graph degenerates into arithmetic
+    * chains whose existence flips with eps (measured: eps=2140 at sf0.01
+    * admits ZERO pairs — a vacuous gate). The quadratic map scatters
+    * Poisson-like at every SF (measured: pairs ∝ n, ~45% core, max
+    * cluster ≤ ~50 at sf0.001/0.01/0.1). Exact BIGINT on both engines. */
+  private def dbscanPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = col("event_id")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(k.as("id"),
+        ((k * k * 7919 + k * 104729) % 360000 - 180000).as("xq"),
+        ((k * k * 104729 + k * 7919) % 160000 - 80000).as("yq"))
+  }
+
+  private val dbscanPointsSql: String =
+    """SELECT event_id AS id,
+      |       (event_id * event_id * 7919 + event_id * 104729) % 360000 - 180000 AS xq,
+      |       (event_id * event_id * 104729 + event_id * 7919) % 160000 - 80000 AS yq
+      |FROM events""".stripMargin
+
+  def dbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val eps = math.floor(DbscanK / math.sqrt(n.toDouble)).toLong
+    // pts persisted: probe side, home side, and the core/border joins all
+    // read it (same multi-consumer convention as the cover frames above)
+    val pts = dbscanPoints(spark, sfDir)
+      .withColumn("sx", expr(s"(xq + 180000) div $eps"))
+      .withColumn("sy", expr(s"(yq + 80000) div $eps"))
+      .persist()
+    val probes = pts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("id").as("a"), col("xq").as("ax"), col("yq").as("ay"),
+        (col("sx") + col("dx")).as("sx"), (col("sy") + col("dy")).as("sy"))
+    val pairs = probes
+      .join(pts.select(col("id").as("b"), col("xq").as("bx"),
+        col("yq").as("by"), col("sx"), col("sy")).hint("shuffle_hash"),
+        Seq("sx", "sy"))
+      .filter(col("a") =!= col("b"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <= lit(eps * eps))
+      .select(col("a"), col("b"))
+      .persist()
+    val core = pairs.groupBy(col("a")).count()
+      .filter(col("count") >= DbscanMinPts - 1)
+      .select(col("a").as("id"))
+    val corePairs = pairs
+      .join(core.select(col("id").as("a")), "a")
+      .join(core.select(col("id").as("b")), "b")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val clusters = graft.ops.TextOps.dupClusters(corePairs)
+    val coreLbl = core
+      .join(clusters.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("lbl"))
+      .persist()
+    val borderOut = pairs
+      .join(core.select(col("id").as("a")), Seq("a"), "left_anti")
+      .join(coreLbl.select(col("id").as("b"), col("lbl")), "b")
+      .groupBy(col("a")).agg(min(col("lbl")).as("cluster_id"))
+      .select(col("a").as("point_id"), col("cluster_id"),
+        lit("border").as("role"))
+    coreLbl.select(col("id").as("point_id"), col("lbl").as("cluster_id"),
+        lit("core").as("role"))
+      .union(borderOut)
+  }
+
+  /** Oracle mirror of [[dbscan]]: the same integer grid blocking (cell
+    * width = eps ⇒ any within-eps pair differs by ≤1 cell per axis —
+    * loss-free by construction, both engines run the identical integer
+    * arithmetic), minPts gate, recursive min-label closure over the
+    * star-contracted core graph ([[graft.ops.TextOps.dupClustersSql]]
+    * shape), and min-label border attachment. */
+  def dbscanSql: String =
+    s"""WITH RECURSIVE pts AS MATERIALIZED (${dbscanPointsSql}),
+       |par AS (SELECT CAST(floor(214000.0 / sqrt(count(*))) AS BIGINT) AS eps FROM pts),
+       |g AS MATERIALIZED (
+       |  SELECT id, xq, yq,
+       |         (xq + 180000) // eps AS sx, (yq + 80000) // eps AS sy
+       |  FROM pts, par),
+       |probes AS (
+       |  SELECT id AS a, xq AS ax, yq AS ay,
+       |         sx + dx.d AS sx, sy + dy.d AS sy
+       |  FROM g,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dy),
+       |pairs AS MATERIALIZED (
+       |  SELECT p.a, b.id AS b
+       |  FROM probes p JOIN g b ON b.sx = p.sx AND b.sy = p.sy, par
+       |  WHERE p.a <> b.id
+       |    AND (p.ax - b.xq) * (p.ax - b.xq) +
+       |        (p.ay - b.yq) * (p.ay - b.yq) <= eps * eps),
+       |core AS MATERIALIZED (
+       |  SELECT a AS id FROM pairs GROUP BY a
+       |  HAVING count(*) >= ${DbscanMinPts - 1}),
+       |cpairs AS MATERIALIZED (
+       |  SELECT a, b FROM pairs
+       |  WHERE a < b AND a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+       |sym AS MATERIALIZED (SELECT a, b FROM cpairs UNION ALL SELECT b AS a, a AS b FROM cpairs),
+       |m1 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS lbl1 FROM sym GROUP BY a),
+       |e1 AS MATERIALIZED (SELECT DISTINCT ma.lbl1 AS a, mb.lbl1 AS b
+       |       FROM sym JOIN m1 ma ON sym.a = ma.node JOIN m1 mb ON sym.b = mb.node
+       |       WHERE ma.lbl1 <> mb.lbl1),
+       |reach AS (
+       |  SELECT a AS node, a AS lbl FROM e1
+       |  UNION
+       |  SELECT e.b AS node, r.lbl AS lbl FROM reach r JOIN e1 e ON e.a = r.node
+       |  WHERE r.lbl < e.b),
+       |root AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       |cmap AS (SELECT m1.node, coalesce(root.lbl, m1.lbl1) AS lbl
+       |         FROM m1 LEFT JOIN root ON m1.lbl1 = root.node),
+       |corelbl AS MATERIALIZED (
+       |  SELECT c.id, coalesce(cmap.lbl, c.id) AS lbl
+       |  FROM core c LEFT JOIN cmap ON cmap.node = c.id)
+       |SELECT id AS point_id, lbl AS cluster_id, 'core' AS role FROM corelbl
+       |UNION ALL
+       |SELECT p.a AS point_id, min(cl.lbl) AS cluster_id, 'border' AS role
+       |FROM pairs p JOIN corelbl cl ON cl.id = p.b
+       |WHERE p.a NOT IN (SELECT id FROM core)
+       |GROUP BY p.a""".stripMargin
+
+  // =================================================================
   // H3b: cover compaction (the S2/H3 `compact` analogue over the z/x/y
   // grid): replace every fully-covered aligned 2^dz × 2^dz block of cover
   // cells with its single ancestor cell. Closed form — NO fixpoint loop:
