@@ -283,7 +283,18 @@ object Bench {
     // shape (sketch self-join; geocode = broadcast join, curate = agg/gate
     // chain). Same pinned per-pair estimator as the headline.
     if (sys.env.get("SPARK_GRAFT_DEDUP_SCALE").contains("1")) {
-      val ampD = sys.env.getOrElse("SPARK_GRAFT_DEDUP_AMP", "20").toInt
+      val ampD = sys.env.getOrElse("SPARK_GRAFT_DEDUP_AMP", "200").toInt
+      // Every variant must be textually DISTINCT or the workload is
+      // degenerate: the first fixture truncated by rep%4, so amplification
+      // produced only 4 distinct texts per base doc — exactReps collapsed
+      // 1M rows back to 20k and the signature/band/join core saw constant
+      // work regardless of amp (measured: 10× amp gave only 2× W). Here
+      // every 4th token is substituted with a PAIR-id marker and rep%2
+      // trailing tokens drop: all amp variants are distinct (signatures
+      // compute for every doc), true near-dup families are exactly the
+      // (2r, 2r+1) pairs — bounded families, the workload LSH exists for —
+      // and cross-pair Jaccard falls below threshold (3/4 of shingles hit
+      // a substituted position).
       val docsPath = {
         val s = session(cpus)
         try {
@@ -293,15 +304,20 @@ object Bench {
             .select(col("doc_id"), col("text"))
           base.withColumn("rep", explode(sequence(lit(0), lit(ampD - 1))))
             .select((col("doc_id") * ampD + col("rep")).as("doc_id"),
-              expr("array_join(slice(split(text, ' '), 1, " +
-                "greatest(size(split(text, ' ')) - rep % 4, 1)), ' ')").as("text"))
+              expr("array_join(transform(slice(split(text, ' '), 1, " +
+                "greatest(size(split(text, ' ')) - rep % 2, 1)), " +
+                "(t, i) -> IF((i + 1) % 4 = 0, " +
+                "concat('w', CAST(rep DIV 2 AS STRING)), t)), ' ')").as("text"))
             .repartition(32)
             .write.mode("overwrite").parquet(p)
           p
         } finally s.stop()
       }
       def dedupRate(cores: String, warm: Boolean): Double = {
-        val s = session(cores, cores.toInt)
+        // partitions scale with the amplified input (spill-aware sizing,
+        // same rationale as headlineParts): rows/partition — not
+        // rows/core — must bound the window-sort and hash-build sizes
+        val s = session(cores, cores.toInt * math.max(1, ampD / 100))
         try {
           def docs = s.read.parquet(docsPath)
           if (warm) graft.ops.TextOps.dedupMinHash(docs.limit(2000)).count()
@@ -309,6 +325,37 @@ object Bench {
           s.catalog.clearCache()
           nDocs / time(graft.ops.TextOps.dedupMinHash(docs).count())
         } finally s.stop()
+      }
+      // stage-breakdown sub-mode (SPARK_GRAFT_DEDUP_STAGES=1): time each
+      // cumulative layer of the minhash pipeline once per core count to
+      // LOCATE the fixed cost the Amdahl fit exposes (T = F + W/c) —
+      // one pinned pass per layer, no interleaving (diagnostic, not a
+      // scoreboard number).
+      if (sys.env.get("SPARK_GRAFT_DEDUP_STAGES").contains("1")) {
+        def stages(cores: String): Seq[(String, Double)] = {
+          pinCpus(cores.toInt)
+          val s = session(cores, cores.toInt)
+          try {
+            def docs = s.read.parquet(docsPath)
+            graft.ops.TextOps.dedupMinHash(docs.limit(2000)).count() // warm
+            s.catalog.clearCache()
+            val tReps = time(graft.ops.TextOps.exactReps(docs).count())
+            s.catalog.clearCache()
+            val tSigs = time(graft.ops.TextOps.exactReps(docs)
+              .select(col("doc_id"),
+                graft.functions.F.minhashSig(col("text"), lit(3), lit(64)).as("sig"))
+              .agg(count(lit(1))).head.getLong(0))
+            s.catalog.clearCache()
+            val tFull = time(graft.ops.TextOps.dedupMinHash(docs).count())
+            Seq("exact_reps" -> tReps, "reps_sigs" -> tSigs, "full" -> tFull)
+          } finally { s.stop(); unpinCpus() }
+        }
+        val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+        val lo = stages(n.toString); val hi = stages((4 * n).toString)
+        def js(xs: Seq[(String, Double)]) =
+          xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+        println(s"""{"metric":"minhash-dedup stage seconds","scale_n":$n,"stages_n":${js(lo)},"stages_4n":${js(hi)},"amplification":$ampD,"sf":"$sfDir"}""")
+        return
       }
       val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
       val samples = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt

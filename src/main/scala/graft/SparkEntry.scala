@@ -47,6 +47,12 @@ object SparkEntry {
     // grid DBSCAN over event points: eps-grid blocking, CC core clusters,
     // deterministic min-label border attachment
     "dbscan" -> ((s, d) => Queries.dbscan(s, d)),
+    // trajectory analytics: OD cell-transition matrix and time-gap trip
+    // segmentation (one user-keyed exchange each)
+    "od_flows" -> ((s, d) => Queries.odFlows(s, d)),
+    "trip_segments" -> ((s, d) => Queries.tripSegments(s, d)),
+    // 3×3 box smoothing over per-cell counts (heatmap/KDE raster pass)
+    "cell_smooth" -> ((s, d) => Queries.cellSmooth(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
@@ -237,6 +243,9 @@ object SparkEntry {
     "poly_centroid" -> Queries.polyCentroidSql,
     "seg_join" -> Queries.segJoinSql,
     "dbscan" -> Queries.dbscanSql,
+    "od_flows" -> Queries.odFlowsSql,
+    "trip_segments" -> Queries.tripSegmentsSql,
+    "cell_smooth" -> Queries.cellSmoothSql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan

@@ -56,29 +56,47 @@ object TextOps {
                    maxBucket: Int = 1000): DataFrame = {
     // exact dups collapse to one rep BEFORE banding (see [[exactReps]]);
     // signature computed once per doc, bands derived from it; persisted so
-    // the self-join's two sides don't re-hash the corpus (at cluster scale
-    // this cut is a written sketch table, not a RAM cache)
+    // the banding projection and the two verify joins don't re-hash the
+    // corpus (at cluster scale this cut is a written sketch table, not a
+    // RAM cache)
     val sigs = exactReps(docs).select(col("doc_id"),
       F.minhashSig(col("text"), lit(3), lit(64)).as("sig"))
-      .withColumn("bands", F.lshBandsFromSig(col("sig"), lit(8)))
+      .persist()
+    // SKINNY banding: only (band, doc_id) crosses the band exchange — the
+    // band keys derive from sig map-side, so the 64-element signatures
+    // never ride the ×8 band explode (measured on the 2M-doc dedup-scale
+    // corpus: the fat form shipped the sig copy per band through the
+    // window exchange AND the cache write; the skinny form is ~4× less
+    // wire). Signatures re-attach AFTER the candidate pairs are distinct.
     // bucket cap: a band bucket of k docs yields k²/2 pairs — after exact
     // pre-collapse a still-oversized bucket means a degenerate band (e.g.
     // boilerplate shingles); those pairs are dropped, bounded loss traded
     // for a bounded join (the other 7 bands still cover the pair).
     // no round-robin repartition before the window: hash(band) distributes
     // (same reasoning as [[dedupWinnow]])
-    val banded = sigs.select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
+    val banded = sigs
+      .select(col("doc_id"), explode(F.lshBandsFromSig(col("sig"), lit(8))).as("band"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
       .persist()
-    val a = banded.select(col("band"), col("doc_id").as("a"), col("sig").as("siga"))
-    val b = banded.select(col("band"), col("doc_id").as("b"), col("sig").as("sigb"))
-    a.join(b, "band").filter(col("a") < col("b"))
+    // candidate pairs dedupe across bands while still id-only; the verify
+    // joins see each pair once. Per-doc pair fan-out is bounded by the
+    // bucket cap (≤ 8 bands × maxBucket), so the doc-keyed joins have no
+    // unbounded hot key; sig side is per-doc-sized — never broadcast.
+    val cand = banded.select(col("band"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("doc_id").as("b")), "band")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga"))
+        .hint("shuffle_hash"), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb"))
+        .hint("shuffle_hash"), "b")
       .select(col("a"), col("b"),
         aggregate(zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
           lit(0), (acc, v) => acc + v).as("n_eq"))
-      .distinct()
       .withColumn("est_jaccard", col("n_eq") / lit(64.0))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"))

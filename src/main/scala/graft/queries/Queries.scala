@@ -1579,6 +1579,131 @@ object Queries {
        |ORDER BY cnt DESC, cell ASC LIMIT 20""".stripMargin
 
   // =================================================================
+  // Trajectory analytics over the event stream (mobility pipelines):
+  // OD-flow matrix and time-gap trip segmentation. Both shapes are
+  // user-keyed window passes — the canonical trajectory partitioning: a
+  // user's history sorts inside one partition, flows/trips aggregate
+  // with map-side combine. Timestamps compare as INTEGER microseconds on
+  // both engines (Spark unix_micros ≡ DuckDB epoch_us — second-level
+  // casts differ on fractional seconds); ties break on event_id.
+  // =================================================================
+
+  /** OD flows: consecutive event pairs per user → (origin z6 cell,
+    * destination z6 cell) transition counts. ONE user-keyed exchange for
+    * the lead window, then a map-combined cell-pair aggregation. At 10^12
+    * events the window partitions by user (bounded per-user history);
+    * no text or payload rides either exchange. */
+  def odFlows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .withColumn("o_cell", F.cellAt(lit(6), evLon(col("event_id")), evLat(col("event_id"))))
+      .withColumn("d_cell", lead(col("o_cell"), 1).over(w))
+      .filter(col("d_cell").isNotNull)
+      .groupBy(col("o_cell"), col("d_cell"))
+      .agg(count(lit(1)).as("flows"))
+  }
+
+  def odFlowsSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, ts, user_id,
+       |         ${cellSql(6, s"($evLonSql)", s"($evLatSql)")} AS o_cell
+       |  FROM events),
+       |seq AS (
+       |  SELECT o_cell,
+       |         lead(o_cell, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d_cell
+       |  FROM ev)
+       |SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS flows
+       |FROM seq WHERE d_cell IS NOT NULL
+       |GROUP BY o_cell, d_cell""".stripMargin
+
+  /** Trip segmentation: a >30-minute silence splits a user's event
+    * sequence into trips (the classic stay-point / session cut). trip =
+    * running sum of gap flags over the same user window the lag runs in —
+    * one exchange total: the groupBy keys (user_id, trip) are clustered
+    * by the window's hash(user_id) partitioning, so the aggregation
+    * reuses the exchange. Gaps are exact integer microseconds. */
+  def tripSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    // us ≡ ts ordering (microsecond precision both), so the window orders
+    // by the projected integer — the oracle does the same
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      // ts is parquet TIMESTAMP_NTZ; the UTC session makes the LTZ cast an
+      // identity on wall values, matching DuckDB's naive-as-UTC epoch_us
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("gap", when(
+        col("us") - coalesce(lag(col("us"), 1).over(w), col("us")) > lit(1800000000L),
+        lit(1L)).otherwise(lit(0L)))
+      .withColumn("trip", sum(col("gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("trip"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+  }
+
+  def tripSegmentsSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |flg AS (
+       |  SELECT user_id, event_id, us,
+       |         CASE WHEN us - coalesce(lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id), us) > 1800000000 THEN 1 ELSE 0 END AS gap
+       |  FROM ev),
+       |trips AS (
+       |  SELECT user_id, us,
+       |         sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip
+       |  FROM flg)
+       |SELECT user_id, CAST(trip AS BIGINT) AS trip,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(max(us) - min(us) AS BIGINT) AS dur_us
+       |FROM trips GROUP BY user_id, trip""".stripMargin
+
+  /** 3×3 box smoothing of per-cell event counts (the KDE/heatmap
+    * smoothing pass of raster analytics): counts per z6 cell, then each
+    * cell's smoothed value sums its existing neighbors' counts. Cell ids
+    * decode to (x, y) arithmetically (cell = z·2^56 + x·2^28 + y), the
+    * 9-probe explode is the dbscan blocking trick, border probes clip to
+    * the [0, 2^z) grid. Two map-combined aggregations + one cell join —
+    * all integer arithmetic. */
+  def cellSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = eventPoints(spark, sfDir)
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("x", expr("(cell % 72057594037927936) div 268435456"))
+      .withColumn("y", col("cell") % lit(268435456L))
+      .persist()
+    val contrib = counts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .filter(col("x") + col("dx") >= 0 && col("x") + col("dx") < 64 &&
+        col("y") + col("dy") >= 0 && col("y") + col("dy") < 64)
+      .select((col("cell") + col("dx") * lit(268435456L) + col("dy")).as("cell"),
+        col("cnt"))
+      .groupBy("cell").agg(sum(col("cnt")).as("sm"))
+    counts.select(col("cell"), col("cnt")).join(contrib, "cell")
+      .select(col("cell"), col("cnt"), col("sm"))
+  }
+
+  def cellSmoothSql: String =
+    s"""WITH pts AS (${eventPointsSql}),
+       |counts AS MATERIALIZED (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+       |         (cell % 72057594037927936) // 268435456 AS x,
+       |         cell % 268435456 AS y
+       |  FROM (SELECT ${cellSql(6, "elon", "elat")} AS cell FROM pts)
+       |  GROUP BY 1),
+       |contrib AS (
+       |  SELECT cell + dx.d * 268435456 + dy.d AS cell, CAST(sum(cnt) AS BIGINT) AS sm
+       |  FROM counts,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dy
+       |  WHERE x + dx.d >= 0 AND x + dx.d < 64 AND y + dy.d >= 0 AND y + dy.d < 64
+       |  GROUP BY 1)
+       |SELECT counts.cell, counts.cnt, contrib.sm
+       |FROM counts JOIN contrib ON counts.cell = contrib.cell""".stripMargin
+
+  // =================================================================
   // B5: prefix (autocomplete) and fuzzy phrase match
   // =================================================================
 

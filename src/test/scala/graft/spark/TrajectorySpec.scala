@@ -1,0 +1,75 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import graft.queries.Queries
+import graft.core.CellMath
+
+/** Trajectory/raster ops vs brute-force driver references on sf0.001:
+  * OD flows, trip segmentation, 3×3 cell smoothing. */
+class TrajectorySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def events =
+    spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  private def cellOf(id: Long): Long =
+    CellMath.lonLatToCell(6,
+      (id * 7919 % 360000) / 1000.0 - 180.0,
+      (id * 104729 % 160000) / 1000.0 - 80.0)
+
+  test("od_flows matches the brute per-user transition count") {
+    val want = events.groupBy(_._2).values.flatMap { evs =>
+      val cells = evs.sortBy(e => (e._3, e._1)).map(e => cellOf(e._1))
+      cells.zip(cells.drop(1))
+    }.toSeq.groupBy(x => x).map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    val got = Queries.odFlows(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("trip_segments matches the brute gap-split reference") {
+    val want = events.groupBy(_._2).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._1))
+      var trip = 0L
+      var prev = Long.MinValue
+      val assigned = sorted.map { e =>
+        if (prev != Long.MinValue && e._3 - prev > 1800000000L) trip += 1
+        prev = e._3
+        (trip, e._3)
+      }
+      assigned.groupBy(_._1).map { case (t, xs) =>
+        (uid, t, xs.size.toLong, xs.map(_._2).max - xs.map(_._2).min)
+      }
+    }.toSet
+    val got = Queries.tripSegments(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // every user has at least one multi-trip split at sf0.001 density, so
+    // the gate exercises the gap flag (guard against a vacuous compare)
+    assert(want.exists(_._2 > 0))
+    assert(got == want)
+  }
+
+  test("cell_smooth matches the brute 3x3 neighbor sum") {
+    val counts = events.map(e => cellOf(e._1))
+      .groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    def xy(cell: Long): (Long, Long) =
+      ((cell % 72057594037927936L) / 268435456L, cell % 268435456L)
+    val want = counts.map { case (cell, cnt) =>
+      val (x, y) = xy(cell)
+      val sm = (for {
+        dx <- -1 to 1; dy <- -1 to 1
+        if x + dx >= 0 && x + dx < 64 && y + dy >= 0 && y + dy < 64
+        c = counts.get(cell + dx * 268435456L + dy)
+      } yield c.getOrElse(0L)).sum
+      (cell, cnt, sm)
+    }.toSet
+    val got = Queries.cellSmooth(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.exists { case (_, cnt, sm) => sm > cnt }) // neighbors exist
+    assert(got == want)
+  }
+}
