@@ -284,6 +284,28 @@ object Bench {
     // chain). Same pinned per-pair estimator as the headline.
     if (sys.env.get("SPARK_GRAFT_DEDUP_SCALE").contains("1")) {
       val ampD = sys.env.getOrElse("SPARK_GRAFT_DEDUP_AMP", "200").toInt
+      // ---- child mode: ONE sample in a FRESH JVM ----
+      // In-process samples share code cache, GC ergonomics, metaspace and
+      // block-manager history across the run: the IDENTICAL 8-core sample
+      // measured 17.8 s in a fresh context vs 25 s mid-pairLoop, swinging
+      // the efficiency estimate 0.43↔0.70 on JVM history alone. A child
+      // JVM per sample (taskset-confined at launch, same -Xmx/add-opens as
+      // the parent) makes samples iid — the single-box analogue of "every
+      // executor starts equal". JVM+session startup stays OUTSIDE the
+      // timed region.
+      sys.env.get("SPARK_GRAFT_DEDUP_CHILD").foreach { cores =>
+        val docsPathC = sys.env("SPARK_GRAFT_DEDUP_PATH")
+        val s = session(cores, cores.toInt * math.max(1, ampD / 100))
+        try {
+          def docs = s.read.parquet(docsPathC)
+          graft.ops.TextOps.dedupMinHash(docs.limit(2000)).count() // warm
+          val nDocs = docs.count()
+          s.catalog.clearCache()
+          val r = nDocs / time(graft.ops.TextOps.dedupMinHash(docs).count())
+          println(f"""{"rate":$r%.1f}""")
+        } finally s.stop()
+        return
+      }
       // Every variant must be textually DISTINCT or the workload is
       // degenerate: the first fixture truncated by rep%4, so amplification
       // produced only 4 distinct texts per base doc — exactReps collapsed
@@ -313,18 +335,44 @@ object Bench {
           p
         } finally s.stop()
       }
+      // partitions scale with the amplified input inside the child
+      // (spill-aware sizing, same rationale as headlineParts): rows per
+      // partition — not rows/core — bounds the window-sort and hash-build
+      // sizes. Each sample forks a fresh child JVM (see child mode above);
+      // the warm flag is moot — every child warms itself.
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+      }
+      val classPath = System.getProperty("java.class.path")
+      val rateRe = """\{"rate":([0-9.]+)\}""".r
       def dedupRate(cores: String, warm: Boolean): Double = {
-        // partitions scale with the amplified input (spill-aware sizing,
-        // same rationale as headlineParts): rows/partition — not
-        // rows/core — must bound the window-sort and hash-build sizes
-        val s = session(cores, cores.toInt * math.max(1, ampD / 100))
-        try {
-          def docs = s.read.parquet(docsPath)
-          if (warm) graft.ops.TextOps.dedupMinHash(docs.limit(2000)).count()
-          val nDocs = docs.count()
-          s.catalog.clearCache()
-          nDocs / time(graft.ops.TextOps.dedupMinHash(docs).count())
-        } finally s.stop()
+        val k = cores.toInt
+        val cmd = Seq("taskset", "-c", s"${totalCpus - k}-${totalCpus - 1}",
+          javaBin) ++ jvmArgs ++ Seq("-cp", classPath, "graft.Bench")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_DEDUP_CHILD", cores)
+        pb.environment().put("SPARK_GRAFT_DEDUP_PATH", docsPath)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        // the parent (still holding the table-build session's garbage) must
+        // NOT share the child's pinned set: pairLoop pins the parent before
+        // calling us, and parent background GC on the same top-K CPUs is
+        // the prime suspect for the bimodal 8-core child samples (2.3×
+        // spread with clean probes). Unpin while the child runs — the OS
+        // keeps the unpinned parent on the idle low cores — and re-pin for
+        // the bracketing post-sample probe.
+        unpinCpus()
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        p.waitFor()
+        pinCpus(k)
+        rateRe.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse {
+          System.err.println(s"[bench] dedup child produced no rate: ${out.takeRight(500)}")
+          0.0
+        }
       }
       // stage-breakdown sub-mode (SPARK_GRAFT_DEDUP_STAGES=1): time each
       // cumulative layer of the minhash pipeline once per core count to

@@ -186,6 +186,10 @@ object SparkEntry {
     // reproducible arithmetic — the oracle replays the training round)
     "ann_ivf_trained" -> ((s, d) =>
       Ann.ivfTopKTrained(s.read.parquet(s"$d/embeddings.parquet"), 50, 5, nList0 = 16)),
+    // product quantization + ADC (per-subspace trained codebooks; corpus
+    // scored through its 4-int codes and a broadcast query lookup table)
+    "ann_pq" -> ((s, d) =>
+      Ann.pqTopK(s.read.parquet(s"$d/embeddings.parquet"), 50, 5)),
     "dedup_embed" -> ((s, d) =>
       Ann.dedupEmbed(s.read.parquet(s"$d/embeddings.parquet"), nList0 = 16)),
     // multi-round Lloyd k-means (the oracle replays all 3 training rounds
@@ -313,6 +317,7 @@ object SparkEntry {
     // full mirror: integer hyperplane sign test + SQL-side mix64 planes
     "ann_lsh" -> Ann.lshTopKSql(50, 5),
     "ann_lsh_adaptive" -> Ann.lshTopKAdaptiveSql(50, 5, budget = 8),
+    "ann_pq" -> Ann.pqTopKSql(50, 5),
     "ann_ivf" -> Ann.ivfTopKSql(50, 5),
     "ann_ivf_trained" -> Ann.ivfTopKTrainedSql(50, 5),
     "dedup_embed" -> Ann.dedupEmbedSql(),

@@ -766,4 +766,160 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("dp").cast("double").as("dp"), col("rank"))
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization with ADC scoring (Jégou et al., TPAMI 2011 —
+  // public construction). The 64-dim vectors split into M=4 subspaces of
+  // 16 dims; each subspace trains its own KSUB=16-entry codebook (one
+  // Lloyd round from frozen sub-seeds — slices of the IVF seeds); a db
+  // vector's code is its per-subspace argmax centroid id (4 small ints);
+  // query scoring is Asymmetric Distance Computation: the query
+  // precomputes an M×KSUB table of exact integer sub-dot products and a
+  // db vector's approximate dot is M table lookups + adds. Every step is
+  // integer or single-op double (the Lloyd mean), so the DuckDB mirror
+  // replays training, encoding and scoring bit-exactly.
+  //
+  // Scale shape: the codebook is an M·KSUB-row dim (broadcast); encoding
+  // is one explode + (vec_id, m) window + one vec_id re-assembly — the
+  // corpus's 64-long arrays never cross an exchange after that, only the
+  // M-int code; query LUTs are nQueries·M·KSUB values (dim — broadcast);
+  // scoring is a crossJoin against the broadcast LUTs with an IN-ROW
+  // lookup-sum and the per-query top-k window. At 10^9 vectors the code
+  // table is ~30× smaller than the vectors — the reason PQ is the
+  // industry-standard memory/scan trade.
+  // ---------------------------------------------------------------
+
+  private val PqM = 4
+  private val PqDsub = 16
+  private val PqKsub = 16
+
+  /** Frozen sub-seeds: (m, c) → the m-th 16-dim slice of ivfCentroid(c). */
+  private def pqSeedFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (for (m <- 0 until PqM; c <- 0 until PqKsub) yield
+      (m, c, ivfCentroid(c).slice(m * PqDsub, (m + 1) * PqDsub).toSeq))
+      .toDF("m", "c", "cv")
+  }
+
+  /** (vec_id, m, sq): the corpus exploded into per-subspace slices. */
+  private def pqSubBase(base: DataFrame): DataFrame =
+    base.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("vec_id"), col("m"),
+        slice(col("q"), col("m") * PqDsub + 1, lit(PqDsub)).as("sq"))
+
+  /** Per-(vector, subspace) argmax assignment against a codebook dim. */
+  private def pqAssign(sub: DataFrame, book: DataFrame): DataFrame =
+    sub.join(broadcast(book), "m")
+      .select(col("vec_id"), col("m"), col("sq"), col("c"),
+        dot(col("sq"), col("cv")).as("cdp"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("cdp").desc, col("c").asc)))
+      .filter(col("crn") === 1)
+
+  /** One Lloyd round per subspace from the frozen sub-seeds: (m, c, cv)
+    * trained codebook frame, M·KSUB rows; empty entries keep their seed. */
+  def pqCodebooks(base: DataFrame): DataFrame = {
+    val seeds = pqSeedFrame(base.sparkSession)
+    val assigned = pqAssign(pqSubBase(base), seeds)
+      .select(col("m"), col("c"), col("sq"))
+    val means = assigned
+      .select(col("m"), col("c"), posexplode(col("sq")).as(Seq("i", "v")))
+      .groupBy(col("m"), col("c"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mu",
+        floor(col("s").cast("double") / col("n").cast("double") + lit(0.5)).cast("long"))
+      .groupBy(col("m"), col("c"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+        x => x.getField("mu")).as("mv"))
+    seeds.join(means, Seq("m", "c"), "left")
+      .select(col("m"), col("c"), coalesce(col("mv"), col("cv")).as("cv"))
+  }
+
+  /** PQ-ADC approximate top-k: returns (qid, nid, adp, rank) where adp is
+    * the ADC-approximated integer dot. Self-pairs excluded as in
+    * [[bruteForceTopK]]. */
+  def pqTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = quantBase(emb).persist() // sub-sliced three times below
+    val book = pqCodebooks(base).persist() // dim; encode + LUT consumers
+    val codes = pqAssign(pqSubBase(base), book)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("c")))),
+        x => x.getField("c")).as("codes"))
+    val luts = pqSubBase(base.filter(col("vec_id") < nQueries))
+      .join(broadcast(book), "m")
+      .select(col("vec_id").as("qid"),
+        (col("m") * PqKsub + col("c")).as("j"), dot(col("sq"), col("cv")).as("lv"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("lv")))),
+        x => x.getField("lv")).as("lut"))
+    codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adp", expr(
+        s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, mi) -> " +
+          s"acc + element_at(lut, mi * $PqKsub + element_at(codes, mi + 1) + 1))"))
+      .select(col("qid"), col("vec_id").as("nid"), col("adp"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adp").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("adp"), col("rank"))
+  }
+
+  /** Full DuckDB mirror of [[pqTopK]] — sub-seed VALUES, one unrolled Lloyd
+    * round per subspace, argmax encoding, LUT build and the 4-term ADC
+    * lookup-sum (1-based list indexing), all integer. */
+  def pqTopKSql(nQueries: Int, k: Int): String = {
+    val seedRows = (for (m <- 0 until PqM; c <- 0 until PqKsub) yield
+      s"($m, $c, [${ivfCentroid(c).slice(m * PqDsub, (m + 1) * PqDsub).mkString(", ")}])")
+      .mkString(",\n    ")
+    val adcTerms = (0 until PqM)
+      .map(m => s"list_extract(l.lut, ${m * PqKsub} + list_extract(d.codes, ${m + 1}) + 1)")
+      .mkString(" + ")
+    s"""WITH seeds(m, c, cv) AS (VALUES
+       |    $seedRows),
+       |e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+       |     FROM embeddings),
+       |sub AS MATERIALIZED (
+       |  SELECT vec_id, mm.m, list_slice(q, mm.m * $PqDsub + 1, mm.m * $PqDsub + $PqDsub) AS sq
+       |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) mm),
+       |rank1 AS (
+       |  SELECT sub.vec_id, sub.m, sub.sq, s.c,
+       |         row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |                            ORDER BY list_inner_product(sub.sq, s.cv) DESC, s.c ASC) AS crn
+       |  FROM sub JOIN seeds s ON s.m = sub.m),
+       |comp AS (
+       |  SELECT m, c, i.i, sum(sq[i.i]) AS s, count(*) AS n
+       |  FROM (SELECT m, c, sq FROM rank1 WHERE crn = 1) a,
+       |       (SELECT unnest(generate_series(1, $PqDsub)) AS i) i
+       |  GROUP BY m, c, i.i),
+       |means AS (
+       |  SELECT m, c, list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) ORDER BY i) AS mv
+       |  FROM comp GROUP BY m, c),
+       |book AS MATERIALIZED (
+       |  SELECT s.m, s.c, COALESCE(mn.mv, s.cv) AS cv
+       |  FROM seeds s LEFT JOIN means mn ON mn.m = s.m AND mn.c = s.c),
+       |erank AS (
+       |  SELECT sub.vec_id, sub.m, b.c,
+       |         row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |                            ORDER BY list_inner_product(sub.sq, b.cv) DESC, b.c ASC) AS crn
+       |  FROM sub JOIN book b ON b.m = sub.m),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, list(c ORDER BY m) AS codes
+       |  FROM erank WHERE crn = 1 GROUP BY vec_id),
+       |luts AS MATERIALIZED (
+       |  SELECT sub.vec_id AS qid,
+       |         list(list_inner_product(sub.sq, b.cv) ORDER BY sub.m * $PqKsub + b.c) AS lut
+       |  FROM sub JOIN book b ON b.m = sub.m
+       |  WHERE sub.vec_id < $nQueries
+       |  GROUP BY sub.vec_id),
+       |pairs AS (
+       |  SELECT l.qid, d.vec_id AS nid,
+       |         $adcTerms AS adp
+       |  FROM codes d, luts l WHERE d.vec_id <> l.qid),
+       |ranked AS (
+       |  SELECT qid, nid, adp,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adp DESC, nid ASC) AS rank
+       |  FROM pairs)
+       |SELECT qid, nid, CAST(adp AS BIGINT) AS adp, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
 }

@@ -205,6 +205,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"trained-IVF recall=$recall")
   }
 
+  test("PQ-ADC: codes bounded, training moves codebooks, recall on planted clusters") {
+    val emb = plantedEmb
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+    val book = Ann.pqCodebooks(base).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2)).toMap
+    assert(book.size == 64, "4 subspaces x 16 codes must all survive")
+    assert(book.exists { case ((m, c), cv) =>
+      cv != Ann.ivfCentroid(c).slice(m * 16, (m + 1) * 16).toSeq },
+      "one Lloyd round left every codebook entry at its seed")
+    val pq = Ann.pqTopK(emb, 40, 5).collect()
+    assert(pq.length == 40 * 5)
+    // ADC is approximate: require that cluster mates dominate the top-5 —
+    // planted copies share their direction, so per-subspace codes collide
+    val brute = Ann.bruteForceTopK(emb, 40, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.4, s"PQ-ADC recall=$recall")
+  }
+
   test("k-means: 3 Lloyd rounds assign every vector once with exact sizes, deterministic") {
     val emb = plantedEmb // 240 vectors: 40 planted directions × (1 base + 5 copies)
     val out = Ann.kmeansAssign(emb, rounds = 3, nList0 = 16).collect()
