@@ -53,6 +53,12 @@ object SparkEntry {
     "trip_segments" -> ((s, d) => Queries.tripSegments(s, d)),
     // 3×3 box smoothing over per-cell counts (heatmap/KDE raster pass)
     "cell_smooth" -> ((s, d) => Queries.cellSmooth(s, d)),
+    // nearest-segment snap (map matching): cover/disk cell blocking, exact
+    // rational distance output; oracle = raw θ-join over the R-gate
+    "snap_points" -> ((s, d) => Queries.snapPoints(s, d)),
+    // 3-round integer PageRank over the OD cell-transition graph;
+    // oracle replays the power iteration as unrolled CTEs
+    "cell_pagerank" -> ((s, d) => Queries.cellPagerank(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
@@ -145,6 +151,11 @@ object SparkEntry {
     "domain_mix" -> ((s, d) =>
       TextOps.domainMix(TextOps.syntheticHosts(s.read.parquet(s"$d/documents.parquet")))),
     "token_count" -> ((s, d) => TextOps.tokenCount(s.read.parquet(s"$d/documents.parquet"))),
+    // HLL distinct-token sketch per language — fully mirrored integer
+    // registers (SqlHash FNV + bin()-rho), exact count alongside
+    "hll_distinct" -> ((s, d) => TextOps.hllDistinct(s.read.parquet(s"$d/documents.parquet"))),
+    // global bigram LM counts, top-100 (map-combined groupBy + TakeOrdered)
+    "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s.read.parquet(s"$d/documents.parquet"))),
     // full-text retrieval: BM25 top-k per fixed query set; per-doc TF-IDF
     // keywords — per-term scores int-quantized BEFORE summing so the agg is
     // order-independent (same discipline as ann_cosine's integer dot)
@@ -250,6 +261,8 @@ object SparkEntry {
     "od_flows" -> Queries.odFlowsSql,
     "trip_segments" -> Queries.tripSegmentsSql,
     "cell_smooth" -> Queries.cellSmoothSql,
+    "snap_points" -> Queries.snapPointsSql,
+    "cell_pagerank" -> Queries.cellPagerankSql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan
@@ -308,6 +321,8 @@ object SparkEntry {
     "dedup_substr" -> TextOps.dedupSubstrSql(),
     "domain_mix" -> TextOps.domainMixSql(),
     "token_count" -> TextOps.tokenCountSql,
+    "hll_distinct" -> TextOps.hllDistinctSql,
+    "ngram_counts" -> TextOps.ngramCountsSql,
     "bm25_topk" -> TextOps.bm25Sql(),
     "keywords_tfidf" -> TextOps.keywordsTfIdfSql(),
     "lm_perplexity" -> TextOps.lmPerplexitySql(),

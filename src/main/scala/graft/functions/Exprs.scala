@@ -529,6 +529,19 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): Mix64 = copy(child = c)
   }
 
+  /** fnv1a64(s): FNV-1a 64-bit hash of a string column — the per-token
+    * hash the HLL distinct sketch keys on (same kernel the SimHash token
+    * weights use). DuckDB mirror: [[graft.queries.SqlHash.fnv1a64]]
+    * (HUGEINT limb arithmetic), bit-exact for ASCII. */
+  case class Fnv1a64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "fnv1a64"
+    override def nullSafeEval(s: Any): Any = Fingerprint.fnv1a64(s.toString)
+    override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(child = c)
+  }
+
   /** char_ngrams(text, n): the array of all length-n character substrings
     * (one per position — overlapping). One virtual call per ROW; the
     * `transform(sequence(...), i -> substring(...))` formulation it
@@ -784,6 +797,7 @@ object F {
     c(AcMentionsLazy(x(s), bc))
   def docFingerprint(s: Column): Column = c(DocFingerprint(x(s)))
   def mix64(v: Column): Column = c(Mix64(x(v)))
+  def fnv1a64(s: Column): Column = c(Fnv1a64(x(s)))
   def charNgrams(s: Column, n: Int): Column = c(CharNgrams(x(s), n))
   def simhash64(s: Column): Column = c(SimHash(x(s)))
   def minhashBands(s: Column, k: Column, numHashes: Column, rowsPerBand: Column): Column =

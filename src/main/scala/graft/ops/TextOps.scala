@@ -816,6 +816,118 @@ object TextOps {
        |       CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
        |FROM t""".stripMargin
 
+  // =================================================================
+  // HyperLogLog distinct sketch (Flajolet et al. '07): per-language
+  // distinct-token cardinality with m = 64 registers over FNV-1a 64
+  // token hashes. The whole sketch is integer-exact and FULLY mirrored
+  // in DuckDB: the hash via SqlHash's HUGEINT limb arithmetic, bucket /
+  // window via two's-complement & and arithmetic >> (verified identical
+  // to the JVM's), rho via length(bin(w)) (both engines print binary
+  // without leading zeros), and the register sum as Σ 2^(33-rho) BIGINT
+  // (order-independent — the ann_cosine discipline). Only the final
+  // estimate touches doubles, in token-identical order, rounded to 4.
+  // Scale: the register table is (n_groups × 64) rows regardless of
+  // corpus size — the map-combined max() is the whole shuffle; this is
+  // the mergeable-sketch shape a 1000-executor rollup needs.
+  // =================================================================
+
+  /** Per-lang HLL(m=64) over distinct tokens + the exact distinct count
+    * alongside (the sketch's error is visible in the output). */
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    // distinct (lang, token) pre-collapse: map-side partial, hash-only
+    // payload downstream (tokens never ride the register shuffle)
+    val hashed = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .select(col("lang"), F.fnv1a64(col("tok")).as("h"))
+      .persist() // two consumers: registers and the exact count
+    val regs = hashed
+      .select(col("lang"),
+        col("h").bitwiseAND(lit(63L)).as("b"),
+        shiftright(col("h"), 6).bitwiseAND(lit(4294967295L)).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("w"))).cast("long")))
+      .groupBy(col("lang"), col("b")).agg(max(col("rho")).as("r"))
+      // 2^(33-rho) as an arithmetic shift of 2^33 — functions.shiftright
+      // only takes a literal shift, so the column-shift goes through expr
+      .groupBy(col("lang")).agg(
+        sum(expr("shiftright(8589934592, cast(r as int))")).as("s_present"),
+        count(lit(1)).as("nb"))
+      .withColumn("s_q",
+        col("s_present") + (lit(64L) - col("nb")) * lit(8589934592L))
+      .withColumn("v", lit(64L) - col("nb"))
+    val exact = hashed.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) *
+      lit(4096.0) * lit(8589934592.0) / col("s_q").cast("double")
+    regs.join(exact, "lang")
+      .withColumn("hll_est", round(
+        when(raw <= lit(160.0) && col("v") > 0,
+          lit(64.0) * log(lit(64.0) / col("v").cast("double")))
+          .otherwise(raw), 4))
+      .select(col("lang"), col("n_exact"), col("s_q"), col("hll_est"))
+  }
+
+  def hllDistinctSql: String = {
+    import graft.queries.SqlHash._
+    val hs = toSigned(fnv1a64("tok"))
+    val raw = "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)) * " +
+      "CAST(4096.0 AS DOUBLE) * CAST(8589934592.0 AS DOUBLE) / CAST(s_q AS DOUBLE)"
+    s"""WITH toks AS (
+       |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |hv AS (SELECT lang, $hs AS h FROM toks),
+       |bw AS MATERIALIZED (
+       |  SELECT lang, h & 63 AS b, (h >> 6) & 4294967295 AS w FROM hv),
+       |rg AS (
+       |  SELECT lang, b,
+       |         max(CASE WHEN w = 0 THEN 33
+       |                  ELSE 33 - length(bin(w)) END) AS r
+       |  FROM bw GROUP BY 1, 2),
+       |ag AS (
+       |  SELECT lang,
+       |         CAST(sum(8589934592 >> r) AS BIGINT) AS s_present,
+       |         CAST(count(*) AS BIGINT) AS nb
+       |  FROM rg GROUP BY 1),
+       |sq AS (
+       |  SELECT lang, s_present + (64 - nb) * 8589934592 AS s_q, 64 - nb AS v
+       |  FROM ag),
+       |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM bw GROUP BY 1)
+       |SELECT sq.lang, ex.n_exact, sq.s_q,
+       |       round(CASE WHEN $raw <= CAST(160.0 AS DOUBLE) AND v > 0
+       |                  THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE))
+       |                  ELSE $raw END, 4) AS hll_est
+       |FROM sq JOIN ex ON sq.lang = ex.lang""".stripMargin
+  }
+
+  // =================================================================
+  // Corpus n-gram LM counts: global bigram frequencies, top-100. The
+  // canonical LM-training count job: per-doc bigram explode (one
+  // transform per document, not per token — HOF cost is per-row), a
+  // map-side-combined global groupBy, and TakeOrdered for the top-k (a
+  // per-partition partial top-100, never a global sort).
+  // =================================================================
+
+  def ngramCounts(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+
+  def ngramCountsSql: String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |ng AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i + 1])) AS ngram
+       |  FROM t WHERE len(t) >= 2)
+       |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+       |FROM ng GROUP BY 1
+       |ORDER BY cnt DESC, ngram ASC LIMIT 100""".stripMargin
+
   /** Rolling-hash document fingerprint + simhash. Full DuckDB oracle (the
     * 64-bit integer math is reproduced bit-exactly via HUGEINT limb
     * arithmetic — see [[graft.queries.SqlHash]]); additionally frozen by

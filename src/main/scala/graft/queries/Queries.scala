@@ -1704,6 +1704,241 @@ object Queries {
        |FROM counts JOIN contrib ON counts.cell = contrib.cell""".stripMargin
 
   // =================================================================
+  // D10: nearest-segment snap join (map matching): every event point
+  // snaps to its nearest road segment within R = 2000 milli-degrees, or
+  // drops out. Blocking: road side explodes to the z6 cover of its bbox
+  // (padded 1 milli — the /1000.0 degree bbox is within ulps of the
+  // lattice, the pad keeps boundary-touching cells in the cover), probe
+  // side to a LAT-ADAPTIVE cell ring: columns are uniform in lon
+  // (5.625° ≥ R ⇒ ±1 suffices) but mercator rows SHRINK with |lat|
+  // (cos φ · 2.8125° ≈ 0.98° at the 80° synth extreme — a fixed 3×3
+  // ring provably under-covers there, and did: 12 lost pairs at sf0.1,
+  // all |lat| > 78°). The row span is derived from the tile map itself:
+  // rows(lat + R + 1 milli slack) .. rows(lat − R − slack) — mercator y
+  // is monotone in lat, so every point q with |q−p| ≤ R lands inside,
+  // and the slack absorbs the /1000.0 ulp fuzz. For every pair with
+  // d(p, seg) ≤ R the nearest point q then lies in p's ring AND in the
+  // segment's bbox cover. All candidate math is exact: integer
+  // milli-lattice gates, clamped-endpoint distances as BIGINT squares,
+  // and the interior case as cross²/len2 with ONE double division (both
+  // engines IEEE-round the identical operands — cross² ≤ 2.3e15 < 2^53
+  // under the R-gate, so even the cast is exact). The ranking key d2
+  // stays an unrounded double with a seg_id tiebreak (repo invariant);
+  // the OUTPUT is the exact rational (d2n, d2d) — no double ever crosses
+  // the compare. A pair meeting in several cells duplicates rows with
+  // identical (d2, seg_id): row_number keeps one, content-identical —
+  // no dedup exchange. Scale: 3 exchanges (two cell-keyed cover sides,
+  // one event-keyed window), text-free payloads, shuffle_hash pinned —
+  // a real road network (~10^8 edges) must never broadcast.
+  // =================================================================
+
+  private val SnapR = 2000L // milli-degrees
+
+  /** Synthetic road layer: 1000 short segments (≤ 4000 milli per axis) on
+    * the milli lattice, endpoints kept inside the world so the z6 cover is
+    * defined; ~25% of event points land within R of some road. */
+  private def roadSegs(spark: SparkSession): DataFrame =
+    spark.range(0, 1000).toDF("seg_id")
+      .select(col("seg_id"),
+        (col("seg_id") * 7919 % 352000 - 176000).as("ax"),
+        (col("seg_id") * 104729 % 152000 - 76000).as("ay"))
+      .withColumn("bx", col("ax") + (col("seg_id") * 31 % 81 - 40) * 100)
+      .withColumn("by", col("ay") + (col("seg_id") * 17 % 81 - 40) * 100)
+
+  def snapPoints(spark: SparkSession, sfDir: String, z: Int = 6): DataFrame = {
+    val roads = roadSegs(spark)
+      .withColumn("cell", explode(F.tileCover(F.rectWkb(
+        (least(col("ax"), col("bx")) - 1) / 1000.0,
+        (least(col("ay"), col("by")) - 1) / 1000.0,
+        (greatest(col("ax"), col("bx")) + 1) / 1000.0,
+        (greatest(col("ay"), col("by")) + 1) / 1000.0), lit(z))))
+    // R + 1 milli of slack over the lat excursion, in degrees (exactly
+    // representable enough: the slack dominates the double fuzz by 10^10)
+    val rDeg = (SnapR + 1) / 1000.0
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        (col("event_id") * 7919 % 360000 - 180000).as("px"),
+        (col("event_id") * 104729 % 160000 - 80000).as("py"))
+      .withColumn("c0", F.cellAt(lit(z), evLon(col("event_id")), evLat(col("event_id"))))
+      // mercator row span of the R-excursion (y grows as lat falls)
+      .withColumn("yTop",
+        F.cellAt(lit(z), evLon(col("event_id")), evLat(col("event_id")) + lit(rDeg)) % lit(268435456L))
+      .withColumn("yBot",
+        F.cellAt(lit(z), evLon(col("event_id")), evLat(col("event_id")) - lit(rDeg)) % lit(268435456L))
+      .withColumn("dxv", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("yv", explode(sequence(col("yTop"), col("yBot"))))
+      // column index stays on the 64-wide grid (nothing spans ±180°)
+      .filter(expr("(c0 % 72057594037927936) div 268435456") + col("dxv") >= 0 &&
+        expr("(c0 % 72057594037927936) div 268435456") + col("dxv") < 64)
+      .select(col("event_id"), col("px"), col("py"),
+        (col("c0") - col("c0") % lit(268435456L) +
+          col("dxv") * lit(268435456L) + col("yv")).as("cell"))
+    val dx = col("bx") - col("ax")
+    val dy = col("by") - col("ay")
+    val apx = col("px") - col("ax")
+    val apy = col("py") - col("ay")
+    val bpx = col("px") - col("bx")
+    val bpy = col("py") - col("by")
+    val dot = dx * apx + dy * apy
+    val len2 = dx * dx + dy * dy
+    val crs = dx * apy - dy * apx
+    val cand = pts.join(roads.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("px") >= least(col("ax"), col("bx")) - lit(SnapR) &&
+        col("px") <= greatest(col("ax"), col("bx")) + lit(SnapR) &&
+        col("py") >= least(col("ay"), col("by")) - lit(SnapR) &&
+        col("py") <= greatest(col("ay"), col("by")) + lit(SnapR))
+      // dot ≤ 0 also catches zero-length segments (len2 = 0 ⇒ dot = 0)
+      .withColumn("d2",
+        when(dot <= 0, (apx * apx + apy * apy).cast("double"))
+          .when(dot >= len2, (bpx * bpx + bpy * bpy).cast("double"))
+          .otherwise((crs * crs).cast("double") / len2.cast("double")))
+      .withColumn("d2n",
+        when(dot <= 0, apx * apx + apy * apy)
+          .when(dot >= len2, bpx * bpx + bpy * bpy)
+          .otherwise(crs * crs))
+      .withColumn("d2d",
+        when(dot <= 0 || dot >= len2, lit(1L)).otherwise(len2))
+      .filter(col("d2") <= lit((SnapR * SnapR).toDouble))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("d2").asc, col("seg_id").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("seg_id"), col("d2n"), col("d2d"))
+  }
+
+  /** Mirror of [[snapPoints]]: the raw θ-join on the R-expanded bbox gate
+    * with token-identical distance arithmetic — the tile blocking never
+    * crosses engines, so the compare proves the cover/disk blocking
+    * loss-free for the surviving (d ≤ R) pairs. */
+  def snapPointsSql: String =
+    s"""WITH roads AS (
+       |  SELECT r AS seg_id,
+       |         r * 7919 % 352000 - 176000 AS ax,
+       |         r * 104729 % 152000 - 76000 AS ay
+       |  FROM (SELECT unnest(generate_series(0, 999)) AS r)),
+       |segs AS MATERIALIZED (
+       |  SELECT seg_id, ax, ay,
+       |         ax + (seg_id * 31 % 81 - 40) * 100 AS bx,
+       |         ay + (seg_id * 17 % 81 - 40) * 100 AS by
+       |  FROM roads),
+       |pts AS (
+       |  SELECT event_id,
+       |         event_id * 7919 % 360000 - 180000 AS px,
+       |         event_id * 104729 % 160000 - 80000 AS py
+       |  FROM events),
+       |m AS (
+       |  SELECT p.event_id, s.seg_id,
+       |         s.bx - s.ax AS dx, s.by - s.ay AS dy,
+       |         p.px - s.ax AS apx, p.py - s.ay AS apy,
+       |         p.px - s.bx AS bpx, p.py - s.by AS bpy
+       |  FROM pts p JOIN segs s
+       |    ON p.px >= least(s.ax, s.bx) - $SnapR AND p.px <= greatest(s.ax, s.bx) + $SnapR
+       |   AND p.py >= least(s.ay, s.by) - $SnapR AND p.py <= greatest(s.ay, s.by) + $SnapR),
+       |d AS (
+       |  SELECT event_id, seg_id,
+       |         CASE WHEN dx * apx + dy * apy <= 0
+       |                THEN CAST(apx * apx + apy * apy AS DOUBLE)
+       |              WHEN dx * apx + dy * apy >= dx * dx + dy * dy
+       |                THEN CAST(bpx * bpx + bpy * bpy AS DOUBLE)
+       |              ELSE CAST((dx * apy - dy * apx) * (dx * apy - dy * apx) AS DOUBLE)
+       |                   / CAST(dx * dx + dy * dy AS DOUBLE) END AS d2,
+       |         CASE WHEN dx * apx + dy * apy <= 0
+       |                THEN apx * apx + apy * apy
+       |              WHEN dx * apx + dy * apy >= dx * dx + dy * dy
+       |                THEN bpx * bpx + bpy * bpy
+       |              ELSE (dx * apy - dy * apx) * (dx * apy - dy * apx) END AS d2n,
+       |         CASE WHEN dx * apx + dy * apy <= 0 OR dx * apx + dy * apy >= dx * dx + dy * dy
+       |                THEN 1 ELSE dx * dx + dy * dy END AS d2d
+       |  FROM m)
+       |SELECT event_id, seg_id, CAST(d2n AS BIGINT) AS d2n, CAST(d2d AS BIGINT) AS d2d
+       |FROM d
+       |WHERE d2 <= CAST(${SnapR * SnapR} AS DOUBLE)
+       |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY d2, seg_id) = 1""".stripMargin
+
+  // =================================================================
+  // Graph centrality over the OD transition graph: 3-round PageRank
+  // power iteration (damping 0.85) on the z6 cell graph the od_flows
+  // edges induce. Everything is INTEGER: ranks live on a 10^12
+  // micro-lattice, each edge's contribution is (rank·flow) div W_out —
+  // BIGINT-exact and order-independent under sum (the ann_cosine
+  // discipline applied to graph iteration), so the unrolled-CTE oracle
+  // replays the training exactly (the embed_kmeans pattern). Dangling
+  // mass (cells with no out-edges) leaks — deterministic, documented.
+  // Scale: per round ONE edge-keyed join + one map-combined groupBy —
+  // textbook distributed PageRank; edges persist across rounds and each
+  // round's ranks localCheckpoint (lineage doubles per round otherwise,
+  // the repo's iterative-loop invariant).
+  // =================================================================
+
+  private val PrScale = 1000000000000L
+
+  def cellPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = odFlows(spark, sfDir).persist()
+    val outW = edges.groupBy("o_cell").agg(sum(col("flows")).as("wout"))
+    val nodes = edges.select(col("o_cell").as("cell"))
+      .union(edges.select(col("d_cell").as("cell"))).distinct().persist()
+    val n = nodes.count()
+    // edge side carries its out-weight once; persisted — read every round
+    val ew = edges.join(outW, "o_cell")
+      .select(col("o_cell"), col("d_cell"), col("flows"), col("wout")).persist()
+    var ranks = nodes.select(col("cell"), lit(PrScale / n).as("rq")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contrib = ew
+        .join(ranks.withColumnRenamed("cell", "o_cell"), "o_cell")
+        .select(col("d_cell").as("cell"), expr("(rq * flows) div wout").as("c"))
+        .groupBy("cell").agg(sum(col("c")).as("inq"))
+      ranks = nodes.join(contrib, Seq("cell"), "left")
+        .select(col("cell"),
+          (lit((15L * PrScale) / (100L * n)) +
+            expr("(85 * coalesce(inq, 0)) div 100")).as("rq"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Mirror of [[cellPagerank]]: the 3 power-iteration rounds unrolled as
+    * CTEs (each referenced by the next round AND the final select, so
+    * every round is MATERIALIZED — DuckDB re-inlines otherwise). */
+  def cellPagerankSql: String = {
+    val edgeCte =
+      s"""ev AS (
+         |  SELECT event_id, ts, user_id,
+         |         ${cellSql(6, s"($evLonSql)", s"($evLatSql)")} AS o_cell
+         |  FROM events),
+         |seq AS (
+         |  SELECT o_cell,
+         |         lead(o_cell, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d_cell
+         |  FROM ev),
+         |edges AS MATERIALIZED (
+         |  SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS flows
+         |  FROM seq WHERE d_cell IS NOT NULL
+         |  GROUP BY o_cell, d_cell),
+         |outw AS MATERIALIZED (
+         |  SELECT o_cell, CAST(sum(flows) AS BIGINT) AS wout FROM edges GROUP BY 1),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT cell FROM (
+         |    SELECT o_cell AS cell FROM edges
+         |    UNION ALL SELECT d_cell FROM edges)),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT cell, $PrScale // n AS rq FROM nodes CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (
+         |  SELECT e.d_cell AS cell, CAST(sum((r.rq * e.flows) // o.wout) AS BIGINT) AS inq
+         |  FROM edges e
+         |  JOIN outw o ON e.o_cell = o.o_cell
+         |  JOIN r${i - 1} r ON r.cell = e.o_cell
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT nodes.cell,
+         |         (15 * $PrScale) // (100 * n) + (85 * coalesce(c$i.inq, 0)) // 100 AS rq
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.cell = c$i.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |$rounds
+       |SELECT cell, rq FROM r3""".stripMargin
+  }
+
+  // =================================================================
   // B5: prefix (autocomplete) and fuzzy phrase match
   // =================================================================
 
