@@ -59,6 +59,12 @@ object SparkEntry {
     // 3-round integer PageRank over the OD cell-transition graph;
     // oracle replays the power iteration as unrolled CTEs
     "cell_pagerank" -> ((s, d) => Queries.cellPagerank(s, d)),
+    // 4-round Bellman–Ford from the min source cell, integer edge costs
+    "sssp_khop" -> ((s, d) => Queries.ssspKhop(s, d)),
+    // degree-oriented triangle count (the orientation bounds hub fan-out)
+    "triangle_count" -> ((s, d) => Queries.triangleCount(s, d)),
+    // radial-distance track simplification as a per-user sequential fold
+    "traj_simplify" -> ((s, d) => Queries.trajSimplify(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
@@ -263,6 +269,9 @@ object SparkEntry {
     "cell_smooth" -> Queries.cellSmoothSql,
     "snap_points" -> Queries.snapPointsSql,
     "cell_pagerank" -> Queries.cellPagerankSql,
+    "sssp_khop" -> Queries.ssspKhopSql,
+    "triangle_count" -> Queries.triangleCountSql,
+    "traj_simplify" -> Queries.trajSimplifySql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan

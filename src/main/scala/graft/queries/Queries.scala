@@ -1938,6 +1938,193 @@ object Queries {
        |SELECT cell, rq FROM r3""".stripMargin
   }
 
+  /** The od_flows edge CTE chain (ev → seq → edges), shared by the graph
+    * ops below; self-loops (consecutive events in one cell) excluded. */
+  private def odEdgeCtes: String =
+    s"""ev AS (
+       |  SELECT event_id, ts, user_id,
+       |         ${cellSql(6, s"($evLonSql)", s"($evLatSql)")} AS o_cell
+       |  FROM events),
+       |seq AS (
+       |  SELECT o_cell,
+       |         lead(o_cell, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d_cell
+       |  FROM seq_src),
+       |edges AS MATERIALIZED (
+       |  SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS flows
+       |  FROM seq WHERE d_cell IS NOT NULL AND d_cell <> o_cell
+       |  GROUP BY o_cell, d_cell)""".stripMargin.replace("seq_src", "ev")
+
+  // =================================================================
+  // k-hop shortest paths (Bellman–Ford, 4 synchronous rounds) from the
+  // deterministic source cell (min o_cell) over the OD graph, edge cost
+  // 1 + 1000 div flows (busier transitions are cheaper) — all-integer,
+  // so min() relaxation is exact and the oracle unrolls the rounds the
+  // same way cell_pagerank's does. Unreached cells simply aren't in the
+  // frame (no ∞ sentinel crosses an engine boundary). Scale: per round
+  // one edge-keyed join + a map-combined min — the standard distributed
+  // BF/BSP round; frontier frames localCheckpoint (iterative-loop rule).
+  // =================================================================
+
+  def ssspKhop(spark: SparkSession, sfDir: String, rounds: Int = 4): DataFrame = {
+    val edges = odFlows(spark, sfDir)
+      .filter(col("o_cell") =!= col("d_cell"))
+      .select(col("o_cell"), col("d_cell"),
+        (lit(1L) + expr("1000 div flows")).as("w")).persist()
+    // deterministic source: the min cell id — a dim-sized agg (one value)
+    val src = edges.agg(min(col("o_cell"))).collect()(0).getLong(0)
+    var dist = spark.range(1)
+      .select(lit(src).as("cell"), lit(0L).as("d")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relax = dist.withColumnRenamed("cell", "o_cell")
+        .join(edges, "o_cell")
+        .select(col("d_cell").as("cell"), (col("d") + col("w")).as("d"))
+      dist = dist.union(relax)
+        .groupBy("cell").agg(min(col("d")).as("d")).localCheckpoint()
+    }
+    dist
+  }
+
+  def ssspKhopSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT cell, min(d) AS d FROM (
+         |    SELECT cell, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.d_cell AS cell, p.d + e.w AS d
+         |    FROM d${i - 1} p JOIN ew e ON e.o_cell = p.cell)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $odEdgeCtes,
+       |ew AS MATERIALIZED (
+       |  SELECT o_cell, d_cell, 1 + 1000 // flows AS w FROM edges),
+       |src AS (SELECT min(o_cell) AS s FROM ew),
+       |d0 AS MATERIALIZED (SELECT s AS cell, CAST(0 AS BIGINT) AS d FROM src),
+       |$rounds
+       |SELECT cell, CAST(d AS BIGINT) AS d FROM d4""".stripMargin
+  }
+
+  // =================================================================
+  // Triangle counting over the undirected OD graph, DEGREE-ORIENTED
+  // (each edge points from its lower-(degree, id) endpoint): out-degrees
+  // are bounded by O(√m), so the wedge self-join never explodes on hub
+  // cells — the orientation IS the skew handling at 10^12 scale, where
+  // a by-id orientation would square the hottest hub's adjacency. Each
+  // triangle is counted exactly once, at its unique two-out-edge apex;
+  // the closing-edge probe canonicalizes the wedge by id against the
+  // (u < v)-keyed undirected set.
+  // =================================================================
+
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = odFlows(spark, sfDir)
+      .filter(col("o_cell") =!= col("d_cell"))
+      .select(least(col("o_cell"), col("d_cell")).as("u"),
+        greatest(col("o_cell"), col("d_cell")).as("v"))
+      .distinct().persist() // three consumers: degrees, orientation, closing probe
+    val deg = und.select(col("u").as("c")).union(und.select(col("v").as("c")))
+      .groupBy("c").agg(count(lit(1)).as("dg"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val dd = und
+      .join(deg.select(col("c").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("c").as("v"), col("dg").as("dv")), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"))
+      .persist() // both wedge sides read it
+    dd.select(col("a"), col("b").as("x"))
+      .join(dd.select(col("a"), col("b").as("y")), "a")
+      .filter(col("x") < col("y"))
+      .join(und.hint("shuffle_hash"),
+        col("x") === col("u") && col("y") === col("v"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  def triangleCountSql: String =
+    s"""WITH $odEdgeCtes,
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(o_cell, d_cell) AS u, greatest(o_cell, d_cell) AS v
+       |  FROM edges),
+       |deg AS MATERIALIZED (
+       |  SELECT c, CAST(count(*) AS BIGINT) AS dg
+       |  FROM (SELECT u AS c FROM und UNION ALL SELECT v AS c FROM und)
+       |  GROUP BY 1),
+       |dd AS MATERIALIZED (
+       |  SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND und.u < und.v)
+       |              THEN und.u ELSE und.v END AS a,
+       |         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND und.u < und.v)
+       |              THEN und.v ELSE und.u END AS b
+       |  FROM und
+       |  JOIN deg du ON du.c = und.u
+       |  JOIN deg dv ON dv.c = und.v)
+       |SELECT CAST(count(*) AS BIGINT) AS n_tri
+       |FROM dd w1
+       |JOIN dd w2 ON w1.a = w2.a AND w1.b < w2.b
+       |JOIN und ON und.u = w1.b AND und.v = w2.b""".stripMargin
+
+  // =================================================================
+  // Trajectory polyline simplification (radial-distance): walk each
+  // user's time-ordered track, keep a point iff it moves > tol from the
+  // LAST KEPT point — the standard pre-pass of Douglas–Peucker pipelines
+  // and inherently a sequential fold, so it runs as ONE user-keyed
+  // exchange into a per-user array aggregate (per-user state is bounded
+  // by track length; at 10^12 events tracks are day-segmented first —
+  // the fold shape is unchanged). All comparisons are exact BIGINT
+  // squares on the milli lattice; the DuckDB mirror is the identical
+  // fold via list_reduce over the identically-ordered list.
+  // =================================================================
+
+  private val SimplifyTol = 120000L // milli-degrees: keeps ~47% at sf0.001
+
+  def trajSimplify(spark: SparkSession, sfDir: String): DataFrame = {
+    val tol2 = SimplifyTol * SimplifyTol
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        (col("event_id") * 7919 % 360000 - 180000).as("x"),
+        (col("event_id") * 104729 % 160000 - 80000).as("y"))
+      .groupBy(col("user_id"))
+      // (us, event_id) is a unique sort prefix, so the lexicographic
+      // struct sort equals the oracle's ORDER BY us, event_id
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("x"), col("y")))).as("pts"))
+      .select(col("user_id"), explode(expr(
+        s"""aggregate(slice(pts, 2, size(pts) - 1),
+           |  named_struct('lx', pts[0].x, 'ly', pts[0].y, 'ids', array(pts[0].event_id)),
+           |  (s, p) -> IF((p.x - s.lx) * (p.x - s.lx) + (p.y - s.ly) * (p.y - s.ly) > ${tol2}L,
+           |    named_struct('lx', p.x, 'ly', p.y, 'ids', concat(s.ids, array(p.event_id))),
+           |    s)).ids""".stripMargin)).as("event_id"))
+  }
+
+  /** Mirror of [[trajSimplify]] as a RECURSIVE-CTE walk over the rn-ordered
+    * track (one frontier row per user per step; step count = max track
+    * length, ~67 at every SF since users scale with events). NOT a
+    * list_reduce fold: DuckDB 1.0.0's list_reduce corrupts struct
+    * accumulators — a THEN-after-ELSE(s)-after-THEN chain drops a LIST
+    * state field, and with several rows in one vector the accumulator
+    * BLEEDS ACROSS ROWS (user 14's kept set absorbed other users' ids).
+    * Minimal repros in NOTES.md; the recursive walk sidesteps the lambda
+    * machinery entirely. */
+  def trajSimplifySql: String = {
+    val tol2 = SimplifyTol * SimplifyTol
+    val far = s"(p.x - w.lx) * (p.x - w.lx) + (p.y - w.ly) * (p.y - w.ly) > $tol2"
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT user_id, event_id AS id,
+       |         event_id * 7919 % 360000 - 180000 AS x,
+       |         event_id * 104729 % 160000 - 80000 AS y,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |walk AS (
+       |  SELECT user_id, rn, x AS lx, y AS ly, id, TRUE AS kept
+       |  FROM pts WHERE rn = 1
+       |  UNION ALL
+       |  SELECT p.user_id, p.rn,
+       |         CASE WHEN $far THEN p.x ELSE w.lx END,
+       |         CASE WHEN $far THEN p.y ELSE w.ly END,
+       |         p.id,
+       |         $far
+       |  FROM walk w JOIN pts p ON p.user_id = w.user_id AND p.rn = w.rn + 1)
+       |SELECT user_id, id AS event_id FROM walk WHERE kept""".stripMargin
+  }
+
   // =================================================================
   // B5: prefix (autocomplete) and fuzzy phrase match
   // =================================================================

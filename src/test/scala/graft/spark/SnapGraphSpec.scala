@@ -114,6 +114,61 @@ class SnapGraphSpec extends SparkTestBase {
     }
   }
 
+  test("sssp_khop matches the brute 4-round Bellman-Ford") {
+    val edges = Queries.odFlows(spark, sf001)
+      .filter(col("o_cell") =!= col("d_cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1L + 1000L / r.getLong(2)))
+    val src = edges.map(_._1).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = edges.flatMap { case (o, d, w) => dist.get(o).map(x => d -> (x + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (c, xs) => c -> xs.map(_._2).min }
+    }
+    val got = Queries.ssspKhop(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist.size > 1 && got == dist)
+  }
+
+  test("triangle_count matches the brute adjacency intersection count") {
+    val und = Queries.odFlows(spark, sf001)
+      .filter(col("o_cell") =!= col("d_cell"))
+      .select(least(col("o_cell"), col("d_cell")).as("u"),
+        greatest(col("o_cell"), col("d_cell")).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (und.map { case (u, v) => u -> v } ++ und.map { case (u, v) => v -> u })
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    // each triangle counted once per edge and has 3 edges
+    val want = und.map { case (u, v) => (adj(u) & adj(v)).size.toLong }.sum / 3
+    val got = Queries.triangleCount(spark, sf001).collect()(0).getLong(0)
+    assert(want > 0 && got == want)
+  }
+
+  test("traj_simplify matches the brute radial-distance walk") {
+    val tol2 = 120000L * 120000L
+    val evs = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (u, pts) =>
+      var lx, ly = 0L
+      var first = true
+      pts.sortBy(p => (p._2, p._3)).toSeq.flatMap { case (_, _, ev) =>
+        val x = ev * 7919 % 360000 - 180000
+        val y = ev * 104729 % 160000 - 80000
+        if (first || (x - lx) * (x - lx) + (y - ly) * (y - ly) > tol2) {
+          first = false; lx = x; ly = y
+          Some((u, ev))
+        } else None
+      }
+    }.toSet
+    val got = Queries.trajSimplify(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both branches of the walk must fire (non-vacuous keep AND drop)
+    assert(want.size > evs.length / 4 && want.size < evs.length)
+    assert(got == want)
+  }
+
   test("ngram_counts matches the brute bigram top-100") {
     val texts = spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("text")).collect().map(_.getString(0))
