@@ -51,6 +51,9 @@ object SparkEntry {
     // segmentation (one user-keyed exchange each)
     "od_flows" -> ((s, d) => Queries.odFlows(s, d)),
     "trip_segments" -> ((s, d) => Queries.tripSegments(s, d)),
+    // spatio-temporal co-location: (cell, Δ-bucket) blocked self-join,
+    // earlier event probes {b, b+1}; oracle = unblocked θ-join
+    "co_locate" -> ((s, d) => Queries.coLocate(s, d)),
     // 3×3 box smoothing over per-cell counts (heatmap/KDE raster pass)
     "cell_smooth" -> ((s, d) => Queries.cellSmooth(s, d)),
     // nearest-segment snap (map matching): cover/disk cell blocking, exact
@@ -266,6 +269,7 @@ object SparkEntry {
     "dbscan" -> Queries.dbscanSql,
     "od_flows" -> Queries.odFlowsSql,
     "trip_segments" -> Queries.tripSegmentsSql,
+    "co_locate" -> Queries.coLocateSql,
     "cell_smooth" -> Queries.cellSmoothSql,
     "snap_points" -> Queries.snapPointsSql,
     "cell_pagerank" -> Queries.cellPagerankSql,

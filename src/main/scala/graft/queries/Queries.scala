@@ -2126,6 +2126,72 @@ object Queries {
   }
 
   // =================================================================
+  // Spatio-temporal co-location join: user pairs observed in the same
+  // grid cell within a 6-hour window (the classic trajectory "meets"
+  // join). Blocking is (cell, time-bucket) with bucket width == the
+  // window Δ: the EARLIER event probes buckets {b, b+1}, the later keys
+  // its own b — any pair with 0 ≤ t_late − t_early ≤ Δ lands in exactly
+  // one of the two, so the equi-join is loss-free AND exactly-once (the
+  // two probe keys are disjoint), which the θ-join oracle proves. At
+  // 10^12 events the bucket key bounds every hash group to one cell ×
+  // one window (hot cells — cities — salt via pipeline.Skew); the
+  // θ-join's same-cell-any-time candidate set (58× larger at sf0.1) is
+  // exactly what the bucket key prunes. Positions use the QUADRATIC
+  // id-hash scatter (dbscanPoints rationale: the linear synth lattice
+  // admits zero same-cell cross-user pairs); all arithmetic — cells,
+  // buckets, gaps — is exact BIGINT on both engines.
+  // =================================================================
+
+  private val CoLocCellMilli = 6000L           // ~6° grid: 60 × 27 cells
+  private val CoLocWindowUs = 21600000000L     // 6 h in microseconds
+
+  def coLocate(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id").as("id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        expr(s"((event_id * event_id * 7919 + event_id * 104729) % 360000) div $CoLocCellMilli").as("cx"),
+        expr(s"((event_id * event_id * 104729 + event_id * 7919) % 160000) div $CoLocCellMilli").as("cy"))
+      .withColumn("b", expr(s"us div $CoLocWindowUs"))
+      .persist() // both join sides read it
+    val early = pts.select(col("cx"), col("cy"),
+      explode(array(col("b"), col("b") + 1)).as("bk"),
+      col("id").as("ia"), col("us").as("ua"), col("user_id").as("sa"))
+    val late = pts.select(col("cx"), col("cy"), col("b").as("bk"),
+      col("id").as("ib"), col("us").as("ub"), col("user_id").as("sb"))
+    early.join(late.hint("shuffle_hash"), Seq("cx", "cy", "bk"))
+      .filter(col("ua") < col("ub") ||
+        (col("ua") === col("ub") && col("ia") < col("ib")))
+      .filter(col("ub") - col("ua") <= lit(CoLocWindowUs) &&
+        col("sa") =!= col("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("u1"),
+        greatest(col("sa"), col("sb")).as("u2"))
+      .agg(count(lit(1)).as("n_meets"),
+        countDistinct(col("cx") * lit(100L) + col("cy")).as("n_cells"),
+        min(col("ub") - col("ua")).as("min_gap_us"))
+  }
+
+  /** Mirror of [[coLocate]] as the unblocked θ self-join on cell equality
+    * + the raw time/order/user predicates — bit-equality proves the
+    * Spark side's bucket blocking drops nothing and double-counts
+    * nothing. */
+  def coLocateSql: String =
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT event_id AS id, user_id, epoch_us(ts) AS us,
+       |         ((event_id * event_id * 7919 + event_id * 104729) % 360000) // $CoLocCellMilli AS cx,
+       |         ((event_id * event_id * 104729 + event_id * 7919) % 160000) // $CoLocCellMilli AS cy
+       |  FROM events)
+       |SELECT least(a.user_id, b.user_id) AS u1,
+       |       greatest(a.user_id, b.user_id) AS u2,
+       |       CAST(count(*) AS BIGINT) AS n_meets,
+       |       CAST(count(DISTINCT a.cx * 100 + a.cy) AS BIGINT) AS n_cells,
+       |       CAST(min(b.us - a.us) AS BIGINT) AS min_gap_us
+       |FROM pts a JOIN pts b ON a.cx = b.cx AND a.cy = b.cy
+       | AND (a.us < b.us OR (a.us = b.us AND a.id < b.id))
+       | AND b.us - a.us <= $CoLocWindowUs
+       | AND a.user_id <> b.user_id
+       |GROUP BY 1, 2""".stripMargin
+
+  // =================================================================
   // B5: prefix (autocomplete) and fuzzy phrase match
   // =================================================================
 

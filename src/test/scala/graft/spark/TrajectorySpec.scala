@@ -72,4 +72,32 @@ class TrajectorySpec extends SparkTestBase {
     assert(want.exists { case (_, cnt, sm) => sm > cnt }) // neighbors exist
     assert(got == want)
   }
+
+  test("co_locate matches the brute same-cell-within-window pair scan") {
+    val d = 21600000000L
+    val pts = events.map { case (id, u, us) =>
+      (id, u, us,
+        (id * id * 7919 + id * 104729) % 360000 / 6000,
+        (id * id * 104729 + id * 7919) % 160000 / 6000)
+    }
+    val meets = for {
+      a <- pts; b <- pts
+      if a._4 == b._4 && a._5 == b._5 && a._2 != b._2
+      if a._3 < b._3 || (a._3 == b._3 && a._1 < b._1)
+      if b._3 - a._3 <= d
+    } yield (math.min(a._2, b._2), math.max(a._2, b._2),
+      a._4 * 100 + a._5, b._3 - a._3)
+    val want = meets.groupBy(m => (m._1, m._2)).map { case ((u1, u2), xs) =>
+      (u1, u2, xs.size.toLong, xs.map(_._3).distinct.size.toLong, xs.map(_._4).min)
+    }.toSet
+    // non-vacuous: same-cell cross-user pairs OUTSIDE the window exist,
+    // so the time gate (and hence the bucket blocking) is exercised
+    val rejected = pts.exists(a => pts.exists(b =>
+      a._4 == b._4 && a._5 == b._5 && a._2 != b._2 && b._3 - a._3 > d))
+    assert(want.nonEmpty && rejected)
+    val got = Queries.coLocate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
 }
