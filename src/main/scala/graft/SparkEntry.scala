@@ -56,6 +56,14 @@ object SparkEntry {
     "co_locate" -> ((s, d) => Queries.coLocate(s, d)),
     // 3×3 box smoothing over per-cell counts (heatmap/KDE raster pass)
     "cell_smooth" -> ((s, d) => Queries.cellSmooth(s, d)),
+    // distributed convex hull: per-bucket partial hulls → hull of hulls
+    // (exact merge); oracle = Carathéodory extreme-point test
+    "convex_hull" -> ((s, d) => Queries.convexHull(s, d)),
+    // smoothed IDW interpolation — all-BIGINT weights (10^12 div (d²+1)),
+    // R-width cell blocking, order-independent integer sums
+    "idw_grid" -> ((s, d) => Queries.idwGrid(s, d)),
+    // per-pair great-circle bearing + distance along each user's track
+    "track_heading" -> ((s, d) => Queries.trackHeading(s, d)),
     // nearest-segment snap (map matching): cover/disk cell blocking, exact
     // rational distance output; oracle = raw θ-join over the R-gate
     "snap_points" -> ((s, d) => Queries.snapPoints(s, d)),
@@ -163,6 +171,9 @@ object SparkEntry {
     // HLL distinct-token sketch per language — fully mirrored integer
     // registers (SqlHash FNV + bin()-rho), exact count alongside
     "hll_distinct" -> ((s, d) => TextOps.hllDistinct(s.read.parquet(s"$d/documents.parquet"))),
+    // Count-Min sketch (4×1024, Kirsch–Mitzenmacher row hashes) — point
+    // estimates vs exact counts for the frozen vocab terms; fully mirrored
+    "cms_topk" -> ((s, d) => TextOps.cmsTopk(s.read.parquet(s"$d/documents.parquet"))),
     // global bigram LM counts, top-100 (map-combined groupBy + TakeOrdered)
     "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s.read.parquet(s"$d/documents.parquet"))),
     // full-text retrieval: BM25 top-k per fixed query set; per-doc TF-IDF
@@ -271,6 +282,9 @@ object SparkEntry {
     "trip_segments" -> Queries.tripSegmentsSql,
     "co_locate" -> Queries.coLocateSql,
     "cell_smooth" -> Queries.cellSmoothSql,
+    "convex_hull" -> Queries.convexHullSql,
+    "idw_grid" -> Queries.idwGridSql,
+    "track_heading" -> Queries.trackHeadingSql,
     "snap_points" -> Queries.snapPointsSql,
     "cell_pagerank" -> Queries.cellPagerankSql,
     "sssp_khop" -> Queries.ssspKhopSql,
@@ -335,6 +349,7 @@ object SparkEntry {
     "domain_mix" -> TextOps.domainMixSql(),
     "token_count" -> TextOps.tokenCountSql,
     "hll_distinct" -> TextOps.hllDistinctSql,
+    "cms_topk" -> TextOps.cmsTopkSql,
     "ngram_counts" -> TextOps.ngramCountsSql,
     "bm25_topk" -> TextOps.bm25Sql(),
     "keywords_tfidf" -> TextOps.keywordsTfIdfSql(),

@@ -473,4 +473,39 @@ object Geo {
   final val ProximityScaleKm = 40.0
   def scoredist(score: Double, distKm: Double): Double =
     score / (1.0 + distKm / ProximityScaleKm)
+
+  // ------------------------------------------------------------------
+  // Convex hull (Andrew's monotone chain, strict turns) over integer
+  // lattice points — exact Long cross products (coords < 2^20 keep the
+  // products < 2^41). Returns the EXTREME points only: collinear
+  // boundary points and duplicates are dropped, which is the property
+  // the hull-of-hulls merge and the SQL extreme-point oracle both pin.
+  // ------------------------------------------------------------------
+
+  /** Extreme points of the set, CCW from the lexicographic minimum.
+    * n<=2 distinct points are all extreme; all-collinear inputs return
+    * the two endpoints. hull(hull(S1) ∪ … ∪ hull(Sk)) == hull(∪ Si),
+    * so partial hulls merge exactly (the distributed two-level shape). */
+  def convexHull(pts: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val p = pts.distinct.sorted
+    val n = p.length
+    if (n <= 2) return p
+    @inline def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val h = new Array[(Long, Long)](2 * n)
+    var k = 0
+    var i = 0
+    while (i < n) { // lower hull (strict left turns only: pop on cross <= 0)
+      while (k >= 2 && cross(h(k - 2), h(k - 1), p(i)) <= 0) k -= 1
+      h(k) = p(i); k += 1; i += 1
+    }
+    val lower = k + 1
+    i = n - 2
+    while (i >= 0) { // upper hull
+      while (k >= lower && cross(h(k - 2), h(k - 1), p(i)) <= 0) k -= 1
+      h(k) = p(i); k += 1; i -= 1
+    }
+    java.util.Arrays.copyOfRange(h.asInstanceOf[Array[AnyRef]], 0, k - 1)
+      .asInstanceOf[Array[(Long, Long)]]
+  }
 }

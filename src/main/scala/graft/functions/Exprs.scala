@@ -746,6 +746,44 @@ object Exprs {
     override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
   }
 
+  /** hull_2d(points): extreme points (strict convex hull) of an
+    * array<struct<x:bigint,y:bigint>> of integer lattice points, CCW from
+    * the lexicographic minimum — a single native monotone-chain pass
+    * ([[graft.core.Geo.convexHull]]). Exact Long cross products; duplicate
+    * and collinear-boundary points are dropped on both the Spark side and
+    * the SQL extreme-point oracle. Consumed by explode, so the Generator
+    * boundary keeps the kernel out of scalar re-substitution (the
+    * lang_ngram_best lesson). hull(∪ hulls) == hull(∪ sets), so the same
+    * expression serves both levels of the distributed hull-of-hulls. */
+  case class Hull2D(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    private val pointType = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false)))
+    override def dataType: DataType = ArrayType(pointType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hull_2d"
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val pts = new Array[(Long, Long)](arr.numElements())
+      var i = 0
+      while (i < pts.length) {
+        val row = arr.getStruct(i, 2)
+        pts(i) = (row.getLong(0), row.getLong(1))
+        i += 1
+      }
+      val hull = Geo.convexHull(pts)
+      val out = new Array[Any](hull.length)
+      i = 0
+      while (i < hull.length) {
+        out(i) = InternalRow(hull(i)._1, hull(i)._2)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Hull2D = copy(child = c)
+  }
+
   /** minhash_sig(text, k, numHashes): full MinHash signature (for verify-stage
     * estimated-Jaccard between candidate pairs). */
   case class MinHashSig(first: Expression, second: Expression, third: Expression)
@@ -810,6 +848,7 @@ object F {
     c(LshBuckets(x(q), nTables, planesPerTable))
   def sortedInterCount(a: Column, b: Column): Column =
     c(SortedInterCount(x(a), x(b)))
+  def hull2d(points: Column): Column = c(Hull2D(x(points)))
   def windowStrings(text: Column, lengths: Seq[Int]): Column =
     c(WindowStrings(x(text), lengths))
   def windowPos(text: Column, lengths: Seq[Int]): Column =

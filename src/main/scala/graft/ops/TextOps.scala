@@ -928,6 +928,88 @@ object TextOps {
        |FROM ng GROUP BY 1
        |ORDER BY cnt DESC, ngram ASC LIMIT 100""".stripMargin
 
+  // =================================================================
+  // Count-Min sketch heavy hitters (Cormode & Muthukrishnan '05): a
+  // d=4 × w=1024 counter sketch over the corpus token stream, then
+  // point estimates (min over the d rows) for a frozen query-term set
+  // next to their exact counts — the CMS overestimate is visible in
+  // the output. The d row hashes come from one FNV-1a 64 via
+  // Kirsch–Mitzenmacher double hashing (h1 + r·h2, '06): all bucket
+  // arithmetic is &/>>/%, bit-identical on both engines (the HLL
+  // precedent), so the sketch is FULLY mirrored — no approximation in
+  // the compare, only in the estimate itself. Scale: counters are
+  // (d·w) cells regardless of corpus size, map-side combined — the
+  // mergeable-sketch shape; tokens ride the shuffle as (row, bucket)
+  // int pairs only.
+  // =================================================================
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024L
+
+  /** Frozen query terms (doc-vocab single tokens — the gazetteer's word
+    * list, so every term actually occurs and both engines agree on the
+    * surviving set after the inner joins). */
+  val cmsTerms: Seq[String] = Seq(
+    "data", "spark", "table", "query", "stream", "vector", "batch", "window",
+    "hash", "join", "sort", "merge", "scan", "filter", "agg", "key",
+    "value", "column", "group", "order", "part", "line", "row",
+    "customer", "small", "big", "slow", "fast")
+
+  def cmsTopk(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .persist() // two consumers: sketch counters and exact counts
+    val sketch = toks
+      .select(F.fnv1a64(col("tok")).as("h"))
+      .select(explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("r"), col("h"))
+      .select(col("r"),
+        ((col("h").bitwiseAND(lit(4294967295L)) +
+          col("r") * shiftright(col("h"), 32).bitwiseAND(lit(4294967295L)))
+          % lit(CmsWidth)).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    val qb = cmsTerms.toDF("term")
+      .select(col("term"), F.fnv1a64(col("term")).as("h"))
+      .select(col("term"), explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("r"), col("h"))
+      .select(col("term"), col("r"),
+        ((col("h").bitwiseAND(lit(4294967295L)) +
+          col("r") * shiftright(col("h"), 32).bitwiseAND(lit(4294967295L)))
+          % lit(CmsWidth)).as("b"))
+    val est = sketch.join(broadcast(qb), Seq("r", "b"))
+      .groupBy(col("term")).agg(min(col("cnt")).as("est_cnt"))
+    val exact = toks.join(broadcast(cmsTerms.toDF("term")), col("tok") === col("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+    exact.join(est, "term")
+      .select(col("term"), col("true_cnt"), col("est_cnt"))
+  }
+
+  def cmsTopkSql: String = {
+    import graft.queries.SqlHash._
+    val hTok = toSigned(fnv1a64("tok"))
+    val hTerm = toSigned(fnv1a64("term"))
+    def bucket(h: String): String =
+      s"((($h) & 4294967295) + r.r * ((($h) >> 32) & 4294967295)) % $CmsWidth"
+    val terms = cmsTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |rows4(r) AS (SELECT unnest([0, 1, 2, 3])),
+       |hv AS (SELECT $hTok AS h FROM toks),
+       |sk AS MATERIALIZED (
+       |  SELECT r.r AS r, ${bucket("h")} AS b, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM hv, rows4 r GROUP BY 1, 2),
+       |q(term) AS (VALUES $terms),
+       |qh AS (SELECT term, $hTerm AS h FROM q),
+       |qb AS (SELECT term, r.r AS r, ${bucket("h")} AS b FROM qh, rows4 r),
+       |est AS (
+       |  SELECT term, CAST(min(cnt) AS BIGINT) AS est_cnt
+       |  FROM qb JOIN sk ON qb.r = sk.r AND qb.b = sk.b GROUP BY 1),
+       |ex AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+       |  FROM toks JOIN q ON tok = q.term GROUP BY 1)
+       |SELECT ex.term, true_cnt, est_cnt
+       |FROM ex JOIN est ON ex.term = est.term""".stripMargin
+  }
+
   /** Rolling-hash document fingerprint + simhash. Full DuckDB oracle (the
     * 64-bit integer math is reproduced bit-exactly via HUGEINT limb
     * arithmetic — see [[graft.queries.SqlHash]]); additionally frozen by

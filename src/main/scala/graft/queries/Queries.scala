@@ -2192,6 +2192,224 @@ object Queries {
        |GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Distributed convex hull (hull-of-hulls): extreme points of each
+  // event-type's point set. Two-level exact aggregation — per-bucket
+  // partial hulls (map-side-sized payloads), then hull of the union of
+  // bucket hulls, which equals the full hull (conv(∪ conv(Si)) =
+  // conv(∪ Si)). At 10^12 points the partial level collapses each
+  // partition's contribution to its ≤O(hull) extreme points before the
+  // one per-group shuffle — the classic mergeable-summary shape. The
+  // fixture caps each group at 48 points by event_id rank so the
+  // quadratic SQL extreme-point oracle (¬∃ containing triangle —
+  // Carathéodory in 2D, degenerate triangles included via the bbox
+  // guard) stays tractable; the uncapped hull-of-hulls ≡ single-pass
+  // equivalence at 50k points is pinned by ScalaTest (HullSpec), and
+  // the kernel itself is property-tested against JTS. Positions use the
+  // QUADRATIC id-hash scatter (the linear lattice is arithmetic-chain
+  // degenerate — dbscanPoints rationale); all cross products are exact
+  // BIGINTs on both engines.
+  // =================================================================
+
+  private val HullCap = 48
+
+  def convexHull(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("etype")).orderBy(col("event_id").asc)
+    val cand = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type").as("etype"),
+        expr("(event_id * event_id * 7919 + event_id * 104729) % 360000").as("x"),
+        expr("(event_id * event_id * 104729 + event_id * 7919) % 160000").as("y"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= HullCap)
+      .select(col("etype"), col("x"), col("y"))
+      .distinct()
+    val partial = cand
+      .groupBy(col("etype"), ((col("x") * 31 + col("y")) % 8).as("bucket"))
+      .agg(collect_list(struct(col("x"), col("y"))).as("pts"))
+      .select(col("etype"), explode(F.hull2d(col("pts"))).as("p"))
+    partial
+      .groupBy(col("etype"))
+      .agg(collect_list(struct(col("p.x").as("x"), col("p.y").as("y"))).as("pts"))
+      .select(col("etype"), explode(F.hull2d(col("pts"))).as("p"))
+      .select(col("etype"), col("p.x").as("x"), col("p.y").as("y"))
+  }
+
+  /** Mirror of [[convexHull]] as the Carathéodory extreme-point test: p is
+    * a hull vertex iff no triangle (a,b,d) of OTHER candidate points
+    * contains it (closed containment — same-sign orientation triple — with
+    * a bbox guard so degenerate collinear "triangles" only capture points
+    * actually between their endpoints). Plain 4-way join + anti join, no
+    * correlated subquery (the DuckDB LATERAL binder trap). */
+  def convexHullSql: String = {
+    def cr(o: String, a: String, b: String): String =
+      s"(($a.x - $o.x) * ($b.y - $o.y) - ($a.y - $o.y) * ($b.x - $o.x))"
+    val s1 = cr("a", "b", "c")
+    val s2 = cr("b", "d", "c")
+    val s3 = cr("d", "a", "c")
+    s"""WITH pts AS (
+       |  SELECT event_id, event_type AS etype,
+       |         (event_id * event_id * 7919 + event_id * 104729) % 360000 AS x,
+       |         (event_id * event_id * 104729 + event_id * 7919) % 160000 AS y
+       |  FROM events),
+       |cap AS (
+       |  SELECT etype, x, y FROM (
+       |    SELECT etype, x, y,
+       |           row_number() OVER (PARTITION BY etype ORDER BY event_id) AS rn
+       |    FROM pts)
+       |  WHERE rn <= $HullCap),
+       |cand AS MATERIALIZED (SELECT DISTINCT etype, x, y FROM cap),
+       |inner_pts AS (
+       |  SELECT DISTINCT c.etype, c.x, c.y
+       |  FROM cand c
+       |  JOIN cand a ON a.etype = c.etype AND NOT (a.x = c.x AND a.y = c.y)
+       |  JOIN cand b ON b.etype = c.etype AND NOT (b.x = c.x AND b.y = c.y)
+       |  JOIN cand d ON d.etype = c.etype AND NOT (d.x = c.x AND d.y = c.y)
+       |  WHERE (($s1 >= 0 AND $s2 >= 0 AND $s3 >= 0) OR
+       |         ($s1 <= 0 AND $s2 <= 0 AND $s3 <= 0))
+       |    AND c.x BETWEEN least(a.x, b.x, d.x) AND greatest(a.x, b.x, d.x)
+       |    AND c.y BETWEEN least(a.y, b.y, d.y) AND greatest(a.y, b.y, d.y))
+       |SELECT c.etype, c.x, c.y
+       |FROM cand c ANTI JOIN inner_pts i
+       |  ON c.etype = i.etype AND c.x = i.x AND c.y = i.y""".stripMargin
+  }
+
+  // =================================================================
+  // IDW spatial interpolation (smoothed inverse-distance weighting):
+  // each probe point estimates a value from the stations within R =
+  // 2000 milli-degrees as Σ w·v / Σ w with w = 10^12 div (d² + 1) — the
+  // +1 removes the d=0 singularity and makes every weight an exact
+  // BIGINT, so the whole operator (weights, sums, quotient) is integer
+  // arithmetic: order-independent aggregation (the ann_cosine
+  // discipline) and a bit-exact DuckDB mirror with zero rounding. Grid
+  // blocking: stations key their R-width cell, probes explode the 3×3
+  // ring — Chebyshev(p,s) ≤ R ⟹ same-or-adjacent cell, so the
+  // equi-join is loss-free, and station cells are unique per station so
+  // it is exactly-once. Station side is corpus-scaling (never
+  // broadcast — shuffle_hash pinned); probes with no station in range
+  // drop out on both engines.
+  // =================================================================
+
+  private val IdwRadiusMilli = 2000L
+  private val IdwScale = 1000000000000L
+
+  def idwGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select((col("c_custkey") % 997).as("v"),
+        expr("c_custkey * 7919 % 350000 - 175000").as("sx"),
+        expr("c_custkey * 104729 % 160000 - 80000").as("sy"))
+      .withColumn("cx", expr(s"(sx + 180000) div $IdwRadiusMilli"))
+      .withColumn("cy", expr(s"(sy + 80000) div $IdwRadiusMilli"))
+    val pr = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        expr("event_id * 7919 % 360000 - 180000").as("px"),
+        expr("event_id * 104729 % 160000 - 80000").as("py"))
+      .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("cx", expr(s"(px + 180000) div $IdwRadiusMilli") + col("dx"))
+      .withColumn("cy", expr(s"(py + 80000) div $IdwRadiusMilli") + col("dy"))
+      .drop("dx", "dy")
+    val d2 = (col("px") - col("sx")) * (col("px") - col("sx")) +
+      (col("py") - col("sy")) * (col("py") - col("sy"))
+    pr.join(st.hint("shuffle_hash"), Seq("cx", "cy"))
+      .filter(d2 <= lit(IdwRadiusMilli * IdwRadiusMilli))
+      .withColumn("w", expr(s"$IdwScale div ((px - sx) * (px - sx) + (py - sy) * (py - sy) + 1)"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_st"),
+        sum(col("w")).as("den"),
+        sum(col("w") * col("v")).as("num"))
+      .withColumn("est_q", expr("num div den"))
+  }
+
+  /** Mirror of [[idwGrid]]: the same integer cell blocking as a BETWEEN
+    * range join (cells, weights and sums are all exact BIGINT arithmetic —
+    * nothing transcendental crosses engines; the raw θ-join would be
+    * 1.5·10^10 pairs at sf0.1). Loss-freeness of the ±1-cell window is
+    * arithmetic: |Δ| ≤ R ⟹ floor-div cells differ by ≤ 1. */
+  def idwGridSql: String =
+    s"""WITH st AS MATERIALIZED (
+       |  SELECT c_custkey % 997 AS v,
+       |         c_custkey * 7919 % 350000 - 175000 AS sx,
+       |         c_custkey * 104729 % 160000 - 80000 AS sy
+       |  FROM customer),
+       |stc AS MATERIALIZED (
+       |  SELECT v, sx, sy,
+       |         (sx + 180000) // $IdwRadiusMilli AS cx,
+       |         (sy + 80000) // $IdwRadiusMilli AS cy
+       |  FROM st),
+       |pr AS (
+       |  SELECT event_id,
+       |         event_id * 7919 % 360000 - 180000 AS px,
+       |         event_id * 104729 % 160000 - 80000 AS py
+       |  FROM events),
+       |pairs AS (
+       |  SELECT p.event_id,
+       |         $IdwScale // ((px - sx) * (px - sx) + (py - sy) * (py - sy) + 1) AS w,
+       |         s.v
+       |  FROM pr p JOIN stc s
+       |    ON s.cx BETWEEN (p.px + 180000) // $IdwRadiusMilli - 1
+       |                AND (p.px + 180000) // $IdwRadiusMilli + 1
+       |   AND s.cy BETWEEN (p.py + 80000) // $IdwRadiusMilli - 1
+       |                AND (p.py + 80000) // $IdwRadiusMilli + 1
+       |   AND (px - sx) * (px - sx) + (py - sy) * (py - sy)
+       |       <= ${IdwRadiusMilli * IdwRadiusMilli})
+       |SELECT event_id, CAST(count(*) AS BIGINT) AS n_st,
+       |       CAST(sum(w) AS BIGINT) AS den,
+       |       CAST(sum(w * v) AS BIGINT) AS num,
+       |       CAST(sum(w * v) // sum(w) AS BIGINT) AS est_q
+       |FROM pairs GROUP BY 1""".stripMargin
+
+  // =================================================================
+  // Track heading: initial great-circle bearing + haversine distance of
+  // each consecutive event pair per user (the trajectory enrichment
+  // pass feeding turn/speed analytics). Same single user-keyed window
+  // exchange as od_flows. Bearing is transcendental → rounded to 4 on
+  // BOTH sides (CLAUDE.md discipline); the pre-round double is built
+  // token-for-token (radians as x*pi()/180, fmod of a positive value).
+  // =================================================================
+
+  def trackHeading(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    val rad = lit(Math.PI) / lit(180.0)
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        evLon(col("event_id")).as("lon1"), evLat(col("event_id")).as("lat1"))
+      .withColumn("lon2", lead(col("lon1"), 1).over(w))
+      .withColumn("lat2", lead(col("lat1"), 1).over(w))
+      .filter(col("lon2").isNotNull)
+    val dLam = (col("lon2") - col("lon1")) * rad
+    val phi1 = col("lat1") * rad
+    val phi2 = col("lat2") * rad
+    val brg = atan2(
+      sin(dLam) * cos(phi2),
+      cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dLam)) * lit(180.0) / lit(Math.PI)
+    pts
+      .withColumn("bearing_r", round((brg + lit(360.0)) % lit(360.0), 4))
+      .withColumn("dist_r", round(F.haversineKm(
+        col("lon1"), col("lat1"), col("lon2"), col("lat2")), 6))
+      .select(col("user_id"), col("event_id"), col("bearing_r"), col("dist_r"))
+  }
+
+  def trackHeadingSql: String = {
+    val brg = "atan2(sin((lon2 - lon1) * pi() / 180.0) * cos(lat2 * pi() / 180.0), " +
+      "cos(lat1 * pi() / 180.0) * sin(lat2 * pi() / 180.0) - " +
+      "sin(lat1 * pi() / 180.0) * cos(lat2 * pi() / 180.0) * cos((lon2 - lon1) * pi() / 180.0)) " +
+      "* 180.0 / pi()"
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |         $evLonSql AS lon1, $evLatSql AS lat1
+       |  FROM events),
+       |seq AS (
+       |  SELECT user_id, event_id, lon1, lat1,
+       |         lead(lon1, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lon2,
+       |         lead(lat1, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lat2
+       |  FROM ev)
+       |SELECT user_id, event_id,
+       |       round(fmod($brg + 360.0, 360.0), 4) AS bearing_r,
+       |       round(${Synth.haversineSql("lon1", "lat1", "lon2", "lat2")}, 6) AS dist_r
+       |FROM seq WHERE lon2 IS NOT NULL""".stripMargin
+  }
+
+  // =================================================================
   // B5: prefix (autocomplete) and fuzzy phrase match
   // =================================================================
 
