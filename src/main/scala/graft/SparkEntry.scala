@@ -59,11 +59,17 @@ object SparkEntry {
     // distributed convex hull: per-bucket partial hulls → hull of hulls
     // (exact merge); oracle = Carathéodory extreme-point test
     "convex_hull" -> ((s, d) => Queries.convexHull(s, d)),
+    // Bing quadkey string encoding (prefix-ordered tile keys, zero shuffle)
+    "quadkey" -> ((s, d) => Queries.quadkey(s, d)),
+    // points covered by NO feature: cell-blocked PIP + skinny id anti-join
+    "pip_anti" -> ((s, d) => Queries.pipAnti(s, d)),
     // smoothed IDW interpolation — all-BIGINT weights (10^12 div (d²+1)),
     // R-width cell blocking, order-independent integer sums
     "idw_grid" -> ((s, d) => Queries.idwGrid(s, d)),
     // per-pair great-circle bearing + distance along each user's track
     "track_heading" -> ((s, d) => Queries.trackHeading(s, d)),
+    // geodesic midpoint between consecutive fixes (track densification)
+    "track_resample" -> ((s, d) => Queries.trackResample(s, d)),
     // nearest-segment snap (map matching): cover/disk cell blocking, exact
     // rational distance output; oracle = raw θ-join over the R-gate
     "snap_points" -> ((s, d) => Queries.snapPoints(s, d)),
@@ -174,6 +180,12 @@ object SparkEntry {
     // Count-Min sketch (4×1024, Kirsch–Mitzenmacher row hashes) — point
     // estimates vs exact counts for the frozen vocab terms; fully mirrored
     "cms_topk" -> ((s, d) => TextOps.cmsTopk(s.read.parquet(s"$d/documents.parquet"))),
+    // positional phrase search: slot-vote aggregation (one shuffle)
+    // replaces the n-way postings self-join; broadcast phrase-slot dim
+    "phrase_search" -> ((s, d) => TextOps.phraseSearch(s.read.parquet(s"$d/documents.parquet"))),
+    // Zipf rank-frequency power-law fit over the top-k vocabulary —
+    // integer-quantized regression sums, exact until the final division
+    "zipf_fit" -> ((s, d) => TextOps.zipfFit(s.read.parquet(s"$d/documents.parquet"))),
     // global bigram LM counts, top-100 (map-combined groupBy + TakeOrdered)
     "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s.read.parquet(s"$d/documents.parquet"))),
     // full-text retrieval: BM25 top-k per fixed query set; per-doc TF-IDF
@@ -283,8 +295,11 @@ object SparkEntry {
     "co_locate" -> Queries.coLocateSql,
     "cell_smooth" -> Queries.cellSmoothSql,
     "convex_hull" -> Queries.convexHullSql,
+    "quadkey" -> Queries.quadkeySql,
+    "pip_anti" -> Queries.pipAntiSql,
     "idw_grid" -> Queries.idwGridSql,
     "track_heading" -> Queries.trackHeadingSql,
+    "track_resample" -> Queries.trackResampleSql,
     "snap_points" -> Queries.snapPointsSql,
     "cell_pagerank" -> Queries.cellPagerankSql,
     "sssp_khop" -> Queries.ssspKhopSql,
@@ -350,6 +365,8 @@ object SparkEntry {
     "token_count" -> TextOps.tokenCountSql,
     "hll_distinct" -> TextOps.hllDistinctSql,
     "cms_topk" -> TextOps.cmsTopkSql,
+    "phrase_search" -> TextOps.phraseSearchSql,
+    "zipf_fit" -> TextOps.zipfFitSql(),
     "ngram_counts" -> TextOps.ngramCountsSql,
     "bm25_topk" -> TextOps.bm25Sql(),
     "keywords_tfidf" -> TextOps.keywordsTfIdfSql(),

@@ -2081,4 +2081,136 @@ object TextOps {
        |       round(CAST(share_q AS DOUBLE) / CAST(tot_q AS DOUBLE), 6) AS mix_weight,
        |       least(CAST(ceil(CAST(max_n AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT), $cap) AS repeat_factor
        |FROM q, t""".stripMargin
+
+  // =================================================================
+  // Positional phrase search — exact multi-token phrase queries over a
+  // positional inverted index, the full-text-retrieval complement to
+  // bm25TopK's bag-of-words ranking. Instead of the classic n-way
+  // postings self-join (n−1 shuffles for an n-token phrase), every
+  // occurrence of phrase-slot term tᵢ at position p votes for candidate
+  // start p−i, and ONE aggregation on (phrase, doc, start) checks that
+  // all n slots voted: within a group each slot maps to exactly one
+  // token position (pos = start + slot), so a plain count(*) == n is
+  // the adjacency proof — no distinct, no self-join. Scale: the slot
+  // dim is query-sized (broadcast); the broadcast hash join drops every
+  // non-phrase token at the scan, so only phrase-term occurrences ride
+  // the single (phrase, doc, start) shuffle as int triples, map-side
+  // combined. Repeated-token phrases ("batch batch batch") fall out
+  // naturally — the same occurrence votes once per matching slot, each
+  // vote landing in a different start group.
+  // =================================================================
+
+  /** Frozen phrase set (doc-vocab terms so matches exist at every SF);
+    * includes repeated-token phrases to exercise the slot-vote logic. */
+  val SearchPhrases: Seq[String] = Seq(
+    "merge join", "table scan", "hash join", "window window",
+    "batch batch batch", "table scan merge")
+
+  /** Exact phrase hits per (phrase, document): n_hits = number of start
+    * offsets where the full token sequence matches. Mirrored in
+    * [[phraseSearchSql]]. */
+  def phraseSearch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = SearchPhrases.flatMap { p =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, i) => (p, i, t, ts.length) }
+    }.toDF("phrase", "slot", "term", "n")
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .join(broadcast(slots), Seq("term"))
+      .select(col("phrase"), col("doc_id"),
+        (col("pos") - col("slot")).as("start"), col("n"))
+      .filter(col("start") >= 0)
+      .groupBy(col("phrase"), col("doc_id"), col("start"), col("n"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") === col("n"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Oracle mirror of [[phraseSearch]]: 1-based positions/slots (start =
+    * pos − slot is the same quantity either way), same start ≥ 0 gate. */
+  def phraseSearchSql: String = {
+    val values = SearchPhrases.flatMap { p =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, i) => s"('$p', ${i + 1}, '$t', ${ts.length})" }
+    }.mkString(", ")
+    s"""WITH slots(phrase, slot, term, n) AS (VALUES $values),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |post AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+       |                   i -> struct_pack(pos := i, term := t[i]))) AS u
+       |    FROM t)),
+       |votes AS (
+       |  SELECT s.phrase, p.doc_id, p.pos - s.slot AS start, s.n
+       |  FROM post p JOIN slots s ON p.term = s.term
+       |  WHERE p.pos - s.slot >= 0),
+       |grp AS (
+       |  SELECT phrase, doc_id, start, n, count(*) AS k
+       |  FROM votes GROUP BY 1, 2, 3, 4)
+       |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM grp WHERE k = n GROUP BY 1, 2""".stripMargin
+  }
+
+  // =================================================================
+  // Zipf rank-frequency fit — the corpus-statistics op of a curation
+  // pipeline (a healthy natural-language corpus fits ln f ≈ a + s·ln r
+  // with s ≈ −1; crawl spam / boilerplate shows up as a broken fit).
+  // One corpus-wide term exchange (map-side combined counts); the
+  // rank/fit stage runs on the top-K SURVIVOR frame, bounded by
+  // construction, so the un-partitioned rank window is a K-row sort,
+  // not a corpus sort. Regression sums run over 1e6-QUANTIZED integer
+  // coordinates (the ann_cosine discipline): integer sums are
+  // order-independent across partial aggregation where double sums are
+  // not, and the closed-form slope/intercept numerators stay EXACT in
+  // decimal/HUGEINT until the final double division + round.
+  // =================================================================
+
+  /** Least-squares fit of ln(freq) on ln(rank) over the top-k vocabulary.
+    * Returns one row: n (terms fitted), slope, intercept. Mirrored in
+    * [[zipfFitSql]]. */
+  def zipfFit(docs: DataFrame, k: Int = 1000): DataFrame = {
+    val freq = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val top = freq.orderBy(col("cnt").desc, col("term").asc).limit(k)
+    val ranked = top.withColumn("rnk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("term").asc)))
+    val q = ranked.select(
+      round(log(col("rnk").cast("double")) * lit(1000000.0), 0).cast("long").as("xq"),
+      round(log(col("cnt").cast("double")) * lit(1000000.0), 0).cast("long").as("yq"))
+    val s = q.agg(count(lit(1)).as("n"),
+      sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum(col("xq") * col("yq")).as("sxy"), sum(col("xq") * col("xq")).as("sxx"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val den = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    s.select(col("n"),
+      round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast("double")
+        / den.cast("double"), 4).as("slope"),
+      round((d(col("sy")) * d(col("sxx")) - d(col("sx")) * d(col("sxy"))).cast("double")
+        / den.cast("double") / lit(1000000.0), 4).as("intercept"))
+  }
+
+  /** Oracle mirror of [[zipfFit]]: DuckDB BIGINT sums widen to HUGEINT
+    * (exact), same quantized coordinates, same closed forms. */
+  def zipfFitSql(k: Int = 1000): String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |f AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+       |top AS (SELECT term, cnt FROM f ORDER BY cnt DESC, term ASC LIMIT $k),
+       |r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS rnk
+       |      FROM top),
+       |q AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS xq,
+       |             CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS yq
+       |      FROM r),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             sum(xq) AS sx, sum(yq) AS sy,
+       |             sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+       |      FROM q)
+       |SELECT n,
+       |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |             / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+       |       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+       |             / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 4) AS intercept
+       |FROM s""".stripMargin
 }

@@ -471,6 +471,35 @@ object Queries {
   }
 
   // =================================================================
+  // H3d: Bing quadkey encoding — the interleaved-bit string key of a
+  // z14 tile (digit i = 2·y_bit + x_bit at depth i, Schwartz '18 Bing
+  // tile scheme). Quadkeys give a PREFIX-ORDERED key space: a length-k
+  // prefix IS the z=k ancestor tile, so string prefix filters prune
+  // like the cell hierarchy. Pure per-row integer bit arithmetic
+  // unpacked from the packed z:5|x:28|y:28 cell — zero shuffles; both
+  // engines run exact integer shifts/masks.
+  // =================================================================
+
+  def quadkey(spark: SparkSession, sfDir: String): DataFrame =
+    eventPoints(spark, sfDir)
+      .withColumn("cell", F.cellAt(lit(14), col("elon"), col("elat")))
+      .withColumn("tx", expr("shiftright(cell, 28) & 268435455"))
+      .withColumn("ty", expr("cell & 268435455"))
+      .select(col("event_id"), expr(
+        "concat_ws('', transform(sequence(1, 14), " +
+          "i -> cast((shiftright(ty, 14 - i) & 1) * 2 + (shiftright(tx, 14 - i) & 1) as string)))")
+        .as("qk"))
+
+  def quadkeySql: String =
+    s"""WITH pts AS (${eventPointsSql}),
+       |c AS (SELECT event_id, ${cellSql(14, "elon", "elat")} AS cell FROM pts),
+       |b AS (SELECT event_id, (cell // 268435456) % 268435456 AS tx,
+       |             cell % 268435456 AS ty FROM c)
+       |SELECT event_id, array_to_string(list_transform(generate_series(1, 14),
+       |  i -> CAST(((ty >> (14 - i)) & 1) * 2 + ((tx >> (14 - i)) & 1) AS VARCHAR)), '') AS qk
+       |FROM b""".stripMargin
+
+  // =================================================================
   // H3c: tile pyramid — multi-zoom event-count rollup (z12 → z4), the
   // aggregation shape tile servers use to serve heatmaps at every zoom.
   // The z12 base is the ONLY pass over the raw events (one corpus-wide
@@ -1273,6 +1302,29 @@ object Queries {
        |FROM pts p JOIN cf f
        |  ON p.elon >= f.west AND p.elon < f.east
        | AND p.elat >= f.south AND p.elat < f.north""".stripMargin
+
+  // =================================================================
+  // C4b: PIP anti-join — probe points covered by NO feature (the
+  // outside-coverage / ocean-mask set). The matched set reuses the
+  // cell-blocked reversePip candidate machinery; the final left_anti
+  // shuffles ONLY 8-byte event ids, never geometry or text, and the
+  // cover side stays feature-sized — the anti-join adds one skinny
+  // exchange to the PIP plan regardless of probe count.
+  // =================================================================
+
+  def pipAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = eventPoints(spark, sfDir)
+    val matched = Geocode.reversePip(pts, custFeatures(spark, sfDir), 8)
+      .select(col("event_id"))
+    pts.join(matched, Seq("event_id"), "left_anti").select(col("event_id"))
+  }
+
+  def pipAntiSql: String =
+    s"""WITH cf AS (${custFeaturesSql}), pts AS (${eventPointsSql})
+       |SELECT p.event_id FROM pts p
+       |WHERE NOT EXISTS (SELECT 1 FROM cf f
+       |  WHERE p.elon >= f.west AND p.elon < f.east
+       |    AND p.elat >= f.south AND p.elat < f.north)""".stripMargin
 
   // =================================================================
   // D6: kNN nearest feature within Chebyshev disk r=2 at z8
@@ -2407,6 +2459,62 @@ object Queries {
        |       round(fmod($brg + 360.0, 360.0), 4) AS bearing_r,
        |       round(${Synth.haversineSql("lon1", "lat1", "lon2", "lat2")}, 6) AS dist_r
        |FROM seq WHERE lon2 IS NOT NULL""".stripMargin
+  }
+
+  // =================================================================
+  // H5b: geodesic midpoint resampling — the half-way point along the
+  // great circle between consecutive track fixes (Williams' aviation
+  // formulary midpoint form), the track-densification step of a
+  // map-matching pipeline. Same single user-keyed pair window as
+  // trackHeading, then pure per-row transcendentals; outputs rounded
+  // (transcendental-derived doubles), pair identity keeps the
+  // unrounded tiebreak-free key (user_id, event_id).
+  // =================================================================
+
+  def trackResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    val rad = lit(Math.PI) / lit(180.0)
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        evLon(col("event_id")).as("lon1"), evLat(col("event_id")).as("lat1"))
+      .withColumn("lon2", lead(col("lon1"), 1).over(w))
+      .withColumn("lat2", lead(col("lat1"), 1).over(w))
+      .filter(col("lon2").isNotNull)
+    val phi1 = col("lat1") * rad
+    val phi2 = col("lat2") * rad
+    val dLam = (col("lon2") - col("lon1")) * rad
+    val bbx = cos(phi2) * cos(dLam)
+    val bby = cos(phi2) * sin(dLam)
+    val phiM = atan2(sin(phi1) + sin(phi2),
+      sqrt((cos(phi1) + bbx) * (cos(phi1) + bbx) + bby * bby))
+    val lamM = col("lon1") * rad + atan2(bby, cos(phi1) + bbx)
+    pts.select(col("user_id"), col("event_id"),
+      round(lamM * lit(180.0) / lit(Math.PI), 5).as("mlon"),
+      round(phiM * lit(180.0) / lit(Math.PI), 5).as("mlat"))
+  }
+
+  def trackResampleSql: String = {
+    val c1 = "cos(lat1 * pi() / 180.0)"
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |         $evLonSql AS lon1, $evLatSql AS lat1
+       |  FROM events),
+       |seq AS (
+       |  SELECT user_id, event_id, lon1, lat1,
+       |         lead(lon1, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lon2,
+       |         lead(lat1, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lat2
+       |  FROM ev),
+       |b AS (
+       |  SELECT user_id, event_id, lon1, lat1, lat2,
+       |         cos(lat2 * pi() / 180.0) * cos((lon2 - lon1) * pi() / 180.0) AS bbx,
+       |         cos(lat2 * pi() / 180.0) * sin((lon2 - lon1) * pi() / 180.0) AS bby
+       |  FROM seq WHERE lon2 IS NOT NULL)
+       |SELECT user_id, event_id,
+       |       round((lon1 * pi() / 180.0 + atan2(bby, $c1 + bbx)) * 180.0 / pi(), 5) AS mlon,
+       |       round(atan2(sin(lat1 * pi() / 180.0) + sin(lat2 * pi() / 180.0),
+       |             sqrt(($c1 + bbx) * ($c1 + bbx) + bby * bby)) * 180.0 / pi(), 5) AS mlat
+       |FROM b""".stripMargin
   }
 
   // =================================================================
