@@ -63,6 +63,10 @@ object SparkEntry {
     "quadkey" -> ((s, d) => Queries.quadkey(s, d)),
     // points covered by NO feature: cell-blocked PIP + skinny id anti-join
     "pip_anti" -> ((s, d) => Queries.pipAnti(s, d)),
+    // zonal statistics: per-feature aggregation of a z10 cell value field
+    "zonal_stats" -> ((s, d) => Queries.zonalStats(s, d)),
+    // Pareto front via x-bucket decomposition; sweep-algorithm oracle
+    "skyline" -> ((s, d) => Queries.skyline(s, d)),
     // smoothed IDW interpolation — all-BIGINT weights (10^12 div (d²+1)),
     // R-width cell blocking, order-independent integer sums
     "idw_grid" -> ((s, d) => Queries.idwGrid(s, d)),
@@ -297,6 +301,8 @@ object SparkEntry {
     "convex_hull" -> Queries.convexHullSql,
     "quadkey" -> Queries.quadkeySql,
     "pip_anti" -> Queries.pipAntiSql,
+    "zonal_stats" -> Queries.zonalStatsSql,
+    "skyline" -> Queries.skylineSql,
     "idw_grid" -> Queries.idwGridSql,
     "track_heading" -> Queries.trackHeadingSql,
     "track_resample" -> Queries.trackResampleSql,

@@ -1289,6 +1289,58 @@ object Queries {
   }
 
   // =================================================================
+  // H9b: zonal statistics — per-polygon aggregation of a raster value
+  // field (the zonal-stats primitive of raster analytics: mean
+  // elevation per district, population per catchment). The value field
+  // is a deterministic integer function of the z10 cell id (a synthetic
+  // "elevation band"), so sums stay exact BIGINT. Plan: cover-explode
+  // each feature (area-proportional, the raster-join shape), keep cells
+  // whose CENTER lies in the rect (half-open, the PIP convention), one
+  // feature-keyed map-combined aggregation. The center latitude needs
+  // the inverse mercator — written as the exp-form sinh expansion
+  // TOKEN-IDENTICALLY on both engines (the raster_mask discipline).
+  // =================================================================
+
+  def zonalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = 10
+    val n = (1L << z).toDouble
+    val cov = custFeatures(spark, sfDir)
+      .withColumn("cell", explode(F.tileCover(col("geom_wkb"), lit(z))))
+      .withColumn("cx", expr("shiftright(cell, 28) & 268435455"))
+      .withColumn("cy", expr("cell & 268435455"))
+    val clon = (col("cx").cast("double") + lit(0.5)) / lit(n) * lit(360.0) - lit(180.0)
+    val yy = lit(Math.PI) * (lit(1.0) - lit(2.0) * (col("cy").cast("double") + lit(0.5)) / lit(n))
+    val clat = atan((exp(yy) - exp(-yy)) / lit(2.0)) * lit(180.0) / lit(Math.PI)
+    cov
+      .withColumn("clon", clon).withColumn("clat", clat)
+      .filter(col("clon") >= col("west") && col("clon") < col("east") &&
+        col("clat") >= col("south") && col("clat") < col("north"))
+      .withColumn("v", col("cell") % lit(1000L))
+      .groupBy(col("feature_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("v")).as("sum_val"),
+        max(col("v")).as("max_val"))
+  }
+
+  def zonalStatsSql: String = {
+    val yy = "(pi() * (1.0 - 2.0 * (CAST(ys.y AS DOUBLE) + 0.5) / 1024.0))"
+    s"""WITH cf AS (${custFeaturesSql}),
+       |cov AS (
+       |  SELECT f.feature_id, f.west, f.east, f.south, f.north,
+       |         (10::BIGINT * 72057594037927936 + xs.x * 268435456 + ys.y) AS cell,
+       |         (CAST(xs.x AS DOUBLE) + 0.5) / 1024.0 * 360.0 - 180.0 AS clon,
+       |         atan((exp($yy) - exp(-$yy)) / 2.0) * 180.0 / pi() AS clat
+       |  FROM cf f,
+       |  LATERAL (SELECT unnest(generate_series(${tileXSql(10, "f.west")}, ${tileXSql(10, "f.east")})) AS x) xs,
+       |  LATERAL (SELECT unnest(generate_series(${tileYSql(10, "f.north")}, ${tileYSql(10, "f.south")})) AS y) ys)
+       |SELECT feature_id, CAST(count(*) AS BIGINT) AS n_cells,
+       |       CAST(sum(cell % 1000) AS BIGINT) AS sum_val,
+       |       max(cell % 1000) AS max_val
+       |FROM cov
+       |WHERE clon >= west AND clon < east AND clat >= south AND clat < north
+       |GROUP BY 1""".stripMargin
+  }
+
+  // =================================================================
   // D5+C4: reverse geocode join (cell equi-join + ray-cast PIP)
   // =================================================================
 
@@ -1325,6 +1377,73 @@ object Queries {
        |WHERE NOT EXISTS (SELECT 1 FROM cf f
        |  WHERE p.elon >= f.west AND p.elon < f.east
        |    AND p.elat >= f.south AND p.elat < f.north)""".stripMargin
+
+  // =================================================================
+  // D10: spatial skyline (Pareto front) — Börzsönyi et al. '01 skyline
+  // in the spatial form of Sharifzadeh & Shahabi (VLDB'06): points
+  // minimal in (distance-to-site-A, distance-to-site-B) for two fixed
+  // query sites. A raw (lon,lat) skyline over the full synth lattice
+  // collapses to the single SW corner; anti-correlated distance
+  // criteria produce a genuine staircase, so the decomposition is
+  // actually exercised. Distances are EXACT BIGINT squared Euclidean
+  // on the milli-degree lattice (round(x*1000) is ulp-safe — the
+  // poly_overlap quantization discipline), so no cross-engine float
+  // risk. Distributed shape: quantize+distance per-row, dedup (d1,d2)
+  // pairs (one exchange), then dominance decomposes by d1-BUCKET — a
+  // pair is dominated iff a lex-earlier pair IN ITS BUCKET has d2 ≤
+  // its d2 (per-bucket window) or ANY strictly-lower bucket reaches
+  // d2 ≤ its d2 (a ~240-row prefix-min dim, broadcast back; bucket
+  // monotone in d1 makes cross-bucket dominance strict). No global
+  // sort, no quadratic pair join; the only unpartitioned window runs
+  // on the bucket dim. Front pairs then semi-join back to the events
+  // (shuffle_hash — the front is data-derived, never broadcast). The
+  // oracle is a DIFFERENT exact algorithm (single-sweep running
+  // strict min over the lex order), so the compare proves the
+  // decomposition, not just engine agreement.
+  // =================================================================
+
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = round(col("elon") * lit(1000)).cast("long")
+    val ey = round(col("elat") * lit(1000)).cast("long")
+    val pts = eventPoints(spark, sfDir)
+      .withColumn("d1", (ex + lit(170000L)) * (ex + lit(170000L)) +
+        (ey + lit(75000L)) * (ey + lit(75000L)))
+      .withColumn("d2", (ex - lit(170000L)) * (ex - lit(170000L)) +
+        (ey - lit(75000L)) * (ey - lit(75000L)))
+    val d = pts.select(col("d1"), col("d2")).distinct()
+      .withColumn("bx", floor(col("d1") / lit(1000000000L)).cast("long"))
+    val wSame = Window.partitionBy(col("bx")).orderBy(col("d1").asc, col("d2").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = d.withColumn("msame", min(col("d2")).over(wSame))
+    val bmin = d.groupBy(col("bx")).agg(min(col("d2")).as("bmind"))
+    val wPrev = Window.orderBy(col("bx").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val pmin = bmin.withColumn("pmind", min(col("bmind")).over(wPrev))
+      .select(col("bx"), col("pmind"))
+    val front = marked.join(broadcast(pmin), Seq("bx"))
+      .filter((col("msame").isNull || col("msame") > col("d2")) &&
+        (col("pmind").isNull || col("pmind") > col("d2")))
+      .select(col("d1"), col("d2"))
+    pts.join(front.hint("shuffle_hash"), Seq("d1", "d2"), "left_semi")
+      .select(col("event_id"), col("elon"), col("elat"), col("d1"), col("d2"))
+  }
+
+  def skylineSql: String = {
+    val ex = "CAST(round(elon * 1000) AS BIGINT)"
+    val ey = "CAST(round(elat * 1000) AS BIGINT)"
+    s"""WITH pts AS (${eventPointsSql}),
+       |q AS (SELECT event_id, elon, elat,
+       |        ($ex + 170000) * ($ex + 170000) + ($ey + 75000) * ($ey + 75000) AS d1,
+       |        ($ex - 170000) * ($ex - 170000) + ($ey - 75000) * ($ey - 75000) AS d2
+       |      FROM pts),
+       |d AS (SELECT DISTINCT d1, d2 FROM q),
+       |s AS (SELECT d1, d2,
+       |        min(d2) OVER (ORDER BY d1, d2
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+       |      FROM d),
+       |f AS (SELECT d1, d2 FROM s WHERE m IS NULL OR d2 < m)
+       |SELECT q.event_id, q.elon, q.elat, q.d1, q.d2
+       |FROM q JOIN f USING (d1, d2)""".stripMargin
+  }
 
   // =================================================================
   // D6: kNN nearest feature within Chebyshev disk r=2 at z8
