@@ -61,6 +61,12 @@ object SparkEntry {
     "convex_hull" -> ((s, d) => Queries.convexHull(s, d)),
     // Bing quadkey string encoding (prefix-ordered tile keys, zero shuffle)
     "quadkey" -> ((s, d) => Queries.quadkey(s, d)),
+    // geohash base32 encoding (lon-first interleave, zero shuffle)
+    "geohash" -> ((s, d) => Queries.geohash(s, d)),
+    // Getis-Ord Gi* hotspot z-scores over z6 cell counts
+    "gi_star" -> ((s, d) => Queries.giStar(s, d)),
+    // Mann-Kendall trend per z5 cell over 8 global time bins
+    "mk_trend" -> ((s, d) => Queries.mkTrend(s, d)),
     // points covered by NO feature: cell-blocked PIP + skinny id anti-join
     "pip_anti" -> ((s, d) => Queries.pipAnti(s, d)),
     // zonal statistics: per-feature aggregation of a z10 cell value field
@@ -300,6 +306,9 @@ object SparkEntry {
     "cell_smooth" -> Queries.cellSmoothSql,
     "convex_hull" -> Queries.convexHullSql,
     "quadkey" -> Queries.quadkeySql,
+    "geohash" -> Queries.geohashSql,
+    "gi_star" -> Queries.giStarSql,
+    "mk_trend" -> Queries.mkTrendSql,
     "pip_anti" -> Queries.pipAntiSql,
     "zonal_stats" -> Queries.zonalStatsSql,
     "skyline" -> Queries.skylineSql,

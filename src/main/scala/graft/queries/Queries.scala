@@ -500,6 +500,50 @@ object Queries {
        |FROM b""".stripMargin
 
   // =================================================================
+  // H3e: geohash encoding — the OTHER public prefix-ordered key scheme
+  // (Niemeyer '08): 20-bit quantized lon/lat interleaved LON-FIRST into
+  // 40 bits, base32-coded 5 bits per character (8 chars). A length-k
+  // prefix is the 5k-bit ancestor box, so string prefix filters prune
+  // hierarchically just like quadkeys. Pure per-row arithmetic, zero
+  // shuffles. The only doubles are the two pre-quantization scalings,
+  // written token-identically on both engines; everything after the
+  // floor is exact integer shifts/masks.
+  // =================================================================
+
+  private val GhAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def geohash(spark: SparkSession, sfDir: String): DataFrame =
+    eventPoints(spark, sfDir)
+      .withColumn("lonb", expr(
+        "CAST(floor((elon + 180.0) / 360.0 * 1048576.0) AS BIGINT)"))
+      .withColumn("latb", expr(
+        "CAST(floor((elat + 90.0) / 180.0 * 1048576.0) AS BIGINT)"))
+      // interleave as a fold: independent one-bit terms summed — stays a
+      // single codegen'd expression, no join/shuffle
+      .withColumn("ih", expr(
+        "aggregate(sequence(0, 19), CAST(0 AS BIGINT), (a, i) -> a + " +
+          "shiftleft(shiftright(lonb, 19 - i) & 1, 39 - 2 * i) + " +
+          "shiftleft(shiftright(latb, 19 - i) & 1, 38 - 2 * i))"))
+      .select(col("event_id"), expr(
+        s"concat_ws('', transform(sequence(0, 7), g -> " +
+          s"substring('$GhAlphabet', " +
+          "CAST(shiftright(ih, 35 - 5 * g) & 31 AS INT) + 1, 1)))").as("gh"))
+
+  def geohashSql: String =
+    s"""WITH pts AS (${eventPointsSql}),
+       |q AS (SELECT event_id,
+       |        CAST(floor((elon + 180.0) / 360.0 * 1048576.0) AS BIGINT) AS lonb,
+       |        CAST(floor((elat + 90.0) / 180.0 * 1048576.0) AS BIGINT) AS latb
+       |      FROM pts),
+       |h AS (SELECT event_id, CAST(list_sum(list_transform(generate_series(0, 19), i ->
+       |        (((lonb >> (19 - i)) & 1) << (39 - 2 * i)) +
+       |        (((latb >> (19 - i)) & 1) << (38 - 2 * i)))) AS BIGINT) AS ih
+       |      FROM q)
+       |SELECT event_id, array_to_string(list_transform(generate_series(0, 7), g ->
+       |  substr('$GhAlphabet', CAST(((ih >> (35 - 5 * g)) & 31) AS INTEGER) + 1, 1)), '') AS gh
+       |FROM h""".stripMargin
+
+  // =================================================================
   // H3c: tile pyramid — multi-zoom event-count rollup (z12 → z4), the
   // aggregation shape tile servers use to serve heatmaps at every zoom.
   // The z12 base is the ONLY pass over the raw events (one corpus-wide
@@ -1873,6 +1917,154 @@ object Queries {
        |  GROUP BY 1)
        |SELECT counts.cell, counts.cnt, contrib.sm
        |FROM counts JOIN contrib ON counts.cell = contrib.cell""".stripMargin
+
+  // =================================================================
+  // E5c: Getis–Ord Gi* hotspot z-scores (Getis & Ord '92) over z6 cell
+  // counts: each occupied cell's 3×3 neighborhood sum standardized
+  // against the global count moments. The study area is the OCCUPIED
+  // grid (the all-zero ocean would otherwise dominate the moments —
+  // documented choice, mirrored exactly). Neighbor sums reuse the
+  // cell_smooth 9-probe arithmetic explode, plus the occupied-neighbor
+  // count wn (the Σw term). Global moments are ONE 1-row broadcast;
+  // everything is integer until the final standardization, written
+  // token-identically on both engines and rounded.
+  // =================================================================
+
+  /** The z-score expression shared token-for-token by both engines;
+    * `n, sumc, sumc2, sm, wn` are integer columns in scope. Guards: a
+    * degenerate universe (n ≤ 1), a full neighborhood covering the whole
+    * universe (wn = n ⇒ zero weight variance) or zero count variance all
+    * pin z to 0.0 identically. */
+  private val giZExpr: String = {
+    val mean = "CAST(sumc AS DOUBLE) / n"
+    val s2 = s"CAST(sumc2 AS DOUBLE) / n - ($mean) * ($mean)"
+    s"CASE WHEN n <= 1 OR wn * (n - wn) <= 0 OR $s2 <= 0.0 THEN 0.0 " +
+      s"ELSE round((sm - ($mean) * wn) / (sqrt($s2) * " +
+      s"sqrt((CAST(n AS DOUBLE) * wn - CAST(wn AS DOUBLE) * wn) / (n - 1.0))), 6) END"
+  }
+
+  def giStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = eventPoints(spark, sfDir)
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("x", expr("(cell % 72057594037927936) div 268435456"))
+      .withColumn("y", col("cell") % lit(268435456L))
+      .persist() // 3 consumers: neighbor contrib, global moments, final join
+    val contrib = counts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .filter(col("x") + col("dx") >= 0 && col("x") + col("dx") < 64 &&
+        col("y") + col("dy") >= 0 && col("y") + col("dy") < 64)
+      .select((col("cell") + col("dx") * lit(268435456L) + col("dy")).as("cell"),
+        col("cnt"))
+      .groupBy("cell").agg(sum(col("cnt")).as("sm"), count(lit(1)).as("wn"))
+    val glob = counts.agg(count(lit(1)).as("n"), sum(col("cnt")).as("sumc"),
+      sum(col("cnt") * col("cnt")).as("sumc2"))
+    counts.select("cell", "cnt").join(contrib, "cell")
+      .crossJoin(broadcast(glob))
+      .withColumn("z_gi", expr(giZExpr))
+      .select(col("cell"), col("cnt"), col("sm"), col("wn"), col("z_gi"))
+  }
+
+  def giStarSql: String =
+    s"""WITH pts AS (${eventPointsSql}),
+       |counts AS MATERIALIZED (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+       |         (cell % 72057594037927936) // 268435456 AS x,
+       |         cell % 268435456 AS y
+       |  FROM (SELECT ${cellSql(6, "elon", "elat")} AS cell FROM pts)
+       |  GROUP BY 1),
+       |contrib AS (
+       |  SELECT cell + dx.d * 268435456 + dy.d AS cell,
+       |         CAST(sum(cnt) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS wn
+       |  FROM counts,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dy
+       |  WHERE x + dx.d >= 0 AND x + dx.d < 64 AND y + dy.d >= 0 AND y + dy.d < 64
+       |  GROUP BY 1),
+       |gstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS sumc,
+       |                 CAST(sum(cnt * cnt) AS BIGINT) AS sumc2 FROM counts)
+       |SELECT counts.cell, counts.cnt, contrib.sm, contrib.wn, $giZExpr AS z_gi
+       |FROM counts JOIN contrib ON counts.cell = contrib.cell CROSS JOIN gstat""".stripMargin
+
+  // =================================================================
+  // E5d: Mann–Kendall trend per cell ("emerging hot spot" analysis,
+  // Mann '45 / Kendall '75 as popularized by the ESRI space-time cube):
+  // bucket each z5 cell's events into 8 global time bins, then score
+  // the bin-count series with the MK S statistic (Σ_{i<j} sign(c_j −
+  // c_i), missing bins count 0) and its tie-corrected variance. S and
+  // var_num are EXACT integers — the 28 sign terms are unrolled (no
+  // fold state, no list_reduce-over-structs trap) and the tie term
+  // uses the per-position identity Σ_k t_k(t_k−1)(2t_k+5) =
+  // Σ_p (r_p−1)(2r_p+5). Only the final z is a double, token-identical
+  // both engines with an integer numerator (s ∓ 1). Shape: one
+  // (cell,bin) exchange + one cell exchange, both skinny; the global
+  // time range is a 1-row broadcast. The dense 8-array rides an
+  // explode(array(..)) so the 56 unrolled references hit the column,
+  // not 56 inlined copies of the transform (Generator outputs can't be
+  // collapsed).
+  // =================================================================
+
+  /** MK S statistic: Σ over the 28 ordered bin pairs of sign(later −
+    * earlier); `ix` renders an (1-based) element access for the engine. */
+  private def mkSExpr(ix: Int => String): String =
+    (for (j <- 1 to 7; i <- 0 until j)
+      yield s"CAST(sign(${ix(j + 1)} - ${ix(i + 1)}) AS BIGINT)").mkString(" + ")
+
+  def mkTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        evLon(col("event_id")).as("elon"),
+        evLat(col("event_id")).as("elat"))
+      .select(F.cellAt(lit(5), col("elon"), col("elat")).as("cell"), col("us"))
+    val stats = base.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val cnts = base.crossJoin(broadcast(stats))
+      .withColumn("b", expr("((us - mn) * 8) div (mx - mn + 1)"))
+      .groupBy(col("cell"), col("b")).agg(count(lit(1)).as("cnt"))
+    cnts.groupBy("cell")
+      .agg(collect_list(struct(col("b"), col("cnt"))).as("kv"),
+        sum(col("cnt")).as("n_events"))
+      .withColumn("arr", explode(array(expr(
+        "transform(sequence(0, 7), i -> coalesce(try_element_at(map_from_entries(kv), CAST(i AS BIGINT)), CAST(0 AS BIGINT)))"))))
+      .withColumn("s_mk", expr(mkSExpr(k => s"element_at(arr, $k)")))
+      .withColumn("var_num", expr(
+        "1176 - aggregate(transform(arr, v -> CAST((size(filter(arr, x -> x = v)) - 1) * " +
+          "(2 * size(filter(arr, x -> x = v)) + 5) AS BIGINT)), CAST(0 AS BIGINT), (a, t) -> a + t)"))
+      .withColumn("z_mk", expr(
+        "CASE WHEN var_num <= 0 OR s_mk = 0 THEN 0.0 " +
+          "ELSE round((s_mk + CASE WHEN s_mk > 0 THEN -1 ELSE 1 END) / " +
+          "sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END"))
+      .select(col("cell"), col("n_events"), col("s_mk"), col("var_num"), col("z_mk"))
+  }
+
+  def mkTrendSql: String =
+    s"""WITH pts AS (SELECT event_id, epoch_us(ts) AS us,
+       |               $evLonSql AS elon, $evLatSql AS elat FROM events),
+       |base AS (SELECT ${cellSql(5, "elon", "elat")} AS cell, us FROM pts),
+       |st AS (SELECT min(us) AS mn, max(us) AS mx FROM base),
+       |cnts AS MATERIALIZED (
+       |  SELECT cell, ((us - mn) * 8) // (mx - mn + 1) AS b,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM base CROSS JOIN st GROUP BY 1, 2),
+       |grid AS (SELECT c.cell, gs.b
+       |         FROM (SELECT DISTINCT cell FROM cnts) c,
+       |              (SELECT unnest(generate_series(0, 7)) AS b) gs),
+       |dense AS (SELECT g.cell, list(coalesce(c.cnt, 0) ORDER BY g.b) AS arr,
+       |                 CAST(sum(coalesce(c.cnt, 0)) AS BIGINT) AS n_events
+       |          FROM grid g LEFT JOIN cnts c ON g.cell = c.cell AND g.b = c.b
+       |          GROUP BY g.cell),
+       |mk AS (SELECT cell, n_events,
+       |         ${mkSExpr(k => s"arr[$k]")} AS s_mk,
+       |         1176 - CAST(list_sum(list_transform(arr, v ->
+       |           (len(list_filter(arr, x -> x = v)) - 1) *
+       |           (2 * len(list_filter(arr, x -> x = v)) + 5))) AS BIGINT) AS var_num
+       |       FROM dense)
+       |SELECT cell, n_events, s_mk, var_num,
+       |  CASE WHEN var_num <= 0 OR s_mk = 0 THEN 0.0
+       |       ELSE round((s_mk + CASE WHEN s_mk > 0 THEN -1 ELSE 1 END) /
+       |            sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END AS z_mk
+       |FROM mk""".stripMargin
 
   // =================================================================
   // D10: nearest-segment snap join (map matching): every event point
