@@ -348,10 +348,18 @@ object Bench {
       }
       val classPath = System.getProperty("java.class.path")
       val rateRe = """\{"rate":([0-9.]+)\}""".r
+      // fixed, pre-touched heap in the child: the default -Xms lets the
+      // heap grow during the run, and the grow/GC timing is sample luck —
+      // exactly the 4N bimodality under test. Pre-touch cost lands at
+      // startup, outside the timed region.
+      val childHeap = jvmArgs.collectFirst {
+        case a if a.startsWith("-Xmx") => a.stripPrefix("-Xmx")
+      }.getOrElse("16g")
       def dedupRate(cores: String, warm: Boolean): Double = {
         val k = cores.toInt
         val cmd = Seq("taskset", "-c", s"${totalCpus - k}-${totalCpus - 1}",
-          javaBin) ++ jvmArgs ++ Seq("-cp", classPath, "graft.Bench")
+          javaBin) ++ jvmArgs ++ Seq(s"-Xms$childHeap", "-XX:+AlwaysPreTouch",
+          "-cp", classPath, "graft.Bench")
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("SPARK_GRAFT_DEDUP_CHILD", cores)
         pb.environment().put("SPARK_GRAFT_DEDUP_PATH", docsPath)

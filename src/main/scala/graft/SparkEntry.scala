@@ -67,6 +67,14 @@ object SparkEntry {
     "gi_star" -> ((s, d) => Queries.giStar(s, d)),
     // Mann-Kendall trend per z5 cell over 8 global time bins
     "mk_trend" -> ((s, d) => Queries.mkTrend(s, d)),
+    // Ripley's K over a radius ladder: one cell-blocked pair join
+    "ripley_k" -> ((s, d) => Queries.ripleyK(s, d)),
+    // Knox space-time interaction: two blocked pair joins, 1-row stats
+    "knox" -> ((s, d) => Queries.knox(s, d)),
+    // empirical semivariogram over annular distance bins
+    "variogram" -> ((s, d) => Queries.variogram(s, d)),
+    // Moran's I global autocorrelation, integer-exact moments
+    "moran_i" -> ((s, d) => Queries.moranI(s, d)),
     // points covered by NO feature: cell-blocked PIP + skinny id anti-join
     "pip_anti" -> ((s, d) => Queries.pipAnti(s, d)),
     // zonal statistics: per-feature aggregation of a z10 cell value field
@@ -309,6 +317,10 @@ object SparkEntry {
     "geohash" -> Queries.geohashSql,
     "gi_star" -> Queries.giStarSql,
     "mk_trend" -> Queries.mkTrendSql,
+    "ripley_k" -> Queries.ripleyKSql,
+    "knox" -> Queries.knoxSql,
+    "variogram" -> Queries.variogramSql,
+    "moran_i" -> Queries.moranISql,
     "pip_anti" -> Queries.pipAntiSql,
     "zonal_stats" -> Queries.zonalStatsSql,
     "skyline" -> Queries.skylineSql,

@@ -2555,6 +2555,313 @@ object Queries {
        |GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Ripley's K function (Ripley '76): the cumulative second-moment
+  // statistic of point-pattern analysis — K̂(r) = A/n² · Σ_{i≠j}
+  // 1[d_ij ≤ r] over a radius ladder (no edge correction; declared —
+  // the gate pins the raw estimator). ONE cell-blocked pair self-join
+  // at r_max serves the whole ladder: cell width = r_max, the probe
+  // side explodes its 3×3 ring targeting the build point's OWN cell,
+  // so each unordered id-ordered pair meets exactly once; then a
+  // single aggregation with one conditional sum per radius. Distances
+  // are exact BIGINT squares on the quadratic id-hash scatter
+  // (dbscanPoints — the linear lattice is degenerate); the only
+  // doubles are the final K̂ normalizations, written token-identically
+  // (the 115200.0·n_pairs product stays an exact integer-valued
+  // decimal below 2^53 on both engines before the double division).
+  // At 10^12 points the cell key bounds every hash group to one
+  // r_max-cell (pipeline.Skew for hot cells); the oracle is the
+  // UNBLOCKED range θ self-join (DuckDB IEJoin) — bit-equality proves
+  // the blocking drops nothing and double-counts nothing.
+  // =================================================================
+
+  private val RipleyRMax = 10000L
+  private val RipleyRadii = Seq(2500L, 5000L, 7500L, 10000L)
+
+  def ripleyK(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = dbscanPoints(spark, sfDir)
+      .withColumn("gx", expr(s"(xq + 180000) div $RipleyRMax"))
+      .withColumn("gy", expr(s"(yq + 80000) div $RipleyRMax"))
+      .persist() // probe + build + the n_pts count all read it
+    val nRow = pts.agg(count(lit(1)).as("n_pts"))
+    val probe = pts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select((col("gx") + col("dx")).as("gx"), (col("gy") + col("dy")).as("gy"),
+        col("id").as("ia"), col("xq").as("xa"), col("yq").as("ya"))
+    val build = pts.select(col("gx"), col("gy"), col("id").as("ib"),
+      col("xq").as("xb"), col("yq").as("yb"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val aggCols = RipleyRadii.map(r =>
+      sum(when(d2 <= lit(r * r), 1L).otherwise(0L)).as(s"c$r"))
+    val sums = probe.join(build.hint("shuffle_hash"), Seq("gx", "gy"))
+      .filter(col("ia") < col("ib") && d2 <= lit(RipleyRMax * RipleyRMax))
+      .agg(aggCols.head, aggCols.tail: _*)
+    sums.crossJoin(broadcast(nRow))
+      .select(col("n_pts"), explode(array(RipleyRadii.map(r =>
+        struct(lit(r).as("r_milli"), col(s"c$r").as("n_pairs"))): _*)).as("rc"))
+      .select(col("rc.r_milli"), col("rc.n_pairs"),
+        expr("round(115200.0 * rc.n_pairs / (CAST(n_pts AS DOUBLE) * n_pts), 6)")
+          .as("k_hat"))
+  }
+
+  def ripleyKSql: String =
+    s"""WITH pts AS MATERIALIZED ($dbscanPointsSql),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM pts),
+       |pr AS MATERIALIZED (
+       |  SELECT (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq) AS d2
+       |  FROM pts a JOIN pts b
+       |    ON b.xq BETWEEN a.xq - $RipleyRMax AND a.xq + $RipleyRMax
+       |   AND b.yq BETWEEN a.yq - $RipleyRMax AND a.yq + $RipleyRMax
+       |   AND a.id < b.id
+       |  WHERE (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq)
+       |        <= ${RipleyRMax * RipleyRMax}),
+       |radii AS (SELECT CAST(unnest([${RipleyRadii.mkString(", ")}]) AS BIGINT) AS r_milli),
+       |cnt AS (SELECT r.r_milli,
+       |               CAST(sum(CASE WHEN p.d2 <= r.r_milli * r.r_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+       |        FROM radii r CROSS JOIN pr p GROUP BY 1)
+       |SELECT r_milli, n_pairs,
+       |       round(115200.0 * n_pairs / (CAST(n_pts AS DOUBLE) * n_pts), 6) AS k_hat
+       |FROM cnt CROSS JOIN st""".stripMargin
+
+  // =================================================================
+  // Empirical semivariogram (Matheron '62): γ̂(h) = Σ (v_i − v_j)² /
+  // (2·N_h) over annular distance bins — the kriging-input statistic
+  // of geostatistics. Reuses Ripley's exactly-once 3×3 pair blocking
+  // at r_max; the value field is a deterministic integer trend surface
+  // plus id-hash noise (so γ̂ actually RISES with h — a white-noise
+  // field would flatline and mask binning bugs). Squared differences
+  // and bin counts are exact BIGINT; γ̂ is the only double. One pair
+  // join + one aggregation with a conditional (count, sum) pair per
+  // bin.
+  // =================================================================
+
+  /** Integer trend-surface value: both engines compute it identically. */
+  private val varioValSql =
+    "(xq div 2500) * 3 + (yq div 2500) * 2 + (id % 7)"
+  private val varioValDuck =
+    "(xq // 2500) * 3 + (yq // 2500) * 2 + (id % 7)"
+
+  def variogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = RipleyRadii // annuli (prev, r]
+    val pts = dbscanPoints(spark, sfDir)
+      .withColumn("v", expr(varioValSql))
+      .withColumn("gx", expr(s"(xq + 180000) div $RipleyRMax"))
+      .withColumn("gy", expr(s"(yq + 80000) div $RipleyRMax"))
+      .persist()
+    val probe = pts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select((col("gx") + col("dx")).as("gx"), (col("gy") + col("dy")).as("gy"),
+        col("id").as("ia"), col("xq").as("xa"), col("yq").as("ya"), col("v").as("va"))
+    val build = pts.select(col("gx"), col("gy"), col("id").as("ib"),
+      col("xq").as("xb"), col("yq").as("yb"), col("v").as("vb"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val dv2 = (col("va") - col("vb")) * (col("va") - col("vb"))
+    val lohi = bins.zip(0L +: bins.init)
+    val aggCols = lohi.flatMap { case (hi, lo) =>
+      val in = d2 > lit(lo * lo) && d2 <= lit(hi * hi)
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n$hi"),
+        sum(when(in, dv2).otherwise(lit(0L))).as(s"s$hi"))
+    }
+    probe.join(build.hint("shuffle_hash"), Seq("gx", "gy"))
+      .filter(col("ia") < col("ib") && d2 <= lit(RipleyRMax * RipleyRMax))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(lohi.map { case (hi, lo) =>
+        struct(lit(lo).as("bin_lo"), lit(hi).as("bin_hi"),
+          col(s"n$hi").as("n_pairs"), col(s"s$hi").as("ssq"))
+      }: _*)).as("b"))
+      .select(col("b.bin_lo"), col("b.bin_hi"), col("b.n_pairs"), col("b.ssq"),
+        expr("CASE WHEN b.n_pairs = 0 THEN 0.0 ELSE " +
+          "round(CAST(b.ssq AS DOUBLE) / (2.0 * b.n_pairs), 6) END").as("gamma"))
+  }
+
+  def variogramSql: String = {
+    val lohi = RipleyRadii.zip(0L +: RipleyRadii.init)
+    val binRows = lohi.map { case (hi, lo) => s"($lo, $hi)" }.mkString(", ")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT id, xq, yq, $varioValDuck AS v FROM ($dbscanPointsSql)),
+       |pr AS MATERIALIZED (
+       |  SELECT (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq) AS d2,
+       |         (a.v - b.v) * (a.v - b.v) AS dv2
+       |  FROM pts a JOIN pts b
+       |    ON b.xq BETWEEN a.xq - $RipleyRMax AND a.xq + $RipleyRMax
+       |   AND b.yq BETWEEN a.yq - $RipleyRMax AND a.yq + $RipleyRMax
+       |   AND a.id < b.id
+       |  WHERE (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq)
+       |        <= ${RipleyRMax * RipleyRMax}),
+       |bins AS (SELECT CAST(lo AS BIGINT) AS bin_lo, CAST(hi AS BIGINT) AS bin_hi
+       |         FROM (VALUES $binRows) t(lo, hi)),
+       |cnt AS (SELECT b.bin_lo, b.bin_hi,
+       |          CAST(sum(CASE WHEN p.d2 > b.bin_lo * b.bin_lo AND p.d2 <= b.bin_hi * b.bin_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       |          CAST(sum(CASE WHEN p.d2 > b.bin_lo * b.bin_lo AND p.d2 <= b.bin_hi * b.bin_hi THEN p.dv2 ELSE 0 END) AS BIGINT) AS ssq
+       |        FROM bins b CROSS JOIN pr p GROUP BY 1, 2)
+       |SELECT bin_lo, bin_hi, n_pairs, ssq,
+       |       CASE WHEN n_pairs = 0 THEN 0.0 ELSE
+       |         round(CAST(ssq AS DOUBLE) / (2.0 * n_pairs), 6) END AS gamma
+       |FROM cnt""".stripMargin
+  }
+
+  // =================================================================
+  // Moran's I (Moran '50): the global spatial-autocorrelation index
+  // over z6 cell counts with queen (8-neighbor) weights on the
+  // occupied-cell universe. The centered terms are kept EXACT by
+  // clearing denominators: u_i = n·x_i − S is an integer, and
+  // I = (n/W) · Σ w_ij u_i u_j / Σ u_i² — the 1/n² factors cancel, so
+  // every aggregation is BIGINT and only the final ratio is a double.
+  // Neighbor sums reuse the 9-probe explode MINUS self (w_ii = 0);
+  // the global (n, S) pair is one 1-row broadcast. Output is the
+  // 1-row statistic with its exact integer numerator/denominator
+  // alongside (auditable: a wrong neighbor scheme shifts num/w_sum).
+  // =================================================================
+
+  def moranI(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = eventPoints(spark, sfDir)
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("x", expr("(cell % 72057594037927936) div 268435456"))
+      .withColumn("y", col("cell") % lit(268435456L))
+      .persist()
+    val glob = counts.agg(count(lit(1)).as("n"), sum(col("cnt")).as("sumc"))
+    val cells = counts.crossJoin(broadcast(glob))
+      .withColumn("u", col("n") * col("cnt") - col("sumc"))
+      .persist() // probe, build and the final moment agg all read it
+    val contrib = cells
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .filter(col("x") + col("dx") >= 0 && col("x") + col("dx") < 64 &&
+        col("y") + col("dy") >= 0 && col("y") + col("dy") < 64)
+      .select((col("cell") + col("dx") * lit(268435456L) + col("dy")).as("cell"),
+        col("u").as("nu"))
+      .groupBy("cell").agg(sum(col("nu")).as("su"), count(lit(1)).as("nn"))
+    cells.join(contrib, "cell")
+      .agg(max(col("n")).as("n_cells"),
+        sum(col("nn") - lit(1L)).as("w_sum"),
+        sum(col("u") * (col("su") - col("u"))).as("num"),
+        sum(col("u") * col("u")).as("den"))
+      .withColumn("moran_i", expr(
+        "CASE WHEN w_sum = 0 OR den = 0 THEN 0.0 ELSE " +
+          "round(CAST(n_cells AS DOUBLE) * num / (CAST(w_sum AS DOUBLE) * den), 6) END"))
+      .select(col("n_cells"), col("w_sum"), col("num"), col("den"), col("moran_i"))
+  }
+
+  def moranISql: String =
+    s"""WITH pts AS (${eventPointsSql}),
+       |counts AS MATERIALIZED (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+       |         (cell % 72057594037927936) // 268435456 AS x,
+       |         cell % 268435456 AS y
+       |  FROM (SELECT ${cellSql(6, "elon", "elat")} AS cell FROM pts)
+       |  GROUP BY 1),
+       |gstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS sumc
+       |          FROM counts),
+       |cells AS MATERIALIZED (
+       |  SELECT cell, x, y, n, n * cnt - sumc AS u
+       |  FROM counts CROSS JOIN gstat),
+       |contrib AS (
+       |  SELECT cell + dx.d * 268435456 + dy.d AS cell,
+       |         CAST(sum(u) AS BIGINT) AS su, CAST(count(*) AS BIGINT) AS nn
+       |  FROM cells,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dy
+       |  WHERE x + dx.d >= 0 AND x + dx.d < 64 AND y + dy.d >= 0 AND y + dy.d < 64
+       |  GROUP BY 1),
+       |agg AS (SELECT CAST(max(n) AS BIGINT) AS n_cells,
+       |               CAST(sum(nn - 1) AS BIGINT) AS w_sum,
+       |               CAST(sum(u * (su - u)) AS BIGINT) AS num,
+       |               CAST(sum(u * u) AS BIGINT) AS den
+       |        FROM cells JOIN contrib USING (cell))
+       |SELECT n_cells, w_sum, num, den,
+       |  CASE WHEN w_sum = 0 OR den = 0 THEN 0.0 ELSE
+       |    round(CAST(n_cells AS DOUBLE) * num / (CAST(w_sum AS DOUBLE) * den), 6) END AS moran_i
+       |FROM agg""".stripMargin
+
+  // =================================================================
+  // Knox space-time interaction test (Knox '64): X = pairs close in
+  // BOTH space (δ) and time (τ), referenced against the independence
+  // expectation S·T/P (S spatial-close, T temporal-close, P all
+  // pairs) — the classic epidemiology cluster statistic. Two blocked
+  // pair self-joins, never three: the spatial join (Ripley's 3×3
+  // exactly-once scheme) yields S and X in ONE aggregation (X is a
+  // conditional sum over the spatial pairs' time gaps); the temporal
+  // join uses co_locate's 1-d {b, b+1} probe. All pair counts exact
+  // BIGINT; the ratio is the only double, identical-operand on both
+  // engines. Oracle: two unblocked range θ self-joins (IEJoin).
+  // =================================================================
+
+  private val KnoxDeltaMilli = 10000L  // 10° spatial closeness
+  private val KnoxTauUs = 3600000000L  // 1 h temporal closeness
+
+  private val knoxRatioSql =
+    "CASE WHEN s_pairs * t_pairs = 0 THEN 0.0 ELSE " +
+      "round(CAST(x_pairs AS DOUBLE) * p_pairs / (CAST(s_pairs AS DOUBLE) * t_pairs), 6) END"
+
+  def knox(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = col("event_id")
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(k.as("id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        ((k * k * 7919 + k * 104729) % 360000 - 180000).as("xq"),
+        ((k * k * 104729 + k * 7919) % 160000 - 80000).as("yq"))
+      .withColumn("gx", expr(s"(xq + 180000) div $KnoxDeltaMilli"))
+      .withColumn("gy", expr(s"(yq + 80000) div $KnoxDeltaMilli"))
+      .withColumn("tb", expr(s"us div $KnoxTauUs"))
+      .persist() // four consumers: spatial probe/build, temporal probe/build
+    val nRow = pts.agg(count(lit(1)).as("n_pts"))
+    val sProbe = pts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select((col("gx") + col("dx")).as("gx"), (col("gy") + col("dy")).as("gy"),
+        col("id").as("ia"), col("xq").as("xa"), col("yq").as("ya"), col("us").as("ua"))
+    val sBuild = pts.select(col("gx"), col("gy"), col("id").as("ib"),
+      col("xq").as("xb"), col("yq").as("yb"), col("us").as("ub"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val sx = sProbe.join(sBuild.hint("shuffle_hash"), Seq("gx", "gy"))
+      .filter(col("ia") < col("ib") && d2 <= lit(KnoxDeltaMilli * KnoxDeltaMilli))
+      .agg(count(lit(1)).as("s_pairs"),
+        sum(when(abs(col("ua") - col("ub")) <= lit(KnoxTauUs), 1L).otherwise(0L))
+          .as("x_pairs"))
+    val tProbe = pts.select(explode(array(col("tb"), col("tb") + 1)).as("tb"),
+      col("id").as("ia"), col("us").as("ua"))
+    val tBuild = pts.select(col("tb"), col("id").as("ib"), col("us").as("ub"))
+    val tp = tProbe.join(tBuild.hint("shuffle_hash"), Seq("tb"))
+      .filter((col("ua") < col("ub") ||
+        (col("ua") === col("ub") && col("ia") < col("ib"))) &&
+        col("ub") - col("ua") <= lit(KnoxTauUs))
+      .agg(count(lit(1)).as("t_pairs"))
+    nRow.crossJoin(broadcast(sx)).crossJoin(broadcast(tp))
+      .withColumn("p_pairs", expr("(n_pts * (n_pts - 1)) div 2"))
+      .withColumn("knox_ratio", expr(knoxRatioSql))
+      .select(col("n_pts"), col("p_pairs"), col("s_pairs"), col("t_pairs"),
+        col("x_pairs"), col("knox_ratio"))
+  }
+
+  def knoxSql: String =
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT event_id AS id, epoch_us(ts) AS us,
+       |         (event_id * event_id * 7919 + event_id * 104729) % 360000 - 180000 AS xq,
+       |         (event_id * event_id * 104729 + event_id * 7919) % 160000 - 80000 AS yq
+       |  FROM events),
+       |st AS (SELECT n_pts, (n_pts * (n_pts - 1)) // 2 AS p_pairs
+       |       FROM (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM pts)),
+       |sp AS (SELECT CAST(count(*) AS BIGINT) AS s_pairs,
+       |              CAST(sum(CASE WHEN abs(a.us - b.us) <= $KnoxTauUs THEN 1 ELSE 0 END) AS BIGINT) AS x_pairs
+       |       FROM pts a JOIN pts b
+       |         ON b.xq BETWEEN a.xq - $KnoxDeltaMilli AND a.xq + $KnoxDeltaMilli
+       |        AND b.yq BETWEEN a.yq - $KnoxDeltaMilli AND a.yq + $KnoxDeltaMilli
+       |        AND a.id < b.id
+       |       WHERE (a.xq - b.xq) * (a.xq - b.xq) + (a.yq - b.yq) * (a.yq - b.yq)
+       |             <= ${KnoxDeltaMilli * KnoxDeltaMilli}),
+       |tp AS (SELECT CAST(count(*) AS BIGINT) AS t_pairs
+       |       FROM pts a JOIN pts b
+       |         ON b.us BETWEEN a.us AND a.us + $KnoxTauUs
+       |        AND (a.us < b.us OR (a.us = b.us AND a.id < b.id)))
+       |SELECT n_pts, p_pairs, s_pairs, t_pairs,
+       |       x_pairs, $knoxRatioSql AS knox_ratio
+       |FROM st CROSS JOIN sp CROSS JOIN tp""".stripMargin
+
+  // =================================================================
   // Distributed convex hull (hull-of-hulls): extreme points of each
   // event-type's point set. Two-level exact aggregation — per-bucket
   // partial hulls (map-side-sized payloads), then hull of the union of
