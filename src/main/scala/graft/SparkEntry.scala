@@ -75,6 +75,14 @@ object SparkEntry {
     "variogram" -> ((s, d) => Queries.variogram(s, d)),
     // Moran's I global autocorrelation, integer-exact moments
     "moran_i" -> ((s, d) => Queries.moranI(s, d)),
+    // Geary's C contiguity ratio: 9-probe neighbor SSD, no pair join
+    "geary_c" -> ((s, d) => Queries.gearyC(s, d)),
+    // local Moran / LISA per cell with integer-sign quadrant labels
+    "local_moran" -> ((s, d) => Queries.localMoran(s, d)),
+    // quartic KDE onto a fixed node lattice, quantized-exact kernel mass
+    "kde_grid" -> ((s, d) => Queries.kdeGrid(s, d)),
+    // standard deviational ellipse per event type, exact BIGINT moments
+    "std_ellipse" -> ((s, d) => Queries.stdEllipse(s, d)),
     // points covered by NO feature: cell-blocked PIP + skinny id anti-join
     "pip_anti" -> ((s, d) => Queries.pipAnti(s, d)),
     // zonal statistics: per-feature aggregation of a z10 cell value field
@@ -321,6 +329,10 @@ object SparkEntry {
     "knox" -> Queries.knoxSql,
     "variogram" -> Queries.variogramSql,
     "moran_i" -> Queries.moranISql,
+    "geary_c" -> Queries.gearyCSql,
+    "local_moran" -> Queries.localMoranSql,
+    "kde_grid" -> Queries.kdeGridSql,
+    "std_ellipse" -> Queries.stdEllipseSql,
     "pip_anti" -> Queries.pipAntiSql,
     "zonal_stats" -> Queries.zonalStatsSql,
     "skyline" -> Queries.skylineSql,

@@ -2778,6 +2778,307 @@ object Queries {
        |FROM agg""".stripMargin
 
   // =================================================================
+  // Geary's C (Geary '54): the global contiguity ratio — Moran's I's
+  // squared-difference sibling, sensitive to local (not just global)
+  // departures. Same occupied-z6-cell universe and queen weights:
+  // C = (n−1)·Σ_ij w_ij (x_i−x_j)² / (2W·Σ(x_i−x̄)²). Everything is
+  // exact BIGINT with cleared denominators: Σ(x_i−x̄)² = Σu_i²/n²
+  // (u_i = n·x_i − S, the moran_i trick), so
+  // C = (n−1)·n²·num / (2W·Σu²). The per-cell neighbor SSD comes from
+  // the SAME 9-probe contrib aggregation extended with Σcnt² — no
+  // pair join at all: Σ_j (x_i−x_j)² = (wn_i−1)·x_i² − 2·x_i·(sm−x_i)
+  // + (sq−x_i²) since contrib includes self. Output is the 1-row
+  // statistic with its exact integer numerator/denominator alongside.
+  // =================================================================
+
+  def gearyC(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = eventPoints(spark, sfDir)
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("x", expr("(cell % 72057594037927936) div 268435456"))
+      .withColumn("y", col("cell") % lit(268435456L))
+      .persist() // contrib probe, the final join and both 1-row aggs read it
+    val glob = counts.agg(count(lit(1)).as("n"), sum(col("cnt")).as("sumc"))
+    val contrib = counts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .filter(col("x") + col("dx") >= 0 && col("x") + col("dx") < 64 &&
+        col("y") + col("dy") >= 0 && col("y") + col("dy") < 64)
+      .select((col("cell") + col("dx") * lit(268435456L) + col("dy")).as("cell"),
+        col("cnt").as("nc"))
+      .groupBy("cell").agg(sum(col("nc")).as("sm"),
+        sum(col("nc") * col("nc")).as("sq"), count(lit(1)).as("wn"))
+    counts.join(contrib, "cell").crossJoin(broadcast(glob))
+      .withColumn("u", col("n") * col("cnt") - col("sumc"))
+      .agg(max(col("n")).as("n_cells"),
+        sum(col("wn") - lit(1L)).as("w_sum"),
+        sum((col("wn") - lit(1L)) * col("cnt") * col("cnt")
+          - lit(2L) * col("cnt") * (col("sm") - col("cnt"))
+          + (col("sq") - col("cnt") * col("cnt"))).as("num"),
+        sum(col("u") * col("u")).as("den"))
+      .withColumn("geary_c", expr(
+        "CASE WHEN w_sum = 0 OR den = 0 OR n_cells <= 1 THEN 0.0 ELSE " +
+          "round(CAST(n_cells - 1 AS DOUBLE) * n_cells * n_cells * num / " +
+          "(2.0 * w_sum * CAST(den AS DOUBLE)), 6) END"))
+      .select(col("n_cells"), col("w_sum"), col("num"), col("den"), col("geary_c"))
+  }
+
+  def gearyCSql: String =
+    s"""WITH pts AS (${eventPointsSql}),
+       |counts AS MATERIALIZED (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+       |         (cell % 72057594037927936) // 268435456 AS x,
+       |         cell % 268435456 AS y
+       |  FROM (SELECT ${cellSql(6, "elon", "elat")} AS cell FROM pts)
+       |  GROUP BY 1),
+       |gstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS sumc
+       |          FROM counts),
+       |contrib AS (
+       |  SELECT cell + dx.d * 268435456 + dy.d AS cell,
+       |         CAST(sum(cnt) AS BIGINT) AS sm,
+       |         CAST(sum(cnt * cnt) AS BIGINT) AS sq,
+       |         CAST(count(*) AS BIGINT) AS wn
+       |  FROM counts,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dy
+       |  WHERE x + dx.d >= 0 AND x + dx.d < 64 AND y + dy.d >= 0 AND y + dy.d < 64
+       |  GROUP BY 1),
+       |agg AS (SELECT CAST(max(n) AS BIGINT) AS n_cells,
+       |               CAST(sum(wn - 1) AS BIGINT) AS w_sum,
+       |               CAST(sum((wn - 1) * cnt * cnt - 2 * cnt * (sm - cnt) + (sq - cnt * cnt)) AS BIGINT) AS num,
+       |               CAST(sum(u * u) AS BIGINT) AS den
+       |        FROM (SELECT counts.cnt, contrib.sm, contrib.sq, contrib.wn,
+       |                     n * counts.cnt - sumc AS u, n
+       |              FROM counts JOIN contrib ON counts.cell = contrib.cell
+       |              CROSS JOIN gstat))
+       |SELECT n_cells, w_sum, num, den,
+       |  CASE WHEN w_sum = 0 OR den = 0 OR n_cells <= 1 THEN 0.0 ELSE
+       |    round(CAST(n_cells - 1 AS DOUBLE) * n_cells * n_cells * num /
+       |    (2.0 * w_sum * CAST(den AS DOUBLE)), 6) END AS geary_c
+       |FROM agg""".stripMargin
+
+  // =================================================================
+  // Local Moran's I / LISA (Anselin '95): per-cell cluster-and-outlier
+  // decomposition of moran_i — I_i = n·u_i·lag_i / Σu² with
+  // lag_i = Σ_j w_ij u_j (queen weights, w_ii = 0), plus the quadrant
+  // label HH/LL (clusters) / HL/LH (outliers) / NS (a zero term) from
+  // the exact integer signs of u_i and lag_i — no double ever decides
+  // a label. Shares moran_i's cells/contrib shapes; Σu² rides the SAME
+  // 1-row broadcast as (n, S). Σ_i I_i = n·moran_i·W consistency is
+  // pinned in the spec.
+  // =================================================================
+
+  def localMoran(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = eventPoints(spark, sfDir)
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("x", expr("(cell % 72057594037927936) div 268435456"))
+      .withColumn("y", col("cell") % lit(268435456L))
+      .persist()
+    val glob = counts.agg(count(lit(1)).as("n"), sum(col("cnt")).as("sumc"))
+    val cells = counts.crossJoin(broadcast(glob))
+      .withColumn("u", col("n") * col("cnt") - col("sumc"))
+      .persist() // contrib probe, Σu² agg and the final join all read it
+    val den = cells.agg(sum(col("u") * col("u")).as("den"))
+    val contrib = cells
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .filter(col("x") + col("dx") >= 0 && col("x") + col("dx") < 64 &&
+        col("y") + col("dy") >= 0 && col("y") + col("dy") < 64)
+      .select((col("cell") + col("dx") * lit(268435456L) + col("dy")).as("cell"),
+        col("u").as("nu"))
+      .groupBy("cell").agg(sum(col("nu")).as("su"))
+    cells.join(contrib, "cell").crossJoin(broadcast(den))
+      .withColumn("lag", col("su") - col("u"))
+      .withColumn("quad", expr(
+        "CASE WHEN u > 0 AND lag > 0 THEN 'HH' WHEN u < 0 AND lag < 0 THEN 'LL' " +
+          "WHEN u > 0 AND lag < 0 THEN 'HL' WHEN u < 0 AND lag > 0 THEN 'LH' " +
+          "ELSE 'NS' END"))
+      .withColumn("local_i", expr(
+        "CASE WHEN den = 0 THEN 0.0 ELSE " +
+          "round(CAST(n AS DOUBLE) * (u * lag) / den, 6) END"))
+      .select(col("cell"), col("cnt"), col("u"), col("lag"), col("quad"),
+        col("local_i"))
+  }
+
+  def localMoranSql: String =
+    s"""WITH pts AS (${eventPointsSql}),
+       |counts AS MATERIALIZED (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+       |         (cell % 72057594037927936) // 268435456 AS x,
+       |         cell % 268435456 AS y
+       |  FROM (SELECT ${cellSql(6, "elon", "elat")} AS cell FROM pts)
+       |  GROUP BY 1),
+       |gstat AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS sumc
+       |          FROM counts),
+       |cells AS MATERIALIZED (
+       |  SELECT cell, x, y, cnt, n, n * cnt - sumc AS u
+       |  FROM counts CROSS JOIN gstat),
+       |dstat AS (SELECT CAST(sum(u * u) AS BIGINT) AS den FROM cells),
+       |contrib AS (
+       |  SELECT cell + dx.d * 268435456 + dy.d AS cell,
+       |         CAST(sum(u) AS BIGINT) AS su
+       |  FROM cells,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dy
+       |  WHERE x + dx.d >= 0 AND x + dx.d < 64 AND y + dy.d >= 0 AND y + dy.d < 64
+       |  GROUP BY 1)
+       |SELECT cells.cell, cnt, u, su - u AS lag,
+       |  CASE WHEN u > 0 AND su - u > 0 THEN 'HH' WHEN u < 0 AND su - u < 0 THEN 'LL'
+       |       WHEN u > 0 AND su - u < 0 THEN 'HL' WHEN u < 0 AND su - u > 0 THEN 'LH'
+       |       ELSE 'NS' END AS quad,
+       |  CASE WHEN den = 0 THEN 0.0 ELSE
+       |    round(CAST(n AS DOUBLE) * (u * (su - u)) / den, 6) END AS local_i
+       |FROM cells JOIN contrib ON cells.cell = contrib.cell CROSS JOIN dstat""".stripMargin
+
+  // =================================================================
+  // Quartic-kernel density estimation (Silverman '86 §4.4) onto a
+  // fixed 36×16 node lattice (10°-spaced centers) with bandwidth
+  // h = 15°: the heatmap primitive. Kernel mass is kept EXACT by
+  // quantizing the quartic to the integer lattice: q = (h²−d²) div 10⁵
+  // (both engines floor non-negative ints identically), w = q² — sums
+  // of w are exact BIGINT (the raw (h²−d²)² would overflow 2^63 at
+  // ~180 in-range points per node). A point reaches only nodes within
+  // the ±2 node window ((k−0.5)·spacing > h for k = 3), so the probe
+  // side explodes 25 candidates and one groupBy finishes it — node
+  // keys are dense and bounded (≤576), so the shuffle is trivially
+  // balanced at any corpus size. Oracle: the UNBLOCKED node×point
+  // θ-join over the generated lattice — bit-equality proves the 5×5
+  // window drops nothing (boundary hits at exactly d = h included).
+  // =================================================================
+
+  private val KdeH = 15000L      // bandwidth, milli-degrees
+  private val KdeSpacing = 10000L
+
+  def kdeGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = dbscanPoints(spark, sfDir).persist() // probe + the n_pts count
+    val nRow = pts.agg(count(lit(1)).as("n_pts"))
+    val cand = pts
+      .withColumn("pgx", expr(s"(xq + 180000) div $KdeSpacing"))
+      .withColumn("pgy", expr(s"(yq + 80000) div $KdeSpacing"))
+      .withColumn("dx", explode(sequence(lit(-2), lit(2))))
+      .withColumn("dy", explode(sequence(lit(-2), lit(2))))
+      .withColumn("gx", col("pgx") + col("dx"))
+      .withColumn("gy", col("pgy") + col("dy"))
+      .filter(col("gx") >= 0 && col("gx") < 36 && col("gy") >= 0 && col("gy") < 16)
+      .withColumn("nx", col("gx") * lit(KdeSpacing) + lit(KdeSpacing / 2) - lit(180000L))
+      .withColumn("ny", col("gy") * lit(KdeSpacing) + lit(KdeSpacing / 2) - lit(80000L))
+      .withColumn("d2", (col("xq") - col("nx")) * (col("xq") - col("nx")) +
+        (col("yq") - col("ny")) * (col("yq") - col("ny")))
+      .filter(col("d2") <= lit(KdeH * KdeH))
+      .withColumn("q", expr(s"($KdeH * $KdeH - d2) div 100000"))
+    cand.groupBy("gx", "gy")
+      .agg(count(lit(1)).as("n_in"), sum(col("q") * col("q")).as("wsum"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("kde", expr("round(CAST(wsum AS DOUBLE) / n_pts, 6)"))
+      .select(col("gx"), col("gy"), col("n_in"), col("wsum"), col("kde"))
+  }
+
+  def kdeGridSql: String =
+    s"""WITH pts AS MATERIALIZED ($dbscanPointsSql),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM pts),
+       |nodes AS (
+       |  SELECT gx.g AS gx, gy.g AS gy,
+       |         gx.g * $KdeSpacing + ${KdeSpacing / 2} - 180000 AS nx,
+       |         gy.g * $KdeSpacing + ${KdeSpacing / 2} - 80000 AS ny
+       |  FROM (SELECT CAST(unnest(generate_series(0, 35)) AS BIGINT) AS g) gx,
+       |       (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS g) gy),
+       |cand AS (
+       |  SELECT gx, gy,
+       |         ($KdeH * $KdeH - ((p.xq - n.nx) * (p.xq - n.nx) + (p.yq - n.ny) * (p.yq - n.ny))) // 100000 AS q
+       |  FROM nodes n JOIN pts p
+       |    ON (p.xq - n.nx) * (p.xq - n.nx) + (p.yq - n.ny) * (p.yq - n.ny)
+       |       <= ${KdeH * KdeH})
+       |SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_in,
+       |       CAST(sum(q * q) AS BIGINT) AS wsum,
+       |       round(CAST(CAST(sum(q * q) AS BIGINT) AS DOUBLE) / n_pts, 6) AS kde
+       |FROM cand CROSS JOIN st GROUP BY gx, gy, n_pts""".stripMargin
+
+  // =================================================================
+  // Standard deviational ellipse (Lefever '26; the ArcGIS
+  // "directional distribution" statistic) per event type: mean
+  // center, principal-axis orientation and axis standard deviations
+  // of each type's point set. Coordinates quantize to centi-degrees
+  // so ALL moments are exact BIGINT with cleared denominators:
+  // Vxx = n·Σx² − Sx² = n²·Var·... (exact while n·x_max² < 2^63 ⇒
+  // n ≤ 2.6·10⁷ points per type; beyond that the same shape runs on
+  // DECIMAL(38)/HUGEINT). One map-side-combined groupBy(type) — ZERO
+  // joins, no pair enumeration: the ellipse is a moment statistic.
+  // Doubles appear only in the final eigen decomposition, written
+  // token-identically; θ via atan2 (transcendental ⇒ rounded), axes
+  // via IEEE-exact sqrt.
+  // =================================================================
+
+  def stdEllipse(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = col("event_id")
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type").as("etype"),
+        ((k * k * 7919 + k * 104729) % 360000 - 180000).as("xq"),
+        ((k * k * 104729 + k * 7919) % 160000 - 80000).as("yq"))
+      .withColumn("xc", expr("(xq + 180000) div 100"))
+      .withColumn("yc", expr("(yq + 80000) div 100"))
+    pts.groupBy("etype")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("yc") * col("yc")).as("syy"),
+        sum(col("xc") * col("yc")).as("sxy"))
+      .withColumn("vxx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vyy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("vxy", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("disc", expr(
+        "sqrt((CAST(vxx AS DOUBLE) - vyy) * (CAST(vxx AS DOUBLE) - vyy) " +
+          "+ 4.0 * CAST(vxy AS DOUBLE) * vxy)"))
+      .withColumn("mean_x", expr("round(CAST(sx AS DOUBLE) / n, 6)"))
+      .withColumn("mean_y", expr("round(CAST(sy AS DOUBLE) / n, 6)"))
+      .withColumn("theta_deg", expr(
+        "CASE WHEN vxy = 0 AND vxx = vyy THEN 0.0 ELSE " +
+          "round(degrees(0.5 * atan2(2.0 * CAST(vxy AS DOUBLE), " +
+          "CAST(vxx AS DOUBLE) - vyy)), 6) END"))
+      .withColumn("sigma_major", expr(
+        "round(sqrt((CAST(vxx AS DOUBLE) + vyy + disc) / " +
+          "(2.0 * CAST(n * n AS DOUBLE))), 6)"))
+      .withColumn("sigma_minor", expr(
+        // degenerate (collinear) sets can push the minor eigenvalue a few
+        // ulps negative in double — clamp identically on both engines
+        "round(sqrt(greatest((CAST(vxx AS DOUBLE) + vyy - disc) / " +
+          "(2.0 * CAST(n * n AS DOUBLE)), 0.0)), 6)"))
+      .select(col("etype"), col("n"), col("vxx"), col("vyy"), col("vxy"),
+        col("mean_x"), col("mean_y"), col("theta_deg"),
+        col("sigma_major"), col("sigma_minor"))
+  }
+
+  def stdEllipseSql: String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS etype,
+       |         ((event_id * event_id * 7919 + event_id * 104729) % 360000 - 180000 + 180000) // 100 AS xc,
+       |         ((event_id * event_id * 104729 + event_id * 7919) % 160000 - 80000 + 80000) // 100 AS yc
+       |  FROM events),
+       |m AS (SELECT etype, CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+       |             CAST(sum(xc * xc) AS BIGINT) AS sxx,
+       |             CAST(sum(yc * yc) AS BIGINT) AS syy,
+       |             CAST(sum(xc * yc) AS BIGINT) AS sxy
+       |      FROM pts GROUP BY 1),
+       |v AS (SELECT etype, n, n * sxx - sx * sx AS vxx, n * syy - sy * sy AS vyy,
+       |             n * sxy - sx * sy AS vxy, sx, sy
+       |      FROM m),
+       |d AS (SELECT *, sqrt((CAST(vxx AS DOUBLE) - vyy) * (CAST(vxx AS DOUBLE) - vyy)
+       |               + 4.0 * CAST(vxy AS DOUBLE) * vxy) AS disc
+       |      FROM v)
+       |SELECT etype, n, vxx, vyy, vxy,
+       |  round(CAST(sx AS DOUBLE) / n, 6) AS mean_x,
+       |  round(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+       |  CASE WHEN vxy = 0 AND vxx = vyy THEN 0.0 ELSE
+       |    round(degrees(0.5 * atan2(2.0 * CAST(vxy AS DOUBLE),
+       |    CAST(vxx AS DOUBLE) - vyy)), 6) END AS theta_deg,
+       |  round(sqrt((CAST(vxx AS DOUBLE) + vyy + disc) /
+       |    (2.0 * CAST(n * n AS DOUBLE))), 6) AS sigma_major,
+       |  round(sqrt(greatest((CAST(vxx AS DOUBLE) + vyy - disc) /
+       |    (2.0 * CAST(n * n AS DOUBLE)), 0.0)), 6) AS sigma_minor
+       |FROM d""".stripMargin
+
+  // =================================================================
   // Knox space-time interaction test (Knox '64): X = pairs close in
   // BOTH space (δ) and time (τ), referenced against the independence
   // expectation S·T/P (S spatial-close, T temporal-close, P all
