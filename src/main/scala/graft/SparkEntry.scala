@@ -143,6 +143,12 @@ object SparkEntry {
     "fuzzy_match" -> ((s, d) => Queries.fuzzyMatch(s, d)),
     "extract_text" -> ((s, d) => Queries.extractTextQ(s, d)),
     "page_pipeline" -> ((s, d) => Queries.pagePipeline(s, d)),
+    // page-level geotag: quantized weighted centroid + packed-argmax top
+    // feature in ONE map-combined doc_id aggregate
+    "page_geotag" -> ((s, d) => Queries.pageGeotag(s, d)),
+    // context-coherence toponym disambiguation over the two-candidate
+    // ambiguous gazetteer; anchor sums ride a doc_id window
+    "toponym_resolve" -> ((s, d) => Queries.toponymResolve(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -366,6 +372,8 @@ object SparkEntry {
     "fuzzy_match" -> Queries.fuzzyMatchSql,
     "extract_text" -> Queries.extractTextQSql,
     "page_pipeline" -> Queries.pagePipelineSql,
+    "page_geotag" -> Queries.pageGeotagSql,
+    "toponym_resolve" -> Queries.toponymResolveSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

@@ -3742,6 +3742,152 @@ object Queries {
     s"SELECT doc_id, 'Doc ' || doc_id || chr(10) || text AS extracted FROM documents"
 
   // =================================================================
+  // Page geotagging: assign each page ONE location from its place/region
+  // mentions — score-weighted centroid of the mention coordinates plus the
+  // top-scoring mention as the page's primary feature. The centroid is the
+  // cross-engine trap: a double Σ(w·lon) is accumulation-order-dependent,
+  // so both engines quantize mention coords to micro-degree BIGINTs
+  // (round(x·1e6) of IDENTICAL doubles — both engines round half away
+  // from zero) and sum integers; only the final division touches doubles,
+  // token-identically. argmax(score, gid) rides the same aggregate as one
+  // packed BIGINT (no join-back, no second pass). Scale: mentions are the
+  // existing broadcast/shuffle-fallback matcher; the aggregate is one
+  // map-combined doc_id groupBy — nothing here holds more than a page's
+  // own mentions in memory.
+  // =================================================================
+
+  def pageGeotag(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Geocode.mentions(docPages(spark, sfDir), gazDf(spark), extraCols = Seq())
+      .select(col("doc_id"), col("gid"), col("score"), col("glon"), col("glat"))
+      .dropDuplicates("doc_id", "gid")
+      .withColumn("wt", col("score").cast("long"))
+      .withColumn("ulon", round(col("glon") * lit(1000000.0), 0).cast("long"))
+      .withColumn("ulat", round(col("glat") * lit(1000000.0), 0).cast("long"))
+    val agg = m.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_mentions"),
+      sum(col("wt")).as("sum_w"),
+      sum(col("wt") * col("ulon")).as("swlon"),
+      sum(col("wt") * col("ulat")).as("swlat"),
+      max(col("wt") * lit(10000000L) + (lit(10000000L) - col("gid"))).as("ord"))
+    val c = agg
+      .withColumn("top_gid", lit(10000000L) - col("ord") % lit(10000000L))
+      .withColumn("clon",
+        col("swlon").cast("double") / (col("sum_w").cast("double") * lit(1000000.0)))
+      .withColumn("clat",
+        col("swlat").cast("double") / (col("sum_w").cast("double") * lit(1000000.0)))
+    c.select(col("doc_id"), col("n_mentions"), col("top_gid"),
+      round(col("clon"), 6).as("clon_r"), round(col("clat"), 6).as("clat_r"),
+      F.cellAt(lit(8), col("clon"), col("clat")).as("cell8"))
+  }
+
+  def pageGeotagSql: String =
+    s"""WITH ${gazCte},
+       |docs AS (${docPagesSql}),
+       |m AS (
+       |  SELECT d.doc_id, g.gid, CAST(g.score AS BIGINT) AS wt,
+       |         CAST(round(CAST(g.glon AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ulon,
+       |         CAST(round(CAST(g.glat AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ulat
+       |  FROM docs d JOIN gaz g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')),
+       |a AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_mentions,
+       |         CAST(sum(wt) AS BIGINT) AS sum_w,
+       |         CAST(sum(wt * ulon) AS BIGINT) AS swlon,
+       |         CAST(sum(wt * ulat) AS BIGINT) AS swlat,
+       |         CAST(max(wt * 10000000 + (10000000 - gid)) AS BIGINT) AS ord
+       |  FROM m GROUP BY 1),
+       |c AS (
+       |  SELECT doc_id, n_mentions, 10000000 - ord % 10000000 AS top_gid,
+       |         CAST(swlon AS DOUBLE) / (CAST(sum_w AS DOUBLE) * 1000000.0) AS clon,
+       |         CAST(swlat AS DOUBLE) / (CAST(sum_w AS DOUBLE) * 1000000.0) AS clat
+       |  FROM a)
+       |SELECT doc_id, n_mentions, top_gid,
+       |       round(clon, 6) AS clon_r, round(clat, 6) AS clat_r,
+       |       ${cellSql(8, "clon", "clat")} AS cell8
+       |FROM c""".stripMargin
+
+  // =================================================================
+  // Toponym disambiguation (context coherence): for each AMBIGUOUS mention
+  // (a name with >1 gazetteer candidate — the "Paris, Texas" problem) pick
+  // the candidate nearest the page's anchor centroid, where the anchors are
+  // the page's UNAMBIGUOUS mentions; pages with no anchors fall back to the
+  // page proximity point. Anchor sums ride a doc_id WINDOW over the mention
+  // frame (per-page mention counts are gazetteer-bounded, so the hot-key
+  // carve-out doesn't apply) — the candidate ranking window then reuses the
+  // same doc_id exchange (partition keys are a superset). The haversine
+  // ranking key stays unrounded with a gid tiebreak; only the reported
+  // distance is rounded.
+  // =================================================================
+
+  def toponymResolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val gazA = ambGazDf(spark)
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("name")))
+    val m = Geocode.mentions(docPages(spark, sfDir), gazA)
+      .select(col("doc_id"), col("qlon"), col("qlat"), col("gid"), col("name"),
+        col("glon"), col("glat"), col("n_cand"))
+      .dropDuplicates("doc_id", "gid")
+      .withColumn("ulon", round(col("glon") * lit(1000000.0), 0).cast("long"))
+      .withColumn("ulat", round(col("glat") * lit(1000000.0), 0).cast("long"))
+    val wd = Window.partitionBy("doc_id")
+    val wa = m
+      .withColumn("n_anchors",
+        sum(when(col("n_cand") === 1, lit(1L)).otherwise(lit(0L))).over(wd))
+      .withColumn("sl", sum(when(col("n_cand") === 1, col("ulon"))).over(wd))
+      .withColumn("st", sum(when(col("n_cand") === 1, col("ulat"))).over(wd))
+    val rf = wa.filter(col("n_cand") > 1)
+      .withColumn("rlon", when(col("n_anchors") > 0,
+        col("sl").cast("double") / (col("n_anchors").cast("double") * lit(1000000.0)))
+        .otherwise(col("qlon")))
+      .withColumn("rlat", when(col("n_anchors") > 0,
+        col("st").cast("double") / (col("n_anchors").cast("double") * lit(1000000.0)))
+        .otherwise(col("qlat")))
+      .withColumn("d", F.haversineKm(col("rlon"), col("rlat"), col("glon"), col("glat")))
+    val wr = Window.partitionBy("doc_id", "name").orderBy(col("d").asc, col("gid").asc)
+    rf.withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("name"), col("gid").as("feature_id"),
+        col("n_anchors"), round(col("d"), 4).as("dist_km"))
+  }
+
+  def toponymResolveSql: String =
+    s"""WITH ${ambGazCte},
+       |gc AS (
+       |  SELECT *, CAST(count(*) OVER (PARTITION BY name) AS BIGINT) AS n_cand
+       |  FROM gaza),
+       |docs AS (${docPagesSql}),
+       |m AS (
+       |  SELECT d.doc_id, d.qlon, d.qlat, g.gid, g.name, g.glon, g.glat, g.n_cand,
+       |         CAST(round(CAST(g.glon AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ulon,
+       |         CAST(round(CAST(g.glat AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS ulat
+       |  FROM docs d JOIN gc g ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')),
+       |wa AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN n_cand = 1 THEN 1 ELSE 0 END)
+       |         OVER (PARTITION BY doc_id) AS BIGINT) AS n_anchors,
+       |    CAST(sum(CASE WHEN n_cand = 1 THEN ulon END)
+       |         OVER (PARTITION BY doc_id) AS BIGINT) AS sl,
+       |    CAST(sum(CASE WHEN n_cand = 1 THEN ulat END)
+       |         OVER (PARTITION BY doc_id) AS BIGINT) AS st
+       |  FROM m),
+       |rf AS (
+       |  SELECT *,
+       |    CASE WHEN n_anchors > 0
+       |         THEN CAST(sl AS DOUBLE) / (CAST(n_anchors AS DOUBLE) * 1000000.0)
+       |         ELSE qlon END AS rlon,
+       |    CASE WHEN n_anchors > 0
+       |         THEN CAST(st AS DOUBLE) / (CAST(n_anchors AS DOUBLE) * 1000000.0)
+       |         ELSE qlat END AS rlat
+       |  FROM wa WHERE n_cand > 1),
+       |sc AS (
+       |  SELECT doc_id, name, gid, n_anchors,
+       |         ${haversineSql("rlon", "rlat", "glon", "glat")} AS d
+       |  FROM rf),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id, name
+       |                               ORDER BY d ASC, gid ASC) AS rn
+       |  FROM sc)
+       |SELECT doc_id, name, gid AS feature_id, n_anchors, round(d, 4) AS dist_km
+       |FROM rk WHERE rn = 1""".stripMargin
+
+  // =================================================================
   // Language fallback (carmen `language` option + carmen:text_{lang}):
   // a doc in language L matches feature names in L when defined, falling
   // back to the default name. Small-gazetteer path = broadcast

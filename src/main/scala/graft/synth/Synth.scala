@@ -135,6 +135,34 @@ object Synth {
     s"gaz(gid, name, typ, score, glon, glat, stack) AS (VALUES ${
       (gazetteer ++ dupClones).map(gazRowSql).mkString(", ")})"
 
+  /** Toponym-ambiguity fixture (the "Paris, Texas" set): every place name
+    * gains a SECOND feature with the same name located inside a different
+    * region's z8 tile ((i+4)%8, distinct in-tile offsets), so each place
+    * mention has exactly two geographically-separated candidates. Region
+    * names stay unambiguous — they are the page-context anchors the
+    * disambiguator resolves against. */
+  val ambClones: Vector[GazFeature] = places.zipWithIndex.map { case (p, i) =>
+    val reg = regions((i + 4) % 8)
+    val cell8 = CellMath.lonLatToCell(8, reg.lon, reg.lat)
+    val (w, s, e, n) = CellMath.cellBounds(cell8)
+    val fx = 0.15 + 0.07 * ((i * 11) % 10)
+    val fy = 0.15 + 0.07 * ((i * 3) % 10)
+    GazFeature(2101L + i, p.name, "place", ((2101 + i) * 37 % 97 + 3).toDouble,
+      w + fx * (e - w), s + fy * (n - s), reg.stack)
+  }
+
+  val ambGaz: Vector[GazFeature] = gazetteer ++ ambClones
+
+  def ambGazDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ambGaz.map(g => (g.id, g.name, g.typ, g.score, g.lon, g.lat, g.stack))
+      .toDF("gid", "name", "typ", "score", "glon", "glat", "stack")
+  }
+
+  def ambGazCte: String =
+    s"gaza(gid, name, typ, score, glon, glat, stack) AS (VALUES ${
+      ambGaz.map(gazRowSql).mkString(", ")})"
+
   /** B5 autocomplete fixtures: partial queries "<region name> <place head
     * tokens> <first-2-chars of last place token>" — the terminal token is a
     * prefix the engine must complete (carmen autocompletes the query's last
