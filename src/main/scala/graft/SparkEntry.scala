@@ -149,6 +149,10 @@ object SparkEntry {
     // context-coherence toponym disambiguation over the two-candidate
     // ambiguous gazetteer; anchor sums ride a doc_id window
     "toponym_resolve" -> ((s, d) => Queries.toponymResolve(s, d)),
+    // href extraction from html bytes → host→host edge weights
+    "link_graph" -> ((s, d) => Queries.linkGraph(s, d)),
+    // KMV k-minimum-values distinct sketch per lang (bigram hashes)
+    "kmv_distinct" -> ((s, d) => TextOps.kmvDistinct(s.read.parquet(s"$d/documents.parquet"))),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -374,6 +378,8 @@ object SparkEntry {
     "page_pipeline" -> Queries.pagePipelineSql,
     "page_geotag" -> Queries.pageGeotagSql,
     "toponym_resolve" -> Queries.toponymResolveSql,
+    "link_graph" -> Queries.linkGraphSql,
+    "kmv_distinct" -> TextOps.kmvDistinctSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

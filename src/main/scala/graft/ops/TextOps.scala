@@ -929,6 +929,67 @@ object TextOps {
        |ORDER BY cnt DESC, ngram ASC LIMIT 100""".stripMargin
 
   // =================================================================
+  // KMV distinct sketch (k-minimum-values; Bar-Yossef et al. '02):
+  // per-language distinct-BIGRAM cardinality estimated from the k-th
+  // smallest hash in UNSIGNED order, next to the exact count (the
+  // sketch's error is visible in the output). Unsigned order over the
+  // signed 64-bit hashes is h XOR Long.MinValue — order-isomorphic and
+  // exact on both engines; the k-th minimum is one per-group
+  // row_number window whose state is k rows. Only the final estimate
+  // (k−1)·2^64/U touches doubles, token-identically, rounded to 4.
+  // Scale: the post-distinct payload is hashes only (bigrams never
+  // ride the ranking shuffle), and like HLL the result is one row per
+  // group — the mergeable-sketch shape (the k smallest hashes of a
+  // union are computable from each side's k smallest).
+  // =================================================================
+
+  private val KmvK = 16
+
+  /** Per-lang KMV(k=16) over distinct bigram hashes + exact count. */
+  def kmvDistinct(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bg"))
+      .distinct()
+      .select(col("lang"), F.fnv1a64(col("bg")).as("h"))
+      .persist() // two consumers: the k-th minimum and the exact count
+    val kth = hashed
+      .withColumn("ux", col("h").bitwiseXOR(lit(Long.MinValue)))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy(col("ux").asc)))
+      .filter(col("rn") === KmvK)
+    val exact = hashed.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+    kth.join(exact, "lang")
+      .withColumn("kmv_est", round(
+        lit((KmvK - 1).toDouble) * lit(1.8446744073709552e19) /
+          (col("ux").cast("double") + lit(9.223372036854776e18)), 4))
+      .select(col("lang"), col("n_exact"), col("ux").as("kth_ux"), col("kmv_est"))
+  }
+
+  def kmvDistinctSql: String = {
+    import graft.queries.SqlHash._
+    val hs = toSigned(fnv1a64("bg"))
+    s"""WITH t AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+       |bgs AS (
+       |  SELECT DISTINCT lang, unnest(list_transform(generate_series(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i + 1])) AS bg
+       |  FROM t WHERE len(t) >= 2),
+       |hv AS MATERIALIZED (SELECT lang, $hs AS h FROM bgs),
+       |ux AS (SELECT lang, xor(h, (-9223372036854775807 - 1)) AS ux FROM hv),
+       |rk AS (
+       |  SELECT lang, ux, row_number() OVER (PARTITION BY lang ORDER BY ux ASC) AS rn
+       |  FROM ux),
+       |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM hv GROUP BY 1)
+       |SELECT rk.lang, ex.n_exact, rk.ux AS kth_ux,
+       |       round(${(KmvK - 1).toDouble} * 1.8446744073709552e19 /
+       |             (CAST(rk.ux AS DOUBLE) + 9.223372036854776e18), 4) AS kmv_est
+       |FROM rk JOIN ex ON rk.lang = ex.lang WHERE rk.rn = $KmvK""".stripMargin
+  }
+
+  // =================================================================
   // Count-Min sketch heavy hitters (Cormode & Muthukrishnan '05): a
   // d=4 × w=1024 counter sketch over the corpus token stream, then
   // point estimates (min over the d rows) for a frozen query-term set

@@ -3888,6 +3888,51 @@ object Queries {
        |FROM rk WHERE rn = 1""".stripMargin
 
   // =================================================================
+  // Host link graph: each page's synthesized HTML carries real anchor
+  // tags (seeded from doc_id arithmetic); the OPERATOR extracts hrefs
+  // from the html bytes (codegen'd regexp over the decoded markup),
+  // parses out hosts, and aggregates host→host edge weights. The oracle
+  // recomputes the edge set from the seeding arithmetic directly — a
+  // wrong extractor (missed tag, host mis-parse) changes edges and fails
+  // the hash. Scale: extraction is per-row inside whole-stage codegen;
+  // the aggregate is a map-combined groupBy on a host-pair key space
+  // that stays dim-sized (≤97²) regardless of corpus size.
+  // =================================================================
+
+  def linkGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    val html = concat(
+      lit("<html><body>"),
+      concat_ws("", transform(sequence(lit(1), lit(3)), j =>
+        concat(lit("<a href=\"https://h"),
+          ((col("doc_id") * 31 + j * 17) % 97).cast("string"),
+          lit(".example.org/p/"), (col("doc_id") * 7 + j).cast("string"),
+          lit("\">x</a>")))),
+      lit("</body></html>"))
+    val pages = docs.select(
+      concat(lit("https://h"), (col("doc_id") % 97).cast("string"),
+        lit(".example.org/d/"), col("doc_id").cast("string")).as("url"),
+      encode(html, "UTF-8").as("html"))
+    pages
+      .select(col("url"),
+        explode(regexp_extract_all(decode(col("html"), "UTF-8"),
+          lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+      .select(
+        regexp_extract(col("url"), "^https://([^/]+)/", 1).as("src_host"),
+        regexp_extract(col("href"), "^https://([^/]+)/", 1).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  def linkGraphSql: String =
+    s"""WITH l AS (
+       |  SELECT 'h' || (doc_id % 97) || '.example.org' AS src_host,
+       |         'h' || ((doc_id * 31 + j * 17) % 97) || '.example.org' AS dst_host
+       |  FROM (SELECT doc_id, unnest(generate_series(1, 3)) AS j FROM documents))
+       |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+       |FROM l GROUP BY 1, 2""".stripMargin
+
+  // =================================================================
   // Language fallback (carmen `language` option + carmen:text_{lang}):
   // a doc in language L matches feature names in L when defined, falling
   // back to the default name. Small-gazetteer path = broadcast
