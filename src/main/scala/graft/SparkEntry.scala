@@ -153,6 +153,10 @@ object SparkEntry {
     "link_graph" -> ((s, d) => Queries.linkGraph(s, d)),
     // KMV k-minimum-values distinct sketch per lang (bigram hashes)
     "kmv_distinct" -> ((s, d) => TextOps.kmvDistinct(s.read.parquet(s"$d/documents.parquet"))),
+    // union area per group via coordinate-compression sweep (dissolve)
+    "rect_dissolve" -> ((s, d) => Queries.rectDissolve(s, d)),
+    // Sort-Tile-Recursive leaf packing of the feature dim (partitioner build)
+    "str_pack" -> ((s, d) => Queries.strPack(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -380,6 +384,8 @@ object SparkEntry {
     "toponym_resolve" -> Queries.toponymResolveSql,
     "link_graph" -> Queries.linkGraphSql,
     "kmv_distinct" -> TextOps.kmvDistinctSql,
+    "rect_dissolve" -> Queries.rectDissolveSql,
+    "str_pack" -> Queries.strPackSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

@@ -3933,6 +3933,138 @@ object Queries {
        |FROM l GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Rect dissolve (polygon union area per group): the measure of each
+  // group's rectangle UNION via coordinate-compression sweep — the
+  // group's distinct x-bounds cut it into vertical slabs, each slab's
+  // covering rects contribute y-intervals whose union length falls out
+  // of ONE running-max window (no pairwise geometry, no raster). All
+  // engine-visible arithmetic runs on the milli-degree BIGINT lattice.
+  // Scale: per-group work is quadratic in group size but groups bound
+  // it (the PBSM discipline — at N× data with ∝N groups the per-group
+  // cost is flat); everything keys on (gkey[, slab]) — no global sort,
+  // no driver state, and the slab join reuses the gkey exchange.
+  // =================================================================
+
+  /** Union area over (gkey, feature_id, wq, sq, eq, nq) integer rects. */
+  def rectDissolveOf(rects: DataFrame): DataFrame = {
+    val r = rects.persist() // two consumers: boundary set + slab join
+    val slabs = r
+      .select(col("gkey"), explode(array(col("wq"), col("eq"))).as("x"))
+      .distinct()
+      .withColumn("x1", lead(col("x"), 1)
+        .over(Window.partitionBy("gkey").orderBy(col("x").asc)))
+      .filter(col("x1").isNotNull)
+    val covered = slabs.join(r, Seq("gkey"))
+      .filter(col("wq") <= col("x") && col("eq") >= col("x1"))
+    val wSweep = Window.partitionBy("gkey", "x")
+      .orderBy(col("sq").asc, col("nq").asc, col("feature_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = covered
+      .withColumn("runmax", max(col("nq")).over(wSweep))
+      .withColumn("len", greatest(lit(0L),
+        col("nq") - greatest(col("sq"), coalesce(col("runmax"), col("sq")))))
+    val area = contrib.groupBy(col("gkey"))
+      .agg(sum(col("len") * (col("x1") - col("x"))).as("area_mdeg2"))
+    val counts = r.groupBy(col("gkey")).agg(count(lit(1)).as("n_rects"))
+    area.join(counts, "gkey")
+      .select(col("gkey"), col("n_rects"), col("area_mdeg2"))
+  }
+
+  def rectDissolve(spark: SparkSession, sfDir: String): DataFrame =
+    rectDissolveOf(custFeatures(spark, sfDir)
+      .select(col("feature_id"), (col("feature_id") % 64).as("gkey"),
+        qMilli(col("west")).as("wq"), qMilli(col("south")).as("sq"),
+        qMilli(col("east")).as("eq"), qMilli(col("north")).as("nq")))
+
+  def rectDissolveSql: String =
+    s"""WITH cf AS (${custFeaturesSql}),
+       |rects AS MATERIALIZED (
+       |  SELECT feature_id, feature_id % 64 AS gkey,
+       |         CAST(round(west * 1000, 0) AS BIGINT) AS wq,
+       |         CAST(round(south * 1000, 0) AS BIGINT) AS sq,
+       |         CAST(round(east * 1000, 0) AS BIGINT) AS eq,
+       |         CAST(round(north * 1000, 0) AS BIGINT) AS nq
+       |  FROM cf),
+       |bounds AS (
+       |  SELECT DISTINCT gkey, x
+       |  FROM (SELECT gkey, unnest([wq, eq]) AS x FROM rects)),
+       |slabs AS (
+       |  SELECT * FROM (
+       |    SELECT gkey, x, lead(x, 1) OVER (PARTITION BY gkey ORDER BY x ASC) AS x1
+       |    FROM bounds) WHERE x1 IS NOT NULL),
+       |covered AS (
+       |  SELECT s.gkey, s.x, s.x1, r.feature_id, r.sq, r.nq
+       |  FROM slabs s JOIN rects r ON r.gkey = s.gkey
+       |  WHERE r.wq <= s.x AND r.eq >= s.x1),
+       |contrib AS (
+       |  SELECT gkey, x, x1, nq, sq,
+       |         max(nq) OVER (PARTITION BY gkey, x
+       |                       ORDER BY sq ASC, nq ASC, feature_id ASC
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+       |  FROM covered),
+       |area AS (
+       |  SELECT gkey,
+       |         CAST(sum(greatest(0, nq - greatest(sq, COALESCE(runmax, sq))) * (x1 - x)) AS BIGINT) AS area_mdeg2
+       |  FROM contrib GROUP BY 1),
+       |counts AS (SELECT gkey, CAST(count(*) AS BIGINT) AS n_rects FROM rects GROUP BY 1)
+       |SELECT a.gkey, c.n_rects, a.area_mdeg2
+       |FROM area a JOIN counts c ON a.gkey = c.gkey""".stripMargin
+
+  // =================================================================
+  // STR packing (Sort-Tile-Recursive, Leutenegger et al. '97): pack the
+  // feature dimension into S×S spatial leaves — ntile by quantized
+  // center-x, then ntile by center-y within each x-slice; per-leaf MBR
+  // and occupancy. This is the spatial-partitioner BUILD step: at scale
+  // the leaf MBRs become the routing table for probe-side shuffle
+  // partitioning, and the pack runs on the dim side only (features are
+  // index-sized — the probe side never sorts globally). Sort keys and
+  // MBRs are exact lattice integers; feature_id tiebreaks make the
+  // ntile assignment total-order determined on both engines.
+  // =================================================================
+
+  private val StrSlices = 8
+
+  def strPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = StrSlices
+    val rects = custFeatures(spark, sfDir)
+      .select(col("feature_id"),
+        qMilli(col("flon")).as("cx"), qMilli(col("flat")).as("cy"),
+        qMilli(col("west")).as("wq"), qMilli(col("south")).as("sq"),
+        qMilli(col("east")).as("eq"), qMilli(col("north")).as("nq"))
+    rects
+      .withColumn("sx", ntile(s).over(Window.orderBy(col("cx").asc, col("feature_id").asc)))
+      .withColumn("sy", ntile(s)
+        .over(Window.partitionBy("sx").orderBy(col("cy").asc, col("feature_id").asc)))
+      .groupBy(((col("sx") - 1) * s + (col("sy") - 1)).cast("long").as("leaf"))
+      .agg(count(lit(1)).as("n_feat"),
+        min(col("wq")).as("mbr_w"), min(col("sq")).as("mbr_s"),
+        max(col("eq")).as("mbr_e"), max(col("nq")).as("mbr_n"))
+  }
+
+  def strPackSql: String =
+    s"""WITH cf AS (${custFeaturesSql}),
+       |rects AS (
+       |  SELECT feature_id,
+       |         CAST(round(flon * 1000, 0) AS BIGINT) AS cx,
+       |         CAST(round(flat * 1000, 0) AS BIGINT) AS cy,
+       |         CAST(round(west * 1000, 0) AS BIGINT) AS wq,
+       |         CAST(round(south * 1000, 0) AS BIGINT) AS sq,
+       |         CAST(round(east * 1000, 0) AS BIGINT) AS eq,
+       |         CAST(round(north * 1000, 0) AS BIGINT) AS nq
+       |  FROM cf),
+       |sx AS (
+       |  SELECT *, ntile($StrSlices) OVER (ORDER BY cx ASC, feature_id ASC) AS sx
+       |  FROM rects),
+       |sy AS (
+       |  SELECT *, ntile($StrSlices) OVER (PARTITION BY sx ORDER BY cy ASC, feature_id ASC) AS sy
+       |  FROM sx)
+       |SELECT (sx - 1) * $StrSlices + (sy - 1) AS leaf,
+       |       CAST(count(*) AS BIGINT) AS n_feat,
+       |       min(wq) AS mbr_w, min(sq) AS mbr_s,
+       |       max(eq) AS mbr_e, max(nq) AS mbr_n
+       |FROM sy GROUP BY 1""".stripMargin
+
+  // =================================================================
   // Language fallback (carmen `language` option + carmen:text_{lang}):
   // a doc in language L matches feature names in L when defined, falling
   // back to the default name. Small-gazetteer path = broadcast
