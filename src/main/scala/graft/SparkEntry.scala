@@ -157,6 +157,10 @@ object SparkEntry {
     "rect_dissolve" -> ((s, d) => Queries.rectDissolve(s, d)),
     // Sort-Tile-Recursive leaf packing of the feature dim (partitioner build)
     "str_pack" -> ((s, d) => Queries.strPack(s, d)),
+    // Horn 3x3 gradient (slope/aspect) over the z6 event-count surface
+    "slope_aspect" -> ((s, d) => Queries.slopeAspect(s, d)),
+    // per-z4-cell characteristic terms via Laplace log-odds, top-5
+    "region_terms" -> ((s, d) => Queries.regionTerms(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -386,6 +390,8 @@ object SparkEntry {
     "kmv_distinct" -> TextOps.kmvDistinctSql,
     "rect_dissolve" -> Queries.rectDissolveSql,
     "str_pack" -> Queries.strPackSql,
+    "slope_aspect" -> Queries.slopeAspectSql,
+    "region_terms" -> Queries.regionTermsSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

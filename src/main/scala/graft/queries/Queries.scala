@@ -4065,6 +4065,133 @@ object Queries {
        |FROM sy GROUP BY 1""".stripMargin
 
   // =================================================================
+  // Slope/aspect (Horn '81 3×3 gradient) over the z6 event-count
+  // surface: the density raster's gradient field — the terrain-analysis
+  // primitive applied to activity intensity. Same scatter shape as
+  // Gi*: each cell's count scatters to its 8 neighbors with the Horn
+  // weight for the RECEIVING cell (source at offset (dx,dy) from the
+  // target contributes (−dx)(2−|dy|) to gx and (−dy)(2−|dx|) to gy),
+  // one map-combined groupBy — absent cells are implicitly z=0, so the
+  // kernel is total without densifying the grid. gx/gy stay exact
+  // BIGINTs; only the final slope/aspect angles are doubles, token-
+  // identical and rounded.
+  // =================================================================
+
+  def slopeAspect(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = eventPoints(spark, sfDir)
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("x", expr("(cell % 72057594037927936) div 268435456"))
+      .withColumn("y", col("cell") % lit(268435456L))
+      .persist() // two consumers: the scatter and the final cell join
+    val contrib = counts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .filter(col("x") + col("dx") >= 0 && col("x") + col("dx") < 64 &&
+        col("y") + col("dy") >= 0 && col("y") + col("dy") < 64)
+      .select((col("cell") + col("dx") * lit(268435456L) + col("dy")).as("cell"),
+        (-col("dx") * (lit(2) - abs(col("dy"))) * col("cnt")).as("cx"),
+        (-col("dy") * (lit(2) - abs(col("dx"))) * col("cnt")).as("cy"))
+      .groupBy("cell").agg(sum(col("cx")).as("gx"), sum(col("cy")).as("gy"))
+    counts.select("cell", "cnt").join(contrib, "cell")
+      .withColumn("slope_deg", round(
+        atan(sqrt(col("gx").cast("double") * col("gx").cast("double") +
+          col("gy").cast("double") * col("gy").cast("double")) / lit(800.0)) *
+          lit(180.0) / lit(Math.PI), 4))
+      .withColumn("aspect_deg", round(
+        atan2(col("gy").cast("double"), col("gx").cast("double")) *
+          lit(180.0) / lit(Math.PI), 4))
+      .select(col("cell"), col("cnt"), col("gx"), col("gy"),
+        col("slope_deg"), col("aspect_deg"))
+  }
+
+  def slopeAspectSql: String =
+    s"""WITH pts AS (${eventPointsSql}),
+       |counts AS MATERIALIZED (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+       |         (cell % 72057594037927936) // 268435456 AS x,
+       |         cell % 268435456 AS y
+       |  FROM (SELECT ${cellSql(6, "elon", "elat")} AS cell FROM pts)
+       |  GROUP BY 1),
+       |contrib AS (
+       |  SELECT cell + dx.d * 268435456 + dy.d AS cell,
+       |         CAST(sum(-dx.d * (2 - abs(dy.d)) * cnt) AS BIGINT) AS gx,
+       |         CAST(sum(-dy.d * (2 - abs(dx.d)) * cnt) AS BIGINT) AS gy
+       |  FROM counts,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dy
+       |  WHERE x + dx.d >= 0 AND x + dx.d < 64 AND y + dy.d >= 0 AND y + dy.d < 64
+       |  GROUP BY 1)
+       |SELECT counts.cell, counts.cnt, contrib.gx, contrib.gy,
+       |       round(atan(sqrt(CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE) +
+       |             CAST(gy AS DOUBLE) * CAST(gy AS DOUBLE)) / 800.0) * 180.0 / pi(), 4) AS slope_deg,
+       |       round(atan2(CAST(gy AS DOUBLE), CAST(gx AS DOUBLE)) * 180.0 / pi(), 4) AS aspect_deg
+       |FROM counts JOIN contrib ON counts.cell = contrib.cell""".stripMargin
+
+  // =================================================================
+  // Regional vocabulary (log-odds with Laplace smoothing, the Monroe
+  // et al. '08 "fightin' words" construction): which terms are
+  // DISPROPORTIONATELY frequent in pages located in a z4 cell vs the
+  // whole corpus. Counts stay exact integers end-to-end — one
+  // (cell,tok) map-combined groupBy is the only corpus-sized exchange;
+  // the cell/term marginals ride windows over the post-aggregate frame
+  // (dim-sized, so the skewed-term carve-out doesn't apply) and the
+  // corpus total is a broadcast 1-row crossJoin. The log-odds ranking
+  // key stays an unrounded double with a token tiebreak; the reported
+  // score is rounded.
+  // =================================================================
+
+  def regionTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val ct = docPages(spark, sfDir)
+      .select(F.cellAt(lit(4), col("qlon"), col("qlat")).as("cell"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("k_ct"))
+    val wc = Window.partitionBy("cell")
+    val wt = Window.partitionBy("tok")
+    val glob = ct.agg(sum(col("k_ct")).as("nn"))
+    val scored = ct
+      .withColumn("n_c", sum(col("k_ct")).over(wc))
+      .withColumn("k_t", sum(col("k_ct")).over(wt))
+      .crossJoin(broadcast(glob))
+      .withColumn("score",
+        log((col("k_ct") + lit(1L)).cast("double") /
+          (col("n_c") - col("k_ct") + lit(1L)).cast("double")) -
+          log((col("k_t") + lit(1L)).cast("double") /
+            (col("nn") - col("k_t") + lit(1L)).cast("double")))
+    val wr = Window.partitionBy("cell").orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= 5)
+      .select(col("cell"), col("rank").cast("long").as("rank"), col("tok"),
+        col("k_ct"), round(col("score"), 6).as("score_r"))
+  }
+
+  def regionTermsSql: String =
+    s"""WITH docs AS (${docPagesSql}),
+       |ct AS MATERIALIZED (
+       |  SELECT cell, tok, CAST(count(*) AS BIGINT) AS k_ct
+       |  FROM (SELECT ${cellSql(4, "qlon", "qlat")} AS cell,
+       |               unnest(string_split(text, ' ')) AS tok
+       |        FROM docs)
+       |  GROUP BY 1, 2),
+       |gtot AS (SELECT CAST(sum(k_ct) AS BIGINT) AS nn FROM ct),
+       |marg AS (
+       |  SELECT *,
+       |         CAST(sum(k_ct) OVER (PARTITION BY cell) AS BIGINT) AS n_c,
+       |         CAST(sum(k_ct) OVER (PARTITION BY tok) AS BIGINT) AS k_t
+       |  FROM ct),
+       |scored AS (
+       |  SELECT cell, tok, k_ct,
+       |         ln(CAST(k_ct + 1 AS DOUBLE) / CAST(n_c - k_ct + 1 AS DOUBLE)) -
+       |         ln(CAST(k_t + 1 AS DOUBLE) / CAST(nn - k_t + 1 AS DOUBLE)) AS score
+       |  FROM marg CROSS JOIN gtot),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cell
+       |                               ORDER BY score DESC, tok ASC) AS rank
+       |  FROM scored)
+       |SELECT cell, CAST(rank AS BIGINT) AS rank, tok, k_ct,
+       |       round(score, 6) AS score_r
+       |FROM rk WHERE rank <= 5""".stripMargin
+
+  // =================================================================
   // Language fallback (carmen `language` option + carmen:text_{lang}):
   // a doc in language L matches feature names in L when defined, falling
   // back to the default name. Small-gazetteer path = broadcast
