@@ -161,6 +161,8 @@ object SparkEntry {
     "slope_aspect" -> ((s, d) => Queries.slopeAspect(s, d)),
     // per-z4-cell characteristic terms via Laplace log-odds, top-5
     "region_terms" -> ((s, d) => Queries.regionTerms(s, d)),
+    // DTW trajectory-similarity join, origin-blocked + candidate-capped
+    "dtw_tracks" -> ((s, d) => Queries.dtwTracks(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -392,6 +394,7 @@ object SparkEntry {
     "str_pack" -> Queries.strPackSql,
     "slope_aspect" -> Queries.slopeAspectSql,
     "region_terms" -> Queries.regionTermsSql,
+    "dtw_tracks" -> Queries.dtwTracksSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

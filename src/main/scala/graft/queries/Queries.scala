@@ -4192,6 +4192,108 @@ object Queries {
        |FROM rk WHERE rank <= 5""".stripMargin
 
   // =================================================================
+  // Trajectory-similarity join (DTW): per-user tracks (first 12 fixes
+  // in (ts, event_id) order, z8 cells) paired by shared ORIGIN z2 cell
+  // with a per-track candidate cap (the LSH bucket-cap discipline —
+  // bounded fan-out whatever the block's occupancy), then dynamic time
+  // warping under Manhattan ground distance via the native rolling-row
+  // kernel — integer-exact end-to-end. The oracle replays the SAME DP
+  // as an anti-diagonal wave recursion: wave k holds D(i, k−i) with
+  // each row carrying its up-neighbor value, so D(i−1, j−1) is the
+  // previous wave's up(i, j−1) and one self-join per wave suffices.
+  // Scale: tracks are one user-keyed exchange; the pair join keys on
+  // the block cell; the DP runs in-row (no per-pair shuffle state).
+  // =================================================================
+
+  private val DtwK = 12    // track-length cap (fixes per user)
+  private val DtwCap = 8   // same-block candidate cap per probe track
+
+  def dtwTracks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val fixes = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("cell", F.cellAt(lit(8), evLon(col("event_id")), evLat(col("event_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= DtwK)
+    val tracks = fixes.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("cell")))).as("sc"))
+      .select(col("user_id"), expr("transform(sc, s -> s.cell)").as("cells"))
+      .filter(size(col("cells")) >= 2)
+      .withColumn("o", F.parentCell(element_at(col("cells"), 1), lit(2)))
+      .persist() // both sides of the pair join
+    val pairs = tracks
+      .select(col("o"), col("user_id").as("u1"), col("cells").as("ca"))
+      .join(tracks.select(col("o"), col("user_id").as("u2"), col("cells").as("cb"))
+        .hint("shuffle_hash"), Seq("o"))
+      .filter(col("u2") > col("u1"))
+      .withColumn("cn", row_number().over(
+        Window.partitionBy("u1").orderBy(col("u2").asc)))
+      .filter(col("cn") <= DtwCap)
+    pairs.select(col("u1"), col("u2"), col("o"),
+      size(col("ca")).cast("long").as("m"), size(col("cb")).cast("long").as("n"),
+      F.dtwCells(col("ca"), col("cb")).as("dtw"))
+  }
+
+  def dtwTracksSql: String = {
+    def dcost(ae: String, be: String, ie: String, je: String): String =
+      s"(abs(($ae[$ie] % 72057594037927936) // 268435456 - ($be[$je] % 72057594037927936) // 268435456)" +
+        s" + abs($ae[$ie] % 268435456 - $be[$je] % 268435456))"
+    val big = "1152921504606846976"
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |         $evLonSql AS elon, $evLatSql AS elat
+       |  FROM events),
+       |fx AS (
+       |  SELECT user_id, us, event_id, ${cellSql(8, "elon", "elat")} AS cell,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+       |  FROM raw),
+       |trk AS MATERIALIZED (
+       |  SELECT user_id, list(cell ORDER BY rn) AS cells,
+       |         CAST(count(*) AS BIGINT) AS m
+       |  FROM fx WHERE rn <= $DtwK GROUP BY 1 HAVING count(*) >= 2),
+       |blk AS MATERIALIZED (
+       |  SELECT user_id, cells, m,
+       |         (2 * 72057594037927936 +
+       |          ((cells[1] % 72057594037927936) // 268435456 // 64) * 268435456 +
+       |          (cells[1] % 268435456) // 64) AS o
+       |  FROM trk),
+       |pairs AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT p.user_id AS u1, q.user_id AS u2, p.o,
+       |           p.cells AS a, q.cells AS b, p.m AS m, q.m AS n,
+       |           row_number() OVER (PARTITION BY p.user_id ORDER BY q.user_id ASC) AS cn
+       |    FROM blk p JOIN blk q ON p.o = q.o
+       |    WHERE q.user_id > p.user_id)
+       |  WHERE cn <= $DtwCap),
+       |dp AS (
+       |  SELECT u1, u2, a, b, m, n, 2 AS k, CAST(1 AS BIGINT) AS i,
+       |         ${dcost("a", "b", "1", "1")} AS val, CAST(NULL AS BIGINT) AS up
+       |  FROM pairs
+       |  UNION ALL
+       |  SELECT c.u1, c.u2, c.a, c.b, c.m, c.n, c.k + 1 AS k, c.i_new AS i,
+       |         ${dcost("c.a", "c.b", "c.i_new", "c.k + 1 - c.i_new")} +
+       |           least(COALESCE(av.val, $big), COALESCE(c.val_b, $big),
+       |                 COALESCE(c.up_b, $big)) AS val,
+       |         av.val AS up
+       |  FROM (
+       |    SELECT p.u1, p.u2, p.a, p.b, p.m, p.n, p.k,
+       |           CASE r.r WHEN 0 THEN p.i ELSE p.i + 1 END AS i_new,
+       |           CASE r.r WHEN 0 THEN p.val END AS val_b,
+       |           CASE r.r WHEN 0 THEN p.up END AS up_b
+       |    FROM dp p, (SELECT unnest([0, 1]) AS r) r
+       |    WHERE p.k < p.m + p.n
+       |      AND ((r.r = 0 AND p.k + 1 - p.i <= p.n)
+       |        OR (r.r = 1 AND p.k - p.i = 1 AND p.i + 1 <= p.m))
+       |  ) c
+       |  LEFT JOIN dp av
+       |    ON av.u1 = c.u1 AND av.u2 = c.u2 AND av.k = c.k AND av.i = c.i_new - 1)
+       |SELECT u1, u2, o, m, n, val AS dtw
+       |FROM dp JOIN pairs USING (u1, u2, m, n)
+       |WHERE k = m + n AND i = m""".stripMargin
+  }
+
+  // =================================================================
   // Language fallback (carmen `language` option + carmen:text_{lang}):
   // a doc in language L matches feature names in L when defined, falling
   // back to the default name. Small-gazetteer path = broadcast
