@@ -711,6 +711,55 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** frechet_cells(a, b): DISCRETE Fréchet distance (Eiter–Mannila '94)
+    * between two packed-cell tracks under Manhattan ground distance — the
+    * same rolling-row DP as [[DtwCells]] with (+, min) replaced by
+    * (max, min): F(i,j) = max(d(i,j), min(F(i−1,j), F(i,j−1), F(i−1,j−1))).
+    * Integer-exact; shares the wave-recursion oracle. */
+  case class FrechetCells(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "frechet_cells"
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData]; val xb = b.asInstanceOf[ArrayData]
+      val m = xa.numElements(); val n = xb.numElements()
+      val ax = new Array[Long](m); val ay = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val c = xa.getLong(i)
+        ax(i) = (c % 72057594037927936L) / 268435456L; ay(i) = c % 268435456L
+        i += 1
+      }
+      val bx = new Array[Long](n); val by = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        val c = xb.getLong(j)
+        bx(j) = (c % 72057594037927936L) / 268435456L; by(j) = c % 268435456L
+        j += 1
+      }
+      val Big = Long.MaxValue / 4
+      var prev = Array.fill(n + 1)(Big)
+      var cur = new Array[Long](n + 1)
+      prev(0) = 0L
+      i = 1
+      while (i <= m) {
+        cur(0) = Big
+        j = 1
+        while (j <= n) {
+          val d = math.abs(ax(i - 1) - bx(j - 1)) + math.abs(ay(i - 1) - by(j - 1))
+          cur(j) = math.max(d, math.min(prev(j), math.min(cur(j - 1), prev(j - 1))))
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(n)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): FrechetCells =
+      copy(left = l, right = r)
+  }
+
   /** sorted_inter_count(a, b): |a ∩ b| for two SORTED array<long> inputs —
     * a single merge pass, no hash set, no output array allocation. The
     * verify kernel of set-similarity joins: with token arrays pre-hashed to
@@ -899,6 +948,7 @@ object F {
   def sortedInterCount(a: Column, b: Column): Column =
     c(SortedInterCount(x(a), x(b)))
   def dtwCells(a: Column, b: Column): Column = c(DtwCells(x(a), x(b)))
+  def frechetCells(a: Column, b: Column): Column = c(FrechetCells(x(a), x(b)))
   def hull2d(points: Column): Column = c(Hull2D(x(points)))
   def windowStrings(text: Column, lengths: Seq[Int]): Column =
     c(WindowStrings(x(text), lengths))

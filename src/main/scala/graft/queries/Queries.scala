@@ -4232,7 +4232,8 @@ object Queries {
       .filter(col("cn") <= DtwCap)
     pairs.select(col("u1"), col("u2"), col("o"),
       size(col("ca")).cast("long").as("m"), size(col("cb")).cast("long").as("n"),
-      F.dtwCells(col("ca"), col("cb")).as("dtw"))
+      F.dtwCells(col("ca"), col("cb")).as("dtw"),
+      F.frechetCells(col("ca"), col("cb")).as("frechet"))
   }
 
   def dtwTracksSql: String = {
@@ -4268,19 +4269,26 @@ object Queries {
        |  WHERE cn <= $DtwCap),
        |dp AS (
        |  SELECT u1, u2, a, b, m, n, 2 AS k, CAST(1 AS BIGINT) AS i,
-       |         ${dcost("a", "b", "1", "1")} AS val, CAST(NULL AS BIGINT) AS up
+       |         ${dcost("a", "b", "1", "1")} AS val, CAST(NULL AS BIGINT) AS up,
+       |         ${dcost("a", "b", "1", "1")} AS fval, CAST(NULL AS BIGINT) AS fup
        |  FROM pairs
        |  UNION ALL
        |  SELECT c.u1, c.u2, c.a, c.b, c.m, c.n, c.k + 1 AS k, c.i_new AS i,
        |         ${dcost("c.a", "c.b", "c.i_new", "c.k + 1 - c.i_new")} +
        |           least(COALESCE(av.val, $big), COALESCE(c.val_b, $big),
        |                 COALESCE(c.up_b, $big)) AS val,
-       |         av.val AS up
+       |         av.val AS up,
+       |         greatest(${dcost("c.a", "c.b", "c.i_new", "c.k + 1 - c.i_new")},
+       |           least(COALESCE(av.fval, $big), COALESCE(c.fval_b, $big),
+       |                 COALESCE(c.fup_b, $big))) AS fval,
+       |         av.fval AS fup
        |  FROM (
        |    SELECT p.u1, p.u2, p.a, p.b, p.m, p.n, p.k,
        |           CASE r.r WHEN 0 THEN p.i ELSE p.i + 1 END AS i_new,
        |           CASE r.r WHEN 0 THEN p.val END AS val_b,
-       |           CASE r.r WHEN 0 THEN p.up END AS up_b
+       |           CASE r.r WHEN 0 THEN p.up END AS up_b,
+       |           CASE r.r WHEN 0 THEN p.fval END AS fval_b,
+       |           CASE r.r WHEN 0 THEN p.fup END AS fup_b
        |    FROM dp p, (SELECT unnest([0, 1]) AS r) r
        |    WHERE p.k < p.m + p.n
        |      AND ((r.r = 0 AND p.k + 1 - p.i <= p.n)
@@ -4288,7 +4296,7 @@ object Queries {
        |  ) c
        |  LEFT JOIN dp av
        |    ON av.u1 = c.u1 AND av.u2 = c.u2 AND av.k = c.k AND av.i = c.i_new - 1)
-       |SELECT u1, u2, o, m, n, val AS dtw
+       |SELECT u1, u2, o, m, n, val AS dtw, fval AS frechet
        |FROM dp JOIN pairs USING (u1, u2, m, n)
        |WHERE k = m + n AND i = m""".stripMargin
   }
