@@ -163,6 +163,8 @@ object SparkEntry {
     "region_terms" -> ((s, d) => Queries.regionTerms(s, d)),
     // DTW trajectory-similarity join, origin-blocked + candidate-capped
     "dtw_tracks" -> ((s, d) => Queries.dtwTracks(s, d)),
+    // per-(term, crawl-batch) burstiness z-scores, integer deviations
+    "term_burst" -> ((s, d) => TextOps.termBurst(s.read.parquet(s"$d/documents.parquet"))),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -395,6 +397,7 @@ object SparkEntry {
     "slope_aspect" -> Queries.slopeAspectSql,
     "region_terms" -> Queries.regionTermsSql,
     "dtw_tracks" -> Queries.dtwTracksSql,
+    "term_burst" -> TextOps.termBurstSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

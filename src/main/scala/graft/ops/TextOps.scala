@@ -943,6 +943,62 @@ object TextOps {
   // union are computable from each side's k smallest).
   // =================================================================
 
+  // =================================================================
+  // Term burstiness across crawl batches: per-(term, batch) counts vs
+  // the term's own batch distribution — the temporal-anomaly view of
+  // the corpus (which vocabulary spikes in which crawl slice). The
+  // batch key is the deterministic crawl-batch id (doc_id % 8). Bins a
+  // term never hits matter (a missing bin is a −mean deviation), so
+  // the count frame densifies against the term dim × 8 bins before
+  // scoring — the term dim is vocabulary-sized, never corpus-sized.
+  // dev = 8·c − n_t stays an exact integer (cleared denominator, the
+  // moran_i discipline); only the final z divides, token-identically,
+  // with a ssd=0 guard on both engines.
+  // =================================================================
+
+  def termBurst(docs: DataFrame): DataFrame = {
+    val ct = docs
+      .select((col("doc_id") % 8).as("b"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("b")).agg(count(lit(1)).as("c"))
+    val dense = ct.select(col("tok")).distinct()
+      .withColumn("b", explode(sequence(lit(0L), lit(7L))))
+      .join(ct, Seq("tok", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wt = Window.partitionBy("tok")
+    val scored = dense
+      .withColumn("n_t", sum(col("c")).over(wt))
+      .withColumn("dev", lit(8L) * col("c") - col("n_t"))
+      .withColumn("ssd", sum(col("dev") * col("dev")).over(wt))
+    scored.select(col("tok"), col("b"), col("c"), col("dev"),
+      when(col("ssd") === 0, lit(0.0))
+        .otherwise(round(col("dev").cast("double") /
+          sqrt(col("ssd").cast("double") / lit(8.0)), 4)).as("z_r"))
+  }
+
+  def termBurstSql: String =
+    s"""WITH ct AS MATERIALIZED (
+       |  SELECT tok, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id % 8 AS b, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT t.tok, bb.b, COALESCE(ct.c, 0) AS c
+       |  FROM (SELECT DISTINCT tok FROM ct) t
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb
+       |  LEFT JOIN ct ON ct.tok = t.tok AND ct.b = bb.b),
+       |devs AS (
+       |  SELECT tok, b, c,
+       |         CAST(8 * c - sum(c) OVER (PARTITION BY tok) AS BIGINT) AS dev
+       |  FROM dense),
+       |scored AS (
+       |  SELECT *, CAST(sum(dev * dev) OVER (PARTITION BY tok) AS BIGINT) AS ssd
+       |  FROM devs)
+       |SELECT tok, b, c, dev,
+       |       CASE WHEN ssd = 0 THEN 0.0
+       |            ELSE round(CAST(dev AS DOUBLE) / sqrt(CAST(ssd AS DOUBLE) / 8.0), 4)
+       |       END AS z_r
+       |FROM scored""".stripMargin
+
   private val KmvK = 16
 
   /** Per-lang KMV(k=16) over distinct bigram hashes + exact count. */

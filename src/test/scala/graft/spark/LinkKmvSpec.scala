@@ -26,6 +26,17 @@ class LinkKmvSpec extends SparkTestBase {
     assert(Set("h17.example.org", "h34.example.org", "h51.example.org").subsetOf(from0))
   }
 
+  test("term_burst: deviations sum to zero per term; dense 8 bins per term; z sign tracks dev") {
+    val out = TextOps.termBurst(spark.read.parquet(s"$sf/documents.parquet")).collect()
+    val byTok = out.groupBy(_.getString(0))
+    byTok.foreach { case (tok, rows) =>
+      assert(rows.length == 8, s"$tok bins")
+      assert(rows.map(_.getLong(3)).sum == 0L, s"$tok dev sum")
+      rows.foreach(r => assert(r.getLong(3).signum == math.signum(r.getDouble(4)).toInt ||
+        r.getDouble(4) == 0.0))
+    }
+  }
+
   test("kmv_distinct: kth hash matches a from-scratch FNV-1a fold; estimate within 3x of exact") {
     def fnv(s: String): Long = {
       var h = -3750763034362895579L // 14695981039346656037 as signed
