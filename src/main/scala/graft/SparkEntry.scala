@@ -165,6 +165,8 @@ object SparkEntry {
     "dtw_tracks" -> ((s, d) => Queries.dtwTracks(s, d)),
     // per-(term, crawl-batch) burstiness z-scores, integer deviations
     "term_burst" -> ((s, d) => TextOps.termBurst(s.read.parquet(s"$d/documents.parquet"))),
+    // HMM map matching: Viterbi decode over snap candidates, 7 DP rounds
+    "viterbi_match" -> ((s, d) => Queries.viterbiMatch(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -398,6 +400,7 @@ object SparkEntry {
     "region_terms" -> Queries.regionTermsSql,
     "dtw_tracks" -> Queries.dtwTracksSql,
     "term_burst" -> TextOps.termBurstSql,
+    "viterbi_match" -> Queries.viterbiMatchSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

@@ -2108,7 +2108,14 @@ object Queries {
       .withColumn("bx", col("ax") + (col("seg_id") * 31 % 81 - 40) * 100)
       .withColumn("by", col("ay") + (col("seg_id") * 17 % 81 - 40) * 100)
 
-  def snapPoints(spark: SparkSession, sfDir: String, z: Int = 6): DataFrame = {
+  /** R-gated candidate (point, segment) pairs with exact rational squared
+    * distance — the cell blocking + in-row verify core shared by
+    * [[snapPoints]] (top-1) and [[viterbiMatch]] (top-C states). `pts0`
+    * must carry (event_id, px, py); every column of it passes through. A
+    * (point, segment) pair can surface once per shared block cell —
+    * top-1 consumers are unaffected, top-k consumers dedupe on the pair
+    * key first. */
+  private def snapCands(spark: SparkSession, pts0: DataFrame, z: Int = 6): DataFrame = {
     val roads = roadSegs(spark)
       .withColumn("cell", explode(F.tileCover(F.rectWkb(
         (least(col("ax"), col("bx")) - 1) / 1000.0,
@@ -2118,14 +2125,12 @@ object Queries {
     // R + 1 milli of slack over the lat excursion, in degrees (exactly
     // representable enough: the slack dominates the double fuzz by 10^10)
     val rDeg = (SnapR + 1) / 1000.0
-    val pts = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"),
-        (col("event_id") * 7919 % 360000 - 180000).as("px"),
-        (col("event_id") * 104729 % 160000 - 80000).as("py"))
+    val keep = pts0.columns.map(col)
+    val pts = pts0
       .withColumn("c0", F.cellAt(lit(z), evLon(col("event_id")), evLat(col("event_id"))))
       // mercator row span of the R-excursion (y grows as lat falls)
       .withColumn("yTop",
-        F.cellAt(lit(z), evLon(col("event_id")), evLat(col("event_id")) + lit(rDeg)) % lit(268435456L))
+        F.cellAt(lit(z), evLon(col("event_id")) , evLat(col("event_id")) + lit(rDeg)) % lit(268435456L))
       .withColumn("yBot",
         F.cellAt(lit(z), evLon(col("event_id")), evLat(col("event_id")) - lit(rDeg)) % lit(268435456L))
       .withColumn("dxv", explode(sequence(lit(-1L), lit(1L))))
@@ -2133,9 +2138,9 @@ object Queries {
       // column index stays on the 64-wide grid (nothing spans ±180°)
       .filter(expr("(c0 % 72057594037927936) div 268435456") + col("dxv") >= 0 &&
         expr("(c0 % 72057594037927936) div 268435456") + col("dxv") < 64)
-      .select(col("event_id"), col("px"), col("py"),
+      .select(keep :+
         (col("c0") - col("c0") % lit(268435456L) +
-          col("dxv") * lit(268435456L) + col("yv")).as("cell"))
+          col("dxv") * lit(268435456L) + col("yv")).as("cell"): _*)
     val dx = col("bx") - col("ax")
     val dy = col("by") - col("ay")
     val apx = col("px") - col("ax")
@@ -2145,7 +2150,7 @@ object Queries {
     val dot = dx * apx + dy * apy
     val len2 = dx * dx + dy * dy
     val crs = dx * apy - dy * apx
-    val cand = pts.join(roads.hint("shuffle_hash"), Seq("cell"))
+    pts.join(roads.hint("shuffle_hash"), Seq("cell"))
       .filter(col("px") >= least(col("ax"), col("bx")) - lit(SnapR) &&
         col("px") <= greatest(col("ax"), col("bx")) + lit(SnapR) &&
         col("py") >= least(col("ay"), col("by")) - lit(SnapR) &&
@@ -2162,11 +2167,172 @@ object Queries {
       .withColumn("d2d",
         when(dot <= 0 || dot >= len2, lit(1L)).otherwise(len2))
       .filter(col("d2") <= lit((SnapR * SnapR).toDouble))
+  }
+
+  def snapPoints(spark: SparkSession, sfDir: String, z: Int = 6): DataFrame = {
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        (col("event_id") * 7919 % 360000 - 180000).as("px"),
+        (col("event_id") * 104729 % 160000 - 80000).as("py"))
     val w = Window.partitionBy(col("event_id"))
       .orderBy(col("d2").asc, col("seg_id").asc)
-    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    snapCands(spark, pts, z)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("event_id"), col("seg_id"), col("d2n"), col("d2d"))
   }
+
+  // =================================================================
+  // HMM map matching (Viterbi decode, the Newson–Krakauer shape): per
+  // user, the first 8 fixes in (ts, event_id) order each get their
+  // top-3 candidate road segments (the snapCands blocking, R-gated);
+  // the decoded route minimizes Σ emission + Σ transition, where the
+  // emission is the floor-quantized squared snap distance (d2n div d2d
+  // — exact integer, deterministic both engines) and the transition is
+  // the Manhattan distance between candidate segment midpoint-sums.
+  // Fixes with NO candidate in range are skipped (steps densely
+  // renumbered per user), so partial coverage degrades gracefully.
+  // The DP runs as 7 unrolled rounds of a (user-keyed join + per-state
+  // argmin window) — states are ≤3 rows per user per round, the round
+  // frames localCheckpoint (lineage discipline), and predecessor ties
+  // break on seg_id so the decode is total-order determined. The
+  // oracle replays the DP as a step recursion whose per-state argmin
+  // is a row_number window inside the recursive term.
+  // =================================================================
+
+  private val VitT = 8 // fixes per track
+  private val VitC = 3 // candidate states per fix
+
+  def viterbiMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val fixes = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("t", row_number().over(wu)).filter(col("t") <= VitT)
+      .select(col("user_id"), col("t"), col("event_id"),
+        (col("event_id") * 7919 % 360000 - 180000).as("px"),
+        (col("event_id") * 104729 % 160000 - 80000).as("py"))
+    val top = snapCands(spark, fixes)
+      .select(col("user_id"), col("t"), col("seg_id"), col("d2"), col("d2n"), col("d2d"),
+        (col("ax") + col("bx")).as("mx"), (col("ay") + col("by")).as("my"))
+      .dropDuplicates("user_id", "t", "seg_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "t").orderBy(col("d2").asc, col("seg_id").asc)))
+      .filter(col("rn") <= VitC)
+      .withColumn("emit", expr("d2n div d2d"))
+      .withColumn("step", dense_rank().over(
+        Window.partitionBy("user_id").orderBy(col("t").asc)))
+      .select(col("user_id"), col("step"), col("seg_id"), col("emit"),
+        col("mx"), col("my"))
+      .persist() // consumed once per DP round + the maxstep dim
+    val maxstep = top.groupBy("user_id").agg(max(col("step")).as("ms"))
+    var state = top.filter(col("step") === 1)
+      .select(col("user_id"), lit(1).as("step"), col("seg_id").as("seg"),
+        col("emit").as("cost"), array(col("seg_id")).as("path"),
+        col("mx"), col("my"))
+    var finals = List.empty[DataFrame]
+    for (k <- 2 to VitT) {
+      val ck = top.filter(col("step") === k)
+        .select(col("user_id"), col("seg_id").as("nseg"), col("emit"),
+          col("mx").as("nmx"), col("my").as("nmy"))
+      val trans = abs(col("nmx") - col("mx")) + abs(col("nmy") - col("my"))
+      val adv = state.join(ck, "user_id")
+        .withColumn("ncost", col("cost") + trans + col("emit"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "nseg")
+            .orderBy((col("cost") + trans).asc, col("seg").asc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), lit(k).as("step"), col("nseg").as("seg"),
+          col("ncost").as("cost"),
+          concat(col("path"), array(col("nseg"))).as("path"),
+          col("nmx").as("mx"), col("nmy").as("my"))
+        .localCheckpoint()
+      finals = state.join(broadcast(maxstep.filter(col("ms") === k - 1)), "user_id")
+        .drop("ms") :: finals
+      state = adv
+    }
+    finals = state :: finals // survivors have ms == VitT
+    val best = finals.reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("cost").asc, col("seg").asc)))
+      .filter(col("rn") === 1)
+    best.select(col("user_id"), col("step").cast("long").as("n_steps"),
+      col("cost"), col("seg").as("end_seg"),
+      concat_ws("-", expr("transform(path, s -> cast(s as string))")).as("path_s"))
+  }
+
+  def viterbiMatchSql: String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |fx AS (
+       |  SELECT user_id, event_id,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS t,
+       |         event_id * 7919 % 360000 - 180000 AS px,
+       |         event_id * 104729 % 160000 - 80000 AS py
+       |  FROM ev
+       |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) <= $VitT),
+       |roads AS (
+       |  SELECT r AS seg_id,
+       |         r * 7919 % 352000 - 176000 AS ax,
+       |         r * 104729 % 152000 - 76000 AS ay
+       |  FROM (SELECT unnest(generate_series(0, 999)) AS r)),
+       |segs AS MATERIALIZED (
+       |  SELECT seg_id, ax, ay,
+       |         ax + (seg_id * 31 % 81 - 40) * 100 AS bx,
+       |         ay + (seg_id * 17 % 81 - 40) * 100 AS by
+       |  FROM roads),
+       |m AS (
+       |  SELECT f.user_id, f.t, s.seg_id, s.ax + s.bx AS mx, s.ay + s.by AS my,
+       |         s.bx - s.ax AS dx, s.by - s.ay AS dy,
+       |         f.px - s.ax AS apx, f.py - s.ay AS apy,
+       |         f.px - s.bx AS bpx, f.py - s.by AS bpy
+       |  FROM fx f JOIN segs s
+       |    ON f.px >= least(s.ax, s.bx) - $SnapR AND f.px <= greatest(s.ax, s.bx) + $SnapR
+       |   AND f.py >= least(s.ay, s.by) - $SnapR AND f.py <= greatest(s.ay, s.by) + $SnapR),
+       |d AS (
+       |  SELECT user_id, t, seg_id, mx, my,
+       |         CASE WHEN dx * apx + dy * apy <= 0
+       |                THEN CAST(apx * apx + apy * apy AS DOUBLE)
+       |              WHEN dx * apx + dy * apy >= dx * dx + dy * dy
+       |                THEN CAST(bpx * bpx + bpy * bpy AS DOUBLE)
+       |              ELSE CAST((dx * apy - dy * apx) * (dx * apy - dy * apx) AS DOUBLE)
+       |                   / CAST(dx * dx + dy * dy AS DOUBLE) END AS d2,
+       |         CASE WHEN dx * apx + dy * apy <= 0
+       |                THEN apx * apx + apy * apy
+       |              WHEN dx * apx + dy * apy >= dx * dx + dy * dy
+       |                THEN bpx * bpx + bpy * bpy
+       |              ELSE (dx * apy - dy * apx) * (dx * apy - dy * apx) END AS d2n,
+       |         CASE WHEN dx * apx + dy * apy <= 0 OR dx * apx + dy * apy >= dx * dx + dy * dy
+       |                THEN 1 ELSE dx * dx + dy * dy END AS d2d
+       |  FROM m),
+       |cand AS (
+       |  SELECT user_id, t, seg_id, mx, my, d2n // d2d AS emit
+       |  FROM d WHERE d2 <= CAST(${SnapR * SnapR} AS DOUBLE)
+       |  QUALIFY row_number() OVER (PARTITION BY user_id, t ORDER BY d2, seg_id) <= $VitC),
+       |steps AS MATERIALIZED (
+       |  SELECT user_id, dense_rank() OVER (PARTITION BY user_id ORDER BY t) AS step,
+       |         seg_id, emit, mx, my
+       |  FROM cand),
+       |ms AS MATERIALIZED (SELECT user_id, max(step) AS ms FROM steps GROUP BY 1),
+       |vt AS (
+       |  SELECT user_id, 1 AS step, seg_id AS seg, emit AS cost, [seg_id] AS path, mx, my
+       |  FROM steps WHERE step = 1
+       |  UNION ALL
+       |  SELECT user_id, step, seg, cost, path, mx, my FROM (
+       |    SELECT p.user_id AS user_id, c.step AS step, c.seg_id AS seg,
+       |           p.cost + abs(c.mx - p.mx) + abs(c.my - p.my) + c.emit AS cost,
+       |           list_append(p.path, c.seg_id) AS path, c.mx AS mx, c.my AS my,
+       |           row_number() OVER (PARTITION BY p.user_id, c.seg_id
+       |                              ORDER BY p.cost + abs(c.mx - p.mx) + abs(c.my - p.my) ASC,
+       |                                       p.seg ASC) AS rn
+       |    FROM vt p JOIN steps c ON c.user_id = p.user_id AND c.step = p.step + 1
+       |  ) WHERE rn = 1),
+       |fin AS (
+       |  SELECT v.user_id, v.step, v.seg, v.cost, v.path
+       |  FROM vt v JOIN ms ON ms.user_id = v.user_id AND v.step = ms.ms)
+       |SELECT user_id, CAST(step AS BIGINT) AS n_steps, CAST(cost AS BIGINT) AS cost,
+       |       seg AS end_seg, array_to_string(path, '-') AS path_s
+       |FROM fin
+       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY cost, seg) = 1""".stripMargin
 
   /** Mirror of [[snapPoints]]: the raw θ-join on the R-expanded bbox gate
     * with token-identical distance arithmetic — the tile blocking never
