@@ -167,6 +167,8 @@ object SparkEntry {
     "term_burst" -> ((s, d) => TextOps.termBurst(s.read.parquet(s"$d/documents.parquet"))),
     // HMM map matching: Viterbi decode over snap candidates, 7 DP rounds
     "viterbi_match" -> ((s, d) => Queries.viterbiMatch(s, d)),
+    // overlay analysis: Liang-Barsky clipped road length per zone rect
+    "clip_length" -> ((s, d) => Queries.clipLength(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -401,6 +403,7 @@ object SparkEntry {
     "dtw_tracks" -> Queries.dtwTracksSql,
     "term_burst" -> TextOps.termBurstSql,
     "viterbi_match" -> Queries.viterbiMatchSql,
+    "clip_length" -> Queries.clipLengthSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

@@ -2182,6 +2182,111 @@ object Queries {
   }
 
   // =================================================================
+  // Overlay analysis (clip length): total road-segment length inside
+  // each zone rectangle — the Liang–Barsky parametric clip evaluated
+  // in-row on cell-blocked (segment, zone) pairs. The accept set and
+  // the clip parameters are decided by IDENTICAL double arithmetic on
+  // both engines (divisions of the same exact integers, token-for-token
+  // greatest/least chains); per-pair clipped lengths are quantized to
+  // integers BEFORE the per-zone sum so aggregation order cannot leak
+  // double noise (the page_geotag discipline). Blocking: both sides
+  // tile-cover at z4, pair-distinct — pairs are bbox-gated so the
+  // distinct frame is output-sized, never |segs|×|zones|.
+  // =================================================================
+
+  def clipLength(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = 4
+    val segs = roadSegs(spark)
+      .withColumn("cell", explode(F.tileCover(F.rectWkb(
+        least(col("ax"), col("bx")) / 1000.0, least(col("ay"), col("by")) / 1000.0,
+        greatest(col("ax"), col("bx")) / 1000.0, greatest(col("ay"), col("by")) / 1000.0),
+        lit(z))))
+    val zones = custFeatures(spark, sfDir)
+      .select(col("feature_id"),
+        qMilli(col("west")).as("w"), qMilli(col("south")).as("s"),
+        qMilli(col("east")).as("e"), qMilli(col("north")).as("n"))
+      .withColumn("cell", explode(F.tileCover(F.rectWkb(
+        col("w") / 1000.0, col("s") / 1000.0, col("e") / 1000.0, col("n") / 1000.0), lit(z))))
+    val pairs = segs.join(zones.hint("shuffle_hash"), Seq("cell"))
+      .filter(least(col("ax"), col("bx")) <= col("e") &&
+        greatest(col("ax"), col("bx")) >= col("w") &&
+        least(col("ay"), col("by")) <= col("n") &&
+        greatest(col("ay"), col("by")) >= col("s"))
+      .dropDuplicates("seg_id", "feature_id")
+    val dx = col("bx") - col("ax"); val dy = col("by") - col("ay")
+    def frac(q: Column, p: Column) = q.cast("double") / p.cast("double")
+    val t0 = greatest(lit(0.0),
+      when(-dx < 0, frac(col("ax") - col("w"), -dx)).otherwise(lit(0.0)),
+      when(dx < 0, frac(col("e") - col("ax"), dx)).otherwise(lit(0.0)),
+      when(-dy < 0, frac(col("ay") - col("s"), -dy)).otherwise(lit(0.0)),
+      when(dy < 0, frac(col("n") - col("ay"), dy)).otherwise(lit(0.0)))
+    val t1 = least(lit(1.0),
+      when(-dx > 0, frac(col("ax") - col("w"), -dx)).otherwise(lit(1.0)),
+      when(dx > 0, frac(col("e") - col("ax"), dx)).otherwise(lit(1.0)),
+      when(-dy > 0, frac(col("ay") - col("s"), -dy)).otherwise(lit(1.0)),
+      when(dy > 0, frac(col("n") - col("ay"), dy)).otherwise(lit(1.0)))
+    val reject =
+      (dx === 0 && (col("ax") - col("w") < 0 || col("e") - col("ax") < 0)) ||
+        (dy === 0 && (col("ay") - col("s") < 0 || col("n") - col("ay") < 0))
+    pairs
+      .withColumn("tt0", t0).withColumn("tt1", t1)
+      .filter(!reject && col("tt0") < col("tt1"))
+      .withColumn("lq", round((col("tt1") - col("tt0")) *
+        sqrt((dx * dx + dy * dy).cast("double")) * lit(1000.0), 0).cast("long"))
+      .groupBy(col("feature_id"))
+      .agg(count(lit(1)).as("n_segs"), sum(col("lq")).as("len_q"))
+  }
+
+  def clipLengthSql: String = {
+    def fr(q: String, p: String) = s"CAST($q AS DOUBLE) / CAST($p AS DOUBLE)"
+    s"""WITH roads AS (
+       |  SELECT r AS seg_id,
+       |         r * 7919 % 352000 - 176000 AS ax,
+       |         r * 104729 % 152000 - 76000 AS ay
+       |  FROM (SELECT unnest(generate_series(0, 999)) AS r)),
+       |segs AS (
+       |  SELECT seg_id, ax, ay,
+       |         ax + (seg_id * 31 % 81 - 40) * 100 AS bx,
+       |         ay + (seg_id * 17 % 81 - 40) * 100 AS by
+       |  FROM roads),
+       |cf AS (${custFeaturesSql}),
+       |zones AS (
+       |  SELECT feature_id,
+       |         CAST(round(west * 1000, 0) AS BIGINT) AS w,
+       |         CAST(round(south * 1000, 0) AS BIGINT) AS s,
+       |         CAST(round(east * 1000, 0) AS BIGINT) AS e,
+       |         CAST(round(north * 1000, 0) AS BIGINT) AS n
+       |  FROM cf),
+       |pairs AS (
+       |  SELECT g.seg_id, g.ax, g.ay, g.bx, g.by, z.feature_id, z.w, z.s, z.e, z.n,
+       |         g.bx - g.ax AS dx, g.by - g.ay AS dy
+       |  FROM segs g JOIN zones z
+       |    ON least(g.ax, g.bx) <= z.e AND greatest(g.ax, g.bx) >= z.w
+       |   AND least(g.ay, g.by) <= z.n AND greatest(g.ay, g.by) >= z.s),
+       |clip AS (
+       |  SELECT *,
+       |    greatest(0.0,
+       |      CASE WHEN -dx < 0 THEN ${fr("ax - w", "-dx")} ELSE 0.0 END,
+       |      CASE WHEN dx < 0 THEN ${fr("e - ax", "dx")} ELSE 0.0 END,
+       |      CASE WHEN -dy < 0 THEN ${fr("ay - s", "-dy")} ELSE 0.0 END,
+       |      CASE WHEN dy < 0 THEN ${fr("n - ay", "dy")} ELSE 0.0 END) AS tt0,
+       |    least(1.0,
+       |      CASE WHEN -dx > 0 THEN ${fr("ax - w", "-dx")} ELSE 1.0 END,
+       |      CASE WHEN dx > 0 THEN ${fr("e - ax", "dx")} ELSE 1.0 END,
+       |      CASE WHEN -dy > 0 THEN ${fr("ay - s", "-dy")} ELSE 1.0 END,
+       |      CASE WHEN dy > 0 THEN ${fr("n - ay", "dy")} ELSE 1.0 END) AS tt1
+       |  FROM pairs
+       |  WHERE NOT ((dx = 0 AND (ax - w < 0 OR e - ax < 0))
+       |          OR (dy = 0 AND (ay - s < 0 OR n - ay < 0))))
+       |SELECT feature_id, CAST(count(*) AS BIGINT) AS n_segs,
+       |       CAST(sum(CAST(round((tt1 - tt0) *
+       |            sqrt(CAST(dx * dx + dy * dy AS DOUBLE)) * 1000.0, 0) AS BIGINT)) AS BIGINT) AS len_q
+       |FROM clip
+       |WHERE tt0 < tt1
+       |GROUP BY 1""".stripMargin
+  }
+
+  // =================================================================
   // HMM map matching (Viterbi decode, the Newson–Krakauer shape): per
   // user, the first 8 fixes in (ts, event_id) order each get their
   // top-3 candidate road segments (the snapCands blocking, R-gated);
