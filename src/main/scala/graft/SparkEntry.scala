@@ -169,6 +169,10 @@ object SparkEntry {
     "viterbi_match" -> ((s, d) => Queries.viterbiMatch(s, d)),
     // overlay analysis: Liang-Barsky clipped road length per zone rect
     "clip_length" -> ((s, d) => Queries.clipLength(s, d)),
+    // occupancy-adaptive quadtree tiling (split-while-over-cap, z4..z8)
+    "quad_tree" -> ((s, d) => Queries.quadTree(s, d)),
+    // street-orientation histogram + entropy per z3 district
+    "bearing_hist" -> ((s, d) => Queries.bearingHist(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -404,6 +408,8 @@ object SparkEntry {
     "term_burst" -> TextOps.termBurstSql,
     "viterbi_match" -> Queries.viterbiMatchSql,
     "clip_length" -> Queries.clipLengthSql,
+    "quad_tree" -> Queries.quadTreeSql,
+    "bearing_hist" -> Queries.bearingHistSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

