@@ -173,6 +173,10 @@ object SparkEntry {
     "quad_tree" -> ((s, d) => Queries.quadTree(s, d)),
     // street-orientation histogram + entropy per z3 district
     "bearing_hist" -> ((s, d) => Queries.bearingHist(s, d)),
+    // spherical rect area + perimeter (geodesic measures per feature)
+    "geodesic_area" -> ((s, d) => Queries.geodesicArea(s, d)),
+    // time-to-next-fix dwell aggregation per z6 cell
+    "cell_dwell" -> ((s, d) => Queries.cellDwell(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
     "addr_interp" -> ((s, d) => ops.Address.interpolate(s, d)),
     "addr_interp_arr" -> ((s, d) => ops.Address.interpolateArrays(s, d)),
@@ -410,6 +414,8 @@ object SparkEntry {
     "clip_length" -> Queries.clipLengthSql,
     "quad_tree" -> Queries.quadTreeSql,
     "bearing_hist" -> Queries.bearingHistSql,
+    "geodesic_area" -> Queries.geodesicAreaSql,
+    "cell_dwell" -> Queries.cellDwellSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,
     "addr_interp_arr" -> ops.Address.interpolateArraysSql,

@@ -2182,6 +2182,81 @@ object Queries {
   }
 
   // =================================================================
+  // Geodesic measures per feature rect: spherical area by the exact
+  // lat-lon-rect formula A = R²·Δλ·(sin φn − sin φs) and perimeter as
+  // two meridian arcs + two parallel arcs — the planar shoelace
+  // (poly_centroid) mis-measures by cos-latitude; this is the measure a
+  // geographic engine must report. Pure per-row trig on the exact
+  // bound doubles, token-identical both engines, outputs rounded.
+  // =================================================================
+
+  def geodesicArea(spark: SparkSession, sfDir: String): DataFrame = {
+    val R = lit(6371.0088)
+    val rad = lit(Math.PI) / lit(180.0)
+    val dLam = (col("east") - col("west")) * rad
+    val area = R * R * dLam *
+      (sin(col("north") * rad) - sin(col("south") * rad))
+    val dPhi = (col("north") - col("south")) * rad
+    val perim = lit(2.0) * R * dPhi +
+      R * cos(col("north") * rad) * dLam + R * cos(col("south") * rad) * dLam
+    custFeatures(spark, sfDir)
+      .select(col("feature_id"),
+        round(area, 4).as("area_km2"), round(perim, 4).as("perim_km"))
+  }
+
+  def geodesicAreaSql: String = {
+    // constants widened to DOUBLE: DuckDB's exact-DECIMAL literals would
+    // square 6371.0088 exactly where the JVM rounds the double product
+    val er = "CAST(6371.0088 AS DOUBLE)"
+    val rad = "pi() / 180.0"
+    val dLam = s"(east - west) * ($rad)"
+    s"""WITH cf AS (${custFeaturesSql})
+       |SELECT feature_id,
+       |       round($er * $er * $dLam *
+       |             (sin(north * ($rad)) - sin(south * ($rad))), 4) AS area_km2,
+       |       round(CAST(2.0 AS DOUBLE) * $er * ((north - south) * ($rad)) +
+       |             $er * cos(north * ($rad)) * $dLam +
+       |             $er * cos(south * ($rad)) * $dLam, 4) AS perim_km
+       |FROM cf""".stripMargin
+  }
+
+  // =================================================================
+  // Dwell time per z6 cell: each fix's time-to-next-fix (per-user lag
+  // window) is attributed to the cell the user was in — the mobility
+  // aggregate behind "where do users spend time". Integer microseconds
+  // end-to-end (the trip_segments ts discipline); one user-keyed window
+  // exchange + one map-combined cell groupBy.
+  // =================================================================
+
+  def cellDwell(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("cell", F.cellAt(lit(6), evLon(col("event_id")), evLat(col("event_id"))))
+      .withColumn("dwell_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dwell_us").isNotNull)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_stays"), sum(col("dwell_us")).as("dwell_us"),
+        max(col("dwell_us")).as("max_stay_us"))
+  }
+
+  def cellDwellSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |         $evLonSql AS elon, $evLatSql AS elat
+       |  FROM events),
+       |fx AS (
+       |  SELECT ${cellSql(6, "elon", "elat")} AS cell,
+       |         lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dwell_us
+       |  FROM ev)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_stays,
+       |       CAST(sum(dwell_us) AS BIGINT) AS dwell_us,
+       |       max(dwell_us) AS max_stay_us
+       |FROM fx WHERE dwell_us IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
+  // =================================================================
   // Adaptive quadtree tiling: split every cell whose event count
   // exceeds the cap, from z4 down to z8 — the occupancy-adaptive
   // partitioner (str_pack's complement: STR packs a feature dim, this

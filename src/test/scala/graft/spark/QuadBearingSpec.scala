@@ -37,6 +37,31 @@ class QuadBearingSpec extends SparkTestBase {
     assert(byAncestor)
   }
 
+  test("geodesic_area: approaches planar area at the equator, shrinks with cos(lat); dwell sums bound the corpus span") {
+    val rows = Queries.geodesicArea(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val bounds = graft.synth.Synth.custFeatures(spark, sf)
+      .select(col("feature_id"), col("west"), col("south"), col("east"), col("north"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val kmPerDeg = 6371.0088 * math.Pi / 180.0
+    rows.foreach { case (fid, a, p) =>
+      val (w, s, e, n) = bounds(fid)
+      // planar estimate at mid-latitude; spherical exact within 2%
+      val mid = (s + n) / 2 * math.Pi / 180.0
+      val approx = (e - w) * kmPerDeg * math.cos(mid) * ((n - s) * kmPerDeg)
+      assert(a > 0 && math.abs(a - approx) < 0.02 * approx + 1.0, s"feature $fid area $a vs $approx")
+      assert(p > 0 && p < 2 * ((e - w) + (n - s)) * kmPerDeg + 1.0)
+    }
+    // cell_dwell: total dwell == sum over users of (last - first) timestamps
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val span = evs.groupBy(_._1).map { case (_, es) => es.map(_._2).max - es.map(_._2).min }.sum
+    val dwell = Queries.cellDwell(spark, sf).collect().map(_.getLong(2)).sum
+    assert(dwell == span)
+  }
+
   test("bearing_hist: opposite segments land in opposite bins; entropy bounded by ln 8") {
     val rows = Queries.bearingHist(spark, sf).collect()
     assert(rows.nonEmpty)
