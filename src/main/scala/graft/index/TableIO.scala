@@ -139,6 +139,26 @@ object TableIO {
   def readAsOf(spark: SparkSession, path: String, id: Long): DataFrame =
     spark.read.parquet(snapshot(path, id).files: _*)
 
+  /** Table maintenance (Iceberg's rewrite_data_files job, emulated):
+    * rewrite the CURRENT snapshot into `targetFiles` range-partitioned
+    * sorted files as a NEW snapshot — the small-files compaction a
+    * long-lived incremental table needs (commit cadence fragments data
+    * files; footer pruning and scan throughput degrade with file count).
+    * The layout (range key + sort) is read back from the manifest so
+    * compaction preserves the table's clustering contract; rows are
+    * identical by construction, the pointer flip is atomic like any
+    * commit, and pre-compaction snapshots stay time-travelable until
+    * expired. Returns the new snapshot id. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Long = {
+    val cur = currentSnapshotId(path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val m = Files.readString(Paths.get(path, s"_manifest-$cur.json"))
+    val rangeKey = "\"range_key\": \"([^\"]+)\"".r.findFirstMatchIn(m).get.group(1)
+    val sortCols = "\"sorted_by\": \\[([^\\]]*)\\]".r.findFirstMatchIn(m).get.group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    commit(readAsOf(spark, path, cur), path, rangeKey, sortCols, targetFiles)
+  }
+
   /** Drop data + manifests of all snapshots older than the `keep` most
     * recent (the current snapshot is always retained). */
   def expireSnapshots(path: String, keep: Int): Seq[Long] = {

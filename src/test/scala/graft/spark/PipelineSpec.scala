@@ -236,6 +236,31 @@ class PipelineSpec extends SparkTestBase {
     intercept[Exception] { TableIO.readAsOf(spark, table, id1).count() }
   }
 
+  test("snapshot compaction: row-identical, fewer files, layout preserved, old snapshot travelable") {
+    import spark.implicits._
+    val table = tmp("compacttable")
+    val data = (0 until 500).map(i => (i.toLong, i * 3L)).toDF("k", "v")
+    val id1 = TableIO.commit(data, table, "k", Seq("k"), 16)
+    assert(TableIO.snapshot(table, id1).files.size == 16)
+    val id2 = TableIO.compact(spark, table, targetFiles = 4)
+    assert(TableIO.currentSnapshotId(table).contains(id2))
+    val snap2 = TableIO.snapshot(table, id2)
+    assert(snap2.files.size <= 4 && snap2.totalRows == 500)
+    // row identity both directions
+    val a = TableIO.readAsOf(spark, table, id1)
+    val b = TableIO.readCurrent(spark, table)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // clustering contract preserved in the new manifest
+    val s2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(table, s"_manifest-$id2.json"))
+    assert(s2.contains("\"range_key\": \"k\""))
+    // pre-compaction snapshot still travelable until expiry
+    assert(TableIO.readAsOf(spark, table, id1).count() == 500)
+    TableIO.expireSnapshots(table, keep = 1)
+    intercept[Exception] { TableIO.readAsOf(spark, table, id1).count() }
+    assert(TableIO.readCurrent(spark, table).count() == 500)
+  }
+
   test("tile pyramid: level-by-level rollup equals direct grouping at every zoom") {
     val sf = "/root/testdata/sf0.001"
     val pyr = graft.queries.Queries.tilePyramid(spark, sf).persist()
