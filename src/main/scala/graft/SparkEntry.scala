@@ -175,6 +175,8 @@ object SparkEntry {
     "bearing_hist" -> ((s, d) => Queries.bearingHist(s, d)),
     // spherical rect area + perimeter (geodesic measures per feature)
     "geodesic_area" -> ((s, d) => Queries.geodesicArea(s, d)),
+    // one-pass OLAP rollup lattice over (event_type, z4 cell)
+    "event_rollup" -> ((s, d) => Queries.eventRollup(s, d)),
     // time-to-next-fix dwell aggregation per z6 cell
     "cell_dwell" -> ((s, d) => Queries.cellDwell(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
@@ -415,6 +417,7 @@ object SparkEntry {
     "quad_tree" -> Queries.quadTreeSql,
     "bearing_hist" -> Queries.bearingHistSql,
     "geodesic_area" -> Queries.geodesicAreaSql,
+    "event_rollup" -> Queries.eventRollupSql,
     "cell_dwell" -> Queries.cellDwellSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,

@@ -2182,6 +2182,48 @@ object Queries {
   }
 
   // =================================================================
+  // OLAP rollup: multi-granularity aggregates over (event_type, z4
+  // cell) in ONE pass — Spark's rollup and DuckDB's GROUP BY ROLLUP
+  // both emit the partial-aggregation lattice from a single scan (the
+  // expand-then-aggregate plan). NULL group keys are coalesced to
+  // sentinels and the grouping level derived from nullness on BOTH
+  // sides (no reliance on engine-specific grouping_id bit order). The
+  // measure is int-quantized value cents so every total is an exact
+  // BIGINT at any aggregation order.
+  // =================================================================
+
+  def eventRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("cell", F.cellAt(lit(4), evLon(col("event_id")), evLat(col("event_id"))))
+      .withColumn("vq", round(col("value") * lit(100.0), 0).cast("long"))
+    ev.rollup(col("event_type"), col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("vq")).as("sum_vq"))
+      .select(
+        (when(col("event_type").isNull, 1L).otherwise(0L) +
+          when(col("cell").isNull, 1L).otherwise(0L)).as("lvl"),
+        coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("cell"), lit(-1L)).as("cell"),
+        col("n"), col("sum_vq"))
+  }
+
+  def eventRollupSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |         ${cellSql(4, evLonSql, evLatSql)} AS cell,
+       |         CAST(round(value * 100.0, 0) AS BIGINT) AS vq
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, cell, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(vq) AS BIGINT) AS sum_vq
+       |  FROM ev GROUP BY ROLLUP(event_type, cell))
+       |SELECT CAST(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END +
+       |            CASE WHEN cell IS NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl,
+       |       COALESCE(event_type, 'ALL') AS etype,
+       |       COALESCE(cell, -1) AS cell, n, sum_vq
+       |FROM r""".stripMargin
+
+  // =================================================================
   // Geodesic measures per feature rect: spherical area by the exact
   // lat-lon-rect formula A = R²·Δλ·(sin φn − sin φs) and perimeter as
   // two meridian arcs + two parallel arcs — the planar shoelace

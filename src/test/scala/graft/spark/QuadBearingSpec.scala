@@ -62,6 +62,19 @@ class QuadBearingSpec extends SparkTestBase {
     assert(dwell == span)
   }
 
+  test("event_rollup: lattice levels are consistent partial sums of the base level") {
+    val rows = Queries.eventRollup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val base = rows.filter(_._1 == 0L)
+    val byType = rows.filter(_._1 == 1L).map(r => r._2 -> (r._4, r._5)).toMap
+    val total = rows.filter(_._1 == 2L)
+    assert(total.length == 1)
+    assert(base.map(_._4).sum == total.head._4 && base.map(_._5).sum == total.head._5)
+    base.groupBy(_._2).foreach { case (et, rs) =>
+      assert(byType(et) == ((rs.map(_._4).sum, rs.map(_._5).sum)), s"etype $et")
+    }
+  }
+
   test("bearing_hist: opposite segments land in opposite bins; entropy bounded by ln 8") {
     val rows = Queries.bearingHist(spark, sf).collect()
     assert(rows.nonEmpty)
