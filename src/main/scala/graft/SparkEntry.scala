@@ -177,6 +177,8 @@ object SparkEntry {
     "geodesic_area" -> ((s, d) => Queries.geodesicArea(s, d)),
     // one-pass OLAP rollup lattice over (event_type, z4 cell)
     "event_rollup" -> ((s, d) => Queries.eventRollup(s, d)),
+    // render z4 supertile count grids to REAL PNGs, stats from the decode
+    "tile_render" -> ((s, d) => Multimodal.tileRender(s, Synth.eventPoints(s, d))),
     // time-to-next-fix dwell aggregation per z6 cell
     "cell_dwell" -> ((s, d) => Queries.cellDwell(s, d)),
     "fuzzy_mentions" -> ((s, d) => Queries.fuzzyMentions(s, d)),
@@ -418,6 +420,8 @@ object SparkEntry {
     "bearing_hist" -> Queries.bearingHistSql,
     "geodesic_area" -> Queries.geodesicAreaSql,
     "event_rollup" -> Queries.eventRollupSql,
+    "tile_render" -> Multimodal.tileRenderSql(Synth.eventPointsSql,
+      Synth.cellSql(8, "elon", "elat")),
     "cell_dwell" -> Queries.cellDwellSql,
     "fuzzy_mentions" -> Queries.fuzzyMentionsSql,
     "addr_interp" -> ops.Address.interpolateSql,

@@ -383,6 +383,73 @@ object Multimodal {
   // (position-weighted checksum, closed-form oracle).
   // -----------------------------------------------------------------
 
+  // =================================================================
+  // Raster tile rendering (the map-tile export path): each z4 supertile's
+  // 16×16 grid of z8 event counts renders to a REAL grayscale PNG
+  // (clamped to 255) and is immediately decoded back; the emitted stats
+  // come from the DECODED pixels, so the oracle — which computes the
+  // same sums directly from the counts — fails on any lossy or
+  // channel-mangling encode/decode, not just on plumbing. Per-partition
+  // codec reuse as everywhere in this file; one map-combined cell
+  // groupBy + one tile groupBy are the only exchanges.
+  // =================================================================
+
+  final case class TileCell(ix: Long, iy: Long, cnt: Long)
+  final case class TileGrid(tile4: Long, cells: Seq[TileCell])
+  final case class TileStats(tile4: Long, w: Long, h: Long, pix_sum: Long, n_lit: Long)
+
+  /** `events` must carry (elon, elat) — Synth.eventPoints shape. */
+  def tileRender(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.functions.F
+    val counts = events
+      .select(F.cellAt(lit(8), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("tile4", F.parentCell(col("cell"), lit(4)))
+      .withColumn("ix", expr("((cell % 72057594037927936) div 268435456) % 16"))
+      .withColumn("iy", expr("(cell % 268435456) % 16"))
+    counts
+      .select(col("tile4"), struct(col("ix"), col("iy"), col("cnt")).as("c"))
+      .groupBy("tile4").agg(collect_list(col("c")).as("cells"))
+      .as[TileGrid]
+      .mapPartitions { it =>
+        val codec = new PngCodec
+        it.map { g =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          g.cells.foreach { c =>
+            img.getRaster.setSample(c.ix.toInt, c.iy.toInt, 0, math.min(c.cnt, 255L).toInt)
+          }
+          val back = codec.decode(codec.encode(img))
+          var sum = 0L; var nLit = 0L; var x = 0
+          while (x < 16) {
+            var y = 0
+            while (y < 16) {
+              val v = back.getRaster.getSample(x, y, 0)
+              sum += v; if (v > 0) nLit += 1
+              y += 1
+            }
+            x += 1
+          }
+          TileStats(g.tile4, back.getWidth.toLong, back.getHeight.toLong, sum, nLit)
+        }
+      }.toDF()
+  }
+
+  def tileRenderSql(eventPointsSql: String, cell8Sql: String): String =
+    s"""WITH pts AS ($eventPointsSql),
+       |c8 AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT $cell8Sql AS cell FROM pts)
+       |  GROUP BY 1)
+       |SELECT (4 * 72057594037927936 +
+       |        (((cell % 72057594037927936) // 268435456) // 16) * 268435456 +
+       |        ((cell % 268435456) // 16)) AS tile4,
+       |       CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+       |       CAST(sum(least(cnt, 255)) AS BIGINT) AS pix_sum,
+       |       CAST(count(*) AS BIGINT) AS n_lit
+       |FROM c8 GROUP BY 1""".stripMargin
+
   final case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
                              bits: Long, n_samples: Long, checksum: Long)
 

@@ -62,6 +62,23 @@ class QuadBearingSpec extends SparkTestBase {
     assert(dwell == span)
   }
 
+  test("tile_render: decoded-pixel stats equal the direct count computation") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(org.apache.spark.sql.functions.col("event_id")).collect().map(_.getLong(0))
+    val counts = evs.groupBy { id =>
+      val lon = ((id * 7919) % 360000) / 1000.0 - 180.0
+      val lat = ((id * 104729) % 160000) / 1000.0 - 80.0
+      CellMath.lonLatToCell(8, lon, lat)
+    }.map { case (c, ids) => c -> ids.length.toLong }
+    val expect = counts.groupBy { case (c, _) => CellMath.parentCell(c, 4) }
+      .map { case (t, m) =>
+        t -> (m.values.map(v => math.min(v, 255L)).sum, m.size.toLong)
+      }
+    val got = graft.ops.Multimodal.tileRender(spark, graft.synth.Synth.eventPoints(spark, sf))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+  }
+
   test("event_rollup: lattice levels are consistent partial sums of the base level") {
     val rows = Queries.eventRollup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
