@@ -67,6 +67,14 @@ object SparkEntry {
     "gi_star" -> ((s, d) => Queries.giStar(s, d)),
     // Mann-Kendall trend per z5 cell over 8 global time bins
     "mk_trend" -> ((s, d) => Queries.mkTrend(s, d)),
+    // Theil-Sen median pairwise slope over the same 8-bin series
+    "theil_sen" -> ((s, d) => Queries.theilSen(s, d)),
+    // ESRI-style emerging-hotspot classes: per-bin Gi* + MK over z series
+    "emerging_hotspot" -> ((s, d) => Queries.emergingHotspot(s, d)),
+    // per-user fence enter/exit/switch transitions (nation rects, lag window)
+    "geofence_events" -> ((s, d) => Queries.geofenceEvents(s, d)),
+    // areal interpolation: milli-lattice rect pop onto a 15x10-deg grid
+    "areal_interp" -> ((s, d) => Queries.arealInterp(s, d)),
     // Ripley's K over a radius ladder: one cell-blocked pair join
     "ripley_k" -> ((s, d) => Queries.ripleyK(s, d)),
     // Knox space-time interaction: two blocked pair joins, 1-row stats
@@ -363,6 +371,10 @@ object SparkEntry {
     "geohash" -> Queries.geohashSql,
     "gi_star" -> Queries.giStarSql,
     "mk_trend" -> Queries.mkTrendSql,
+    "theil_sen" -> Queries.theilSenSql,
+    "emerging_hotspot" -> Queries.emergingHotspotSql,
+    "geofence_events" -> Queries.geofenceEventsSql,
+    "areal_interp" -> Queries.arealInterpSql,
     "ripley_k" -> Queries.ripleyKSql,
     "knox" -> Queries.knoxSql,
     "variogram" -> Queries.variogramSql,

@@ -2011,7 +2011,12 @@ object Queries {
     (for (j <- 1 to 7; i <- 0 until j)
       yield s"CAST(sign(${ix(j + 1)} - ${ix(i + 1)}) AS BIGINT)").mkString(" + ")
 
-  def mkTrend(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Dense per-z5-cell 8-bin count series shared by mk_trend and
+    * theil_sen: one (cell,bin) exchange + one cell exchange; the global
+    * time range is a 1-row broadcast. The dense 8-array rides an
+    * explode(array(..)) so the many unrolled references downstream hit
+    * the column, not inlined copies of the transform. */
+  private def mkDense(spark: SparkSession, sfDir: String): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"),
@@ -2019,27 +2024,21 @@ object Queries {
         evLat(col("event_id")).as("elat"))
       .select(F.cellAt(lit(5), col("elon"), col("elat")).as("cell"), col("us"))
     val stats = base.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
-    val cnts = base.crossJoin(broadcast(stats))
+    base.crossJoin(broadcast(stats))
       .withColumn("b", expr("((us - mn) * 8) div (mx - mn + 1)"))
       .groupBy(col("cell"), col("b")).agg(count(lit(1)).as("cnt"))
-    cnts.groupBy("cell")
+      .groupBy("cell")
       .agg(collect_list(struct(col("b"), col("cnt"))).as("kv"),
         sum(col("cnt")).as("n_events"))
       .withColumn("arr", explode(array(expr(
         "transform(sequence(0, 7), i -> coalesce(try_element_at(map_from_entries(kv), CAST(i AS BIGINT)), CAST(0 AS BIGINT)))"))))
-      .withColumn("s_mk", expr(mkSExpr(k => s"element_at(arr, $k)")))
-      .withColumn("var_num", expr(
-        "1176 - aggregate(transform(arr, v -> CAST((size(filter(arr, x -> x = v)) - 1) * " +
-          "(2 * size(filter(arr, x -> x = v)) + 5) AS BIGINT)), CAST(0 AS BIGINT), (a, t) -> a + t)"))
-      .withColumn("z_mk", expr(
-        "CASE WHEN var_num <= 0 OR s_mk = 0 THEN 0.0 " +
-          "ELSE round((s_mk + CASE WHEN s_mk > 0 THEN -1 ELSE 1 END) / " +
-          "sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END"))
-      .select(col("cell"), col("n_events"), col("s_mk"), col("var_num"), col("z_mk"))
   }
 
-  def mkTrendSql: String =
-    s"""WITH pts AS (SELECT event_id, epoch_us(ts) AS us,
+  /** SQL mirror of [[mkDense]] as CTE bodies (token-for-token shared by
+    * mkTrendSql / theilSenSql so the oracles never re-derive the bin
+    * arithmetic). */
+  private def mkDenseSqlCtes: String =
+    s"""pts AS (SELECT event_id, epoch_us(ts) AS us,
        |               $evLonSql AS elon, $evLatSql AS elat FROM events),
        |base AS (SELECT ${cellSql(5, "elon", "elat")} AS cell, us FROM pts),
        |st AS (SELECT min(us) AS mn, max(us) AS mx FROM base),
@@ -2053,7 +2052,23 @@ object Queries {
        |dense AS (SELECT g.cell, list(coalesce(c.cnt, 0) ORDER BY g.b) AS arr,
        |                 CAST(sum(coalesce(c.cnt, 0)) AS BIGINT) AS n_events
        |          FROM grid g LEFT JOIN cnts c ON g.cell = c.cell AND g.b = c.b
-       |          GROUP BY g.cell),
+       |          GROUP BY g.cell)""".stripMargin
+
+  def mkTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    mkDense(spark, sfDir)
+      .withColumn("s_mk", expr(mkSExpr(k => s"element_at(arr, $k)")))
+      .withColumn("var_num", expr(
+        "1176 - aggregate(transform(arr, v -> CAST((size(filter(arr, x -> x = v)) - 1) * " +
+          "(2 * size(filter(arr, x -> x = v)) + 5) AS BIGINT)), CAST(0 AS BIGINT), (a, t) -> a + t)"))
+      .withColumn("z_mk", expr(
+        "CASE WHEN var_num <= 0 OR s_mk = 0 THEN 0.0 " +
+          "ELSE round((s_mk + CASE WHEN s_mk > 0 THEN -1 ELSE 1 END) / " +
+          "sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END"))
+      .select(col("cell"), col("n_events"), col("s_mk"), col("var_num"), col("z_mk"))
+  }
+
+  def mkTrendSql: String =
+    s"""WITH $mkDenseSqlCtes,
        |mk AS (SELECT cell, n_events,
        |         ${mkSExpr(k => s"arr[$k]")} AS s_mk,
        |         1176 - CAST(list_sum(list_transform(arr, v ->
@@ -2065,6 +2080,280 @@ object Queries {
        |       ELSE round((s_mk + CASE WHEN s_mk > 0 THEN -1 ELSE 1 END) /
        |            sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END AS z_mk
        |FROM mk""".stripMargin
+
+  // =================================================================
+  // E5e: Theil–Sen trend slope per cell (Theil '50 / Sen '68), the
+  // robust companion to mk_trend in the emerging-hotspot toolbox: the
+  // median of the 28 pairwise slopes (c_j − c_i)/(j − i) over the same
+  // dense 8-bin count series. Every slope is ONE double division of
+  // exact integers — identical IEEE operands on both engines — and the
+  // median averages the 14th/15th order statistics of a 28-element
+  // sort (doubles, no NaNs/nulls ⇒ identical order). Plan shape is
+  // mkDense's: two skinny exchanges, broadcast time range.
+  // =================================================================
+
+  /** The 28 pairwise slopes of the 8-bin series, ascending (j, i)
+    * unroll; `ix` renders a 1-based element access for the engine. */
+  private def tsSlopesExpr(ix: Int => String): String =
+    (for (j <- 1 to 7; i <- 0 until j)
+      yield s"CAST(${ix(j + 1)} - ${ix(i + 1)} AS DOUBLE) / CAST(${j - i} AS DOUBLE)")
+      .mkString(", ")
+
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame =
+    mkDense(spark, sfDir)
+      .withColumn("s_mk", expr(mkSExpr(k => s"element_at(arr, $k)")))
+      .withColumn("sl", expr(
+        s"array_sort(array(${tsSlopesExpr(k => s"element_at(arr, $k)")}))"))
+      .withColumn("slope_ts", expr(
+        "round((element_at(sl, 14) + element_at(sl, 15)) / CAST(2 AS DOUBLE), 6)"))
+      .select(col("cell"), col("n_events"), col("s_mk"), col("slope_ts"))
+
+  def theilSenSql: String =
+    s"""WITH $mkDenseSqlCtes,
+       |ts AS (SELECT cell, n_events,
+       |         ${mkSExpr(k => s"arr[$k]")} AS s_mk,
+       |         list_sort([${tsSlopesExpr(k => s"arr[$k]")}]) AS sl
+       |       FROM dense)
+       |SELECT cell, n_events, s_mk,
+       |       round((sl[14] + sl[15]) / CAST(2 AS DOUBLE), 6) AS slope_ts
+       |FROM ts""".stripMargin
+
+  // =================================================================
+  // E5f: emerging-hotspot classification (the ESRI space-time-cube
+  // workflow, composed from this engine's own kernels): Gi* z-scores
+  // per z6 cell × 8 global time bins — each bin standardized against
+  // THAT bin's occupied-cell moments (the gi_star occupied-grid
+  // study-area choice, applied per bin) — then a Mann–Kendall trend
+  // over each cell's dense z series (missing (cell,bin) → z = 0.0) and
+  // a frozen-threshold classification (hot: z_gi ≥ 1.96; trend:
+  // |z_mk| ≥ 1.645). The MK sign/tie terms operate on z doubles that
+  // are round(…,6)-identical across engines, so S and var_num stay
+  // exact integers. Shape: (cell,bin) count exchange → (cell,bin)
+  // neighbor exchange → 8-row broadcast moments → one cell exchange
+  // for the series collect. Fixed 9-probe fanout, no text on any wire;
+  // at 10^12 events every aggregation is map-combined and the only
+  // wide rows are the final 8-element arrays.
+  // =================================================================
+
+  /** Frozen classification rules (documented, mirrored verbatim);
+    * `hot_cnt, last_hot, z_mk` are in scope. */
+  private val ehsLabelExpr: String =
+    "CASE WHEN hot_cnt = 0 THEN 'none' " +
+      "WHEN last_hot AND hot_cnt = 1 THEN 'new' " +
+      "WHEN last_hot AND hot_cnt = 8 AND z_mk >= 1.645 THEN 'intensifying' " +
+      "WHEN last_hot AND hot_cnt = 8 THEN 'persistent' " +
+      "WHEN last_hot AND z_mk >= 1.645 THEN 'emerging' " +
+      "WHEN last_hot THEN 'occasional' " +
+      "WHEN z_mk <= -1.645 THEN 'diminishing' " +
+      "ELSE 'historical' END"
+
+  def emergingHotspot(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        evLon(col("event_id")).as("elon"),
+        evLat(col("event_id")).as("elat"))
+    val st = base.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val counts = base.crossJoin(broadcast(st))
+      .withColumn("b", expr("((us - mn) * 8) div (mx - mn + 1)"))
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"), col("b"))
+      .groupBy(col("cell"), col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("x", expr("(cell % 72057594037927936) div 268435456"))
+      .withColumn("y", col("cell") % lit(268435456L))
+      .persist() // 3 consumers: neighbor contrib, per-bin moments, final join
+    val contrib = counts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .filter(col("x") + col("dx") >= 0 && col("x") + col("dx") < 64 &&
+        col("y") + col("dy") >= 0 && col("y") + col("dy") < 64)
+      .select((col("cell") + col("dx") * lit(268435456L) + col("dy")).as("cell"),
+        col("b"), col("cnt"))
+      .groupBy(col("cell"), col("b")).agg(sum(col("cnt")).as("sm"), count(lit(1)).as("wn"))
+    val glob = counts.groupBy(col("b")).agg(count(lit(1)).as("n"),
+      sum(col("cnt")).as("sumc"), sum(col("cnt") * col("cnt")).as("sumc2"))
+    counts.select("cell", "b", "cnt")
+      .join(contrib, Seq("cell", "b"))
+      .join(broadcast(glob), Seq("b"))
+      .withColumn("z_gi", expr(giZExpr))
+      .groupBy("cell")
+      .agg(collect_list(struct(col("b"), col("z_gi"))).as("kv"),
+        sum(col("cnt")).as("n_events"))
+      .withColumn("arr", explode(array(expr(
+        "transform(sequence(0, 7), i -> coalesce(try_element_at(map_from_entries(kv), CAST(i AS BIGINT)), CAST(0.0 AS DOUBLE)))"))))
+      .withColumn("s_mk", expr(mkSExpr(k => s"element_at(arr, $k)")))
+      .withColumn("var_num", expr(
+        "1176 - aggregate(transform(arr, v -> CAST((size(filter(arr, x -> x = v)) - 1) * " +
+          "(2 * size(filter(arr, x -> x = v)) + 5) AS BIGINT)), CAST(0 AS BIGINT), (a, t) -> a + t)"))
+      .withColumn("z_mk", expr(
+        "CASE WHEN var_num <= 0 OR s_mk = 0 THEN 0.0 " +
+          "ELSE round((s_mk + CASE WHEN s_mk > 0 THEN -1 ELSE 1 END) / " +
+          "sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END"))
+      .withColumn("hot_cnt", expr("CAST(size(filter(arr, v -> v >= 1.96)) AS BIGINT)"))
+      .withColumn("last_hot", expr("element_at(arr, 8) >= 1.96"))
+      .withColumn("label", expr(ehsLabelExpr))
+      .select(col("cell"), col("n_events"), col("hot_cnt"), col("s_mk"),
+        col("z_mk"), col("label"))
+  }
+
+  def emergingHotspotSql: String =
+    s"""WITH pts AS (SELECT event_id, epoch_us(ts) AS us,
+       |               $evLonSql AS elon, $evLatSql AS elat FROM events),
+       |st AS (SELECT min(us) AS mn, max(us) AS mx FROM pts),
+       |counts AS MATERIALIZED (
+       |  SELECT cell, b, CAST(count(*) AS BIGINT) AS cnt,
+       |         (cell % 72057594037927936) // 268435456 AS x,
+       |         cell % 268435456 AS y
+       |  FROM (SELECT ${cellSql(6, "elon", "elat")} AS cell,
+       |               ((us - mn) * 8) // (mx - mn + 1) AS b
+       |        FROM pts CROSS JOIN st)
+       |  GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT cell + dx.d * 268435456 + dy.d AS cell, b,
+       |         CAST(sum(cnt) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS wn
+       |  FROM counts,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dy
+       |  WHERE x + dx.d >= 0 AND x + dx.d < 64 AND y + dy.d >= 0 AND y + dy.d < 64
+       |  GROUP BY 1, 2),
+       |gstat AS (SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS sumc,
+       |                 CAST(sum(cnt * cnt) AS BIGINT) AS sumc2 FROM counts GROUP BY b),
+       |zt AS MATERIALIZED (
+       |  SELECT counts.cell, counts.b, counts.cnt, $giZExpr AS z_gi
+       |  FROM counts JOIN contrib ON counts.cell = contrib.cell AND counts.b = contrib.b
+       |  JOIN gstat ON counts.b = gstat.b),
+       |grid AS (SELECT c.cell, gs.b
+       |         FROM (SELECT DISTINCT cell FROM zt) c,
+       |              (SELECT unnest(generate_series(0, 7)) AS b) gs),
+       |dense AS (SELECT g.cell, list(coalesce(zt.z_gi, 0.0) ORDER BY g.b) AS arr,
+       |                 CAST(sum(coalesce(zt.cnt, 0)) AS BIGINT) AS n_events
+       |          FROM grid g LEFT JOIN zt ON g.cell = zt.cell AND g.b = zt.b
+       |          GROUP BY g.cell),
+       |mk AS (SELECT cell, n_events,
+       |         ${mkSExpr(k => s"arr[$k]")} AS s_mk,
+       |         1176 - CAST(list_sum(list_transform(arr, v ->
+       |           (len(list_filter(arr, x -> x = v)) - 1) *
+       |           (2 * len(list_filter(arr, x -> x = v)) + 5))) AS BIGINT) AS var_num,
+       |         CAST(len(list_filter(arr, v -> v >= 1.96)) AS BIGINT) AS hot_cnt,
+       |         arr[8] >= 1.96 AS last_hot
+       |       FROM dense),
+       |fin AS (SELECT cell, n_events, hot_cnt, s_mk, last_hot,
+       |         CASE WHEN var_num <= 0 OR s_mk = 0 THEN 0.0
+       |              ELSE round((s_mk + CASE WHEN s_mk > 0 THEN -1 ELSE 1 END) /
+       |                   sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END AS z_mk
+       |       FROM mk)
+       |SELECT cell, n_events, hot_cnt, s_mk, z_mk, $ehsLabelExpr AS label
+       |FROM fin""".stripMargin
+
+  // =================================================================
+  // Geofence transition detection (the mobility "enter/exit alerts"
+  // op): every event tags with its containing fence — the nation rects,
+  // min(feature_id) on overlap (frozen rule), −1 outside — then a
+  // per-user lag window emits only the transition rows
+  // (enter / exit / switch). Fences are a dim table at any scale
+  // (broadcast); the tag groupBy keys on the event, the window on the
+  // user — two skinny exchanges, integer-microsecond ordering,
+  // half-open [w,e)×[s,n) PIP semantics as everywhere in the engine.
+  // =================================================================
+
+  def geofenceEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        evLon(col("event_id")).as("elon"), evLat(col("event_id")).as("elat"))
+    val fences = nationFeatures(spark, sfDir)
+      .select(col("feature_id"), col("west"), col("south"), col("east"), col("north"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    ev.join(broadcast(fences),
+        col("elon") >= col("west") && col("elon") < col("east") &&
+          col("elat") >= col("south") && col("elat") < col("north"), "left")
+      .groupBy(col("user_id"), col("event_id"), col("us"))
+      .agg(coalesce(min(col("feature_id")), lit(-1L)).as("fence"))
+      .withColumn("from_f", lag(col("fence"), 1).over(w))
+      .filter(col("from_f").isNotNull && col("from_f") =!= col("fence"))
+      .select(col("user_id"), col("event_id"), col("us"), col("from_f"),
+        col("fence").as("to_f"),
+        when(col("from_f") === lit(-1L), lit("enter"))
+          .when(col("fence") === lit(-1L), lit("exit"))
+          .otherwise(lit("switch")).as("kind"))
+  }
+
+  def geofenceEventsSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+       |             $evLonSql AS elon, $evLatSql AS elat FROM events),
+       |f AS (${nationFeaturesSql.replace("\n", "\n       ")}),
+       |tag AS (SELECT ev.user_id, ev.event_id, ev.us,
+       |         CAST(coalesce(min(f.feature_id), -1) AS BIGINT) AS fence
+       |        FROM ev LEFT JOIN f ON ev.elon >= f.west AND ev.elon < f.east
+       |                           AND ev.elat >= f.south AND ev.elat < f.north
+       |        GROUP BY 1, 2, 3),
+       |tr AS (SELECT user_id, event_id, us, fence,
+       |        lag(fence, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_f
+       |       FROM tag)
+       |SELECT user_id, event_id, us, from_f, fence AS to_f,
+       |  CASE WHEN from_f = -1 THEN 'enter' WHEN fence = -1 THEN 'exit'
+       |       ELSE 'switch' END AS kind
+       |FROM tr WHERE from_f IS NOT NULL AND from_f <> fence""".stripMargin
+
+  // =================================================================
+  // Areal interpolation (the overlay re-aggregation op of polygon
+  // analytics): redistribute each source zone's integer "population"
+  // onto a fixed 15°×10° target grid by intersection-area weight. The
+  // source zones are the customer rects ON THE INTEGER MILLI LATTICE —
+  // every bound, every intersection extent and every area is exact
+  // BIGINT arithmetic, and the per-(source,cell) share is quantized by
+  // EXACT integer division (pop · ia · 10⁹) div sa BEFORE the target
+  // sum, so aggregation order never matters (numerator ≤ 3·10¹⁸ <
+  // 2⁶³). Blocking explodes each rect to its ≤ 2×2 covered grid cells
+  // (rect extent ≤ 2.4° ≪ 15°) — one map-combined target exchange
+  // total. Axis shifts (+180000/+100000 milli) keep the floor
+  // divisions on non-negative integers, where Spark div ≡ DuckDB //.
+  // =================================================================
+
+  def arealInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = col("c_custkey")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(k.as("src_id"),
+        ((k % 1000) + lit(10L)).as("pop"),
+        (k * 7919 % 350000 - 175000 - (lit(300L) + (k % 7) * 150)).as("wm"),
+        (k * 104729 % 160000 - 80000 - (lit(200L) + (k % 5) * 100)).as("sm"),
+        (k * 7919 % 350000 - 175000 + (lit(300L) + (k % 7) * 150)).as("em"),
+        (k * 104729 % 160000 - 80000 + (lit(200L) + (k % 5) * 100)).as("nm"))
+      .withColumn("sa", (col("em") - col("wm")) * (col("nm") - col("sm")))
+      .withColumn("gx", explode(expr(
+        "sequence((wm + 180000) div 15000, (em - 1 + 180000) div 15000)")))
+      .withColumn("gy", explode(expr(
+        "sequence((sm + 100000) div 10000, (nm - 1 + 100000) div 10000)")))
+      .withColumn("ia", expr(
+        "(least(em, (gx + 1) * 15000 - 180000) - greatest(wm, gx * 15000 - 180000)) * " +
+          "(least(nm, (gy + 1) * 10000 - 100000) - greatest(sm, gy * 10000 - 100000))"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n_src"),
+        sum(expr("(pop * ia * 1000000000) div sa")).as("pop_q"))
+  }
+
+  def arealInterpSql: String =
+    s"""WITH src AS (
+       |  SELECT c_custkey AS src_id,
+       |         (c_custkey % 1000) + 10 AS pop,
+       |         (c_custkey * 7919) % 350000 - 175000 - (300 + (c_custkey % 7) * 150) AS wm,
+       |         (c_custkey * 104729) % 160000 - 80000 - (200 + (c_custkey % 5) * 100) AS sm,
+       |         (c_custkey * 7919) % 350000 - 175000 + (300 + (c_custkey % 7) * 150) AS em,
+       |         (c_custkey * 104729) % 160000 - 80000 + (200 + (c_custkey % 5) * 100) AS nm
+       |  FROM customer),
+       |gxs AS (SELECT *, unnest(generate_series((wm + 180000) // 15000,
+       |                                          (em - 1 + 180000) // 15000)) AS gx
+       |        FROM src),
+       |gxy AS (SELECT *, unnest(generate_series((sm + 100000) // 10000,
+       |                                          (nm - 1 + 100000) // 10000)) AS gy
+       |        FROM gxs),
+       |cells AS (SELECT gx, gy, pop,
+       |           (least(em, (gx + 1) * 15000 - 180000) - greatest(wm, gx * 15000 - 180000)) *
+       |           (least(nm, (gy + 1) * 10000 - 100000) - greatest(sm, gy * 10000 - 100000)) AS ia,
+       |           (em - wm) * (nm - sm) AS sa
+       |          FROM gxy)
+       |SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_src,
+       |       CAST(sum((pop * ia * 1000000000) // sa) AS BIGINT) AS pop_q
+       |FROM cells GROUP BY 1, 2""".stripMargin
 
   // =================================================================
   // D10: nearest-segment snap join (map matching): every event point
