@@ -116,6 +116,8 @@ object SparkEntry {
     "triangle_count" -> ((s, d) => Queries.triangleCount(s, d)),
     // radial-distance track simplification as a per-user sequential fold
     "traj_simplify" -> ((s, d) => Queries.trajSimplify(s, d)),
+    // stay-point detection: anchor-reset fold per user track (Li et al.)
+    "stay_points" -> ((s, d) => Queries.stayPoints(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
@@ -159,6 +161,10 @@ object SparkEntry {
     "toponym_resolve" -> ((s, d) => Queries.toponymResolve(s, d)),
     // href extraction from html bytes → host→host edge weights
     "link_graph" -> ((s, d) => Queries.linkGraph(s, d)),
+    // HITS hubs/authorities over the host graph, integer-exact 3 rounds
+    "hits_rank" -> ((s, d) => Queries.hitsRank(s, d)),
+    // politeness-batched crawl scheduling: per-(host,batch) rank + slots
+    "crawl_frontier" -> ((s, d) => Queries.crawlFrontier(s, d)),
     // KMV k-minimum-values distinct sketch per lang (bigram hashes)
     "kmv_distinct" -> ((s, d) => TextOps.kmvDistinct(s.read.parquet(s"$d/documents.parquet"))),
     // union area per group via coordinate-compression sweep (dissolve)
@@ -394,6 +400,7 @@ object SparkEntry {
     "sssp_khop" -> Queries.ssspKhopSql,
     "triangle_count" -> Queries.triangleCountSql,
     "traj_simplify" -> Queries.trajSimplifySql,
+    "stay_points" -> Queries.stayPointsSql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan
@@ -419,6 +426,8 @@ object SparkEntry {
     "page_geotag" -> Queries.pageGeotagSql,
     "toponym_resolve" -> Queries.toponymResolveSql,
     "link_graph" -> Queries.linkGraphSql,
+    "hits_rank" -> Queries.hitsRankSql,
+    "crawl_frontier" -> Queries.crawlFrontierSql,
     "kmv_distinct" -> TextOps.kmvDistinctSql,
     "rect_dissolve" -> Queries.rectDissolveSql,
     "str_pack" -> Queries.strPackSql,

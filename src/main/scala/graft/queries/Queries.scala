@@ -3316,6 +3316,109 @@ object Queries {
   }
 
   // =================================================================
+  // Stay-point detection (Li et al. '08, the anchor-reset fold
+  // variant): walk each user's time-ordered track keeping an anchor;
+  // while points remain within D of the anchor the candidate stay
+  // grows, and the first escape closes it — emitted iff it lasted ≥ T.
+  // Like traj_simplify this is inherently a sequential per-user fold:
+  // ONE user-keyed exchange into a per-user array aggregate (per-user
+  // state bounded by track length; at 10^12 events tracks are
+  // day-segmented first). All distance tests are exact BIGINT squares
+  // on the milli lattice; centroids are exact integer means (sums
+  // shifted to non-negative so Spark div ≡ DuckDB // at the division).
+  // Positions use the QUADRATIC id-hash scatter (the dbscan/co_locate
+  // rationale — the linear lattice makes consecutive steps
+  // arithmetic-chain degenerate). The oracle is a recursive-CTE walk
+  // (NOT list_reduce: DuckDB 1.0.0 corrupts struct accumulators —
+  // see trajSimplifySql), with the final open candidate closed by a
+  // max-rn post-pass.
+  // =================================================================
+
+  private val StayD2 = 100000L * 100000L // D = 100k milli (~d25 of steps)
+  private val StayTUs = 36000000000L     // T = 10 h (median gap ≈ 7.7 h)
+
+  def stayPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val emptyStays = "slice(array(named_struct('st', CAST(0 AS BIGINT), " +
+      "'en', CAST(0 AS BIGINT), 'np', CAST(0 AS BIGINT), " +
+      "'cx', CAST(0 AS BIGINT), 'cy', CAST(0 AS BIGINT))), 1, 0)"
+    def close(s: String) =
+      s"IF($s.lt - $s.at >= ${StayTUs}L, concat($s.stays, array(named_struct(" +
+        s"'st', $s.at, 'en', $s.lt, 'np', $s.n, " +
+        s"'cx', $s.sx div $s.n - 180000, 'cy', $s.sy div $s.n - 80000))), $s.stays)"
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        expr("((event_id * event_id * 7919 + event_id * 104729) % 360000) - 180000").as("x"),
+        expr("((event_id * event_id * 104729 + event_id * 7919) % 160000) - 80000").as("y"))
+      .groupBy(col("user_id"))
+      // (us, event_id) is a unique sort prefix — lexicographic struct
+      // sort equals the oracle's ORDER BY us, event_id
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("x"), col("y")))).as("pts"))
+      .select(col("user_id"), explode(expr(
+        s"""aggregate(slice(pts, 2, size(pts) - 1),
+           |  named_struct('ax', pts[0].x, 'ay', pts[0].y,
+           |    'at', pts[0].us, 'lt', pts[0].us, 'n', CAST(1 AS BIGINT),
+           |    'sx', pts[0].x + 180000, 'sy', pts[0].y + 80000,
+           |    'stays', $emptyStays),
+           |  (s, p) -> IF((p.x - s.ax) * (p.x - s.ax) + (p.y - s.ay) * (p.y - s.ay) <= ${StayD2}L,
+           |    named_struct('ax', s.ax, 'ay', s.ay, 'at', s.at, 'lt', p.us,
+           |      'n', s.n + 1, 'sx', s.sx + p.x + 180000, 'sy', s.sy + p.y + 80000,
+           |      'stays', s.stays),
+           |    named_struct('ax', p.x, 'ay', p.y, 'at', p.us, 'lt', p.us,
+           |      'n', CAST(1 AS BIGINT), 'sx', p.x + 180000, 'sy', p.y + 80000,
+           |      'stays', ${close("s")})),
+           |  s -> ${close("s")})""".stripMargin)).as("sp"))
+      .select(col("user_id"), col("sp.st").as("start_us"), col("sp.en").as("end_us"),
+        col("sp.np").as("n_pts"), col("sp.cx").as("cx"), col("sp.cy").as("cy"))
+  }
+
+  def stayPointsSql: String = {
+    val within = "(p.x - w.ax) * (p.x - w.ax) + (p.y - w.ay) * (p.y - w.ay) " +
+      s"<= $StayD2"
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT user_id, event_id AS id, epoch_us(ts) AS us,
+       |         ((event_id * event_id * 7919 + event_id * 104729) % 360000) - 180000 AS x,
+       |         ((event_id * event_id * 104729 + event_id * 7919) % 160000) - 80000 AS y,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |nmax AS (SELECT user_id, max(rn) AS mr FROM pts GROUP BY 1),
+       |walk AS (
+       |  SELECT user_id, rn, x AS ax, y AS ay, us AS at, us AS lt,
+       |         CAST(1 AS BIGINT) AS n, x + 180000 AS sx, y + 80000 AS sy,
+       |         CAST(NULL AS BIGINT) AS st, CAST(NULL AS BIGINT) AS en,
+       |         CAST(NULL AS BIGINT) AS np,
+       |         CAST(NULL AS BIGINT) AS ccx, CAST(NULL AS BIGINT) AS ccy
+       |  FROM pts WHERE rn = 1
+       |  UNION ALL
+       |  SELECT p.user_id, p.rn,
+       |         CASE WHEN $within THEN w.ax ELSE p.x END,
+       |         CASE WHEN $within THEN w.ay ELSE p.y END,
+       |         CASE WHEN $within THEN w.at ELSE p.us END,
+       |         p.us,
+       |         CASE WHEN $within THEN w.n + 1 ELSE CAST(1 AS BIGINT) END,
+       |         CASE WHEN $within THEN w.sx + p.x + 180000 ELSE p.x + 180000 END,
+       |         CASE WHEN $within THEN w.sy + p.y + 80000 ELSE p.y + 80000 END,
+       |         CASE WHEN NOT ($within) AND w.lt - w.at >= $StayTUs THEN w.at END,
+       |         CASE WHEN NOT ($within) AND w.lt - w.at >= $StayTUs THEN w.lt END,
+       |         CASE WHEN NOT ($within) AND w.lt - w.at >= $StayTUs THEN w.n END,
+       |         CASE WHEN NOT ($within) AND w.lt - w.at >= $StayTUs
+       |              THEN w.sx // w.n - 180000 END,
+       |         CASE WHEN NOT ($within) AND w.lt - w.at >= $StayTUs
+       |              THEN w.sy // w.n - 80000 END
+       |  FROM walk w JOIN pts p ON p.user_id = w.user_id AND p.rn = w.rn + 1)
+       |SELECT user_id, st AS start_us, en AS end_us, np AS n_pts,
+       |       ccx AS cx, ccy AS cy
+       |FROM walk WHERE st IS NOT NULL
+       |UNION ALL
+       |SELECT w.user_id, w.at, w.lt, w.n,
+       |       w.sx // w.n - 180000, w.sy // w.n - 80000
+       |FROM walk w JOIN nmax m ON w.user_id = m.user_id AND w.rn = m.mr
+       |WHERE w.lt - w.at >= $StayTUs""".stripMargin
+  }
+
+  // =================================================================
   // Spatio-temporal co-location join: user pairs observed in the same
   // grid cell within a 6-hour window (the classic trajectory "meets"
   // join). Blocking is (cell, time-bucket) with bucket width == the
@@ -4758,6 +4861,131 @@ object Queries {
        |  FROM (SELECT doc_id, unnest(generate_series(1, 3)) AS j FROM documents))
        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
        |FROM l GROUP BY 1, 2""".stripMargin
+
+  // =================================================================
+  // HITS hubs & authorities (Kleinberg '99) over the host link graph:
+  // 3 mutual-reinforcement rounds, each an edge join + map-combined
+  // groupBy, L1-normalized per half-step. The cellPagerank integer
+  // discipline: scores live on a 10^6 lattice, contributions are
+  // BIGINT products (score·weight ≤ 10^6·w_max; safe while w_max ≲
+  // 9·10^6 — documented bound), normalization is (raw · scale) div
+  // total — all order-independent, so the unrolled-CTE oracle replays
+  // the iteration exactly. The host graph is dim-sized HERE (≤ 97²
+  // edges) but the plan is the general edge-partitioned power
+  // iteration: per-round scores localCheckpoint (the iterative-loop
+  // lineage invariant), sums are 1-row broadcasts.
+  // =================================================================
+
+  private val HitsScale = 1000000L
+
+  def hitsRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = linkGraph(spark, sfDir).persist()
+    val nodes = edges.select(col("src_host").as("host"))
+      .union(edges.select(col("dst_host").as("host"))).distinct().persist()
+    val n = nodes.count()
+    var hub = nodes.select(col("host"), lit(HitsScale / n).as("hq")).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to 3) {
+      val araw = edges.join(hub.withColumnRenamed("host", "src_host"), "src_host")
+        .select(col("dst_host").as("host"), (col("hq") * col("n_links")).as("c"))
+        .groupBy("host").agg(sum(col("c")).as("raw"))
+      val asum = araw.agg(sum(col("raw")).as("tot"))
+      auth = nodes.join(araw, Seq("host"), "left").crossJoin(broadcast(asum))
+        .select(col("host"), expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsScale) div tot").as("aq"))
+        .localCheckpoint()
+      val hraw = edges.join(auth.withColumnRenamed("host", "dst_host"), "dst_host")
+        .select(col("src_host").as("host"), (col("aq") * col("n_links")).as("c"))
+        .groupBy("host").agg(sum(col("c")).as("raw"))
+      val hsum = hraw.agg(sum(col("raw")).as("tot"))
+      hub = nodes.join(hraw, Seq("host"), "left").crossJoin(broadcast(hsum))
+        .select(col("host"), expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsScale) div tot").as("hq"))
+        .localCheckpoint()
+    }
+    auth.join(hub, "host").select(col("host"), col("aq"), col("hq"))
+  }
+
+  /** Mirror of [[hitsRank]]: 3 rounds × 2 half-steps unrolled as CTEs,
+    * score CTEs MATERIALIZED (each is read by the next half-step and —
+    * for a3/h3 — the final select). */
+  def hitsRankSql: String = {
+    val base =
+      s"""l AS (
+         |  SELECT 'h' || (doc_id % 97) || '.example.org' AS src_host,
+         |         'h' || ((doc_id * 31 + j * 17) % 97) || '.example.org' AS dst_host
+         |  FROM (SELECT doc_id, unnest(generate_series(1, 3)) AS j FROM documents)),
+         |edges AS MATERIALIZED (
+         |  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+         |  FROM l GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT host FROM (
+         |    SELECT src_host AS host FROM edges
+         |    UNION ALL SELECT dst_host FROM edges)),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |h0 AS MATERIALIZED (
+         |  SELECT host, $HitsScale // n AS hq FROM nodes CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst_host AS host, CAST(sum(h.hq * e.n_links) AS BIGINT) AS raw
+         |  FROM edges e JOIN h${i - 1} h ON h.host = e.src_host GROUP BY 1),
+         |at$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT nodes.host, (coalesce(ar$i.raw, CAST(0 AS BIGINT)) * $HitsScale) // tot AS aq
+         |  FROM nodes CROSS JOIN at$i LEFT JOIN ar$i ON nodes.host = ar$i.host),
+         |hr$i AS (
+         |  SELECT e.src_host AS host, CAST(sum(a.aq * e.n_links) AS BIGINT) AS raw
+         |  FROM edges e JOIN a$i a ON a.host = e.dst_host GROUP BY 1),
+         |ht$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT nodes.host, (coalesce(hr$i.raw, CAST(0 AS BIGINT)) * $HitsScale) // tot AS hq
+         |  FROM nodes CROSS JOIN ht$i LEFT JOIN hr$i ON nodes.host = hr$i.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$rounds
+       |SELECT a3.host, a3.aq, h3.hq
+       |FROM a3 JOIN h3 ON a3.host = h3.host""".stripMargin
+  }
+
+  // =================================================================
+  // Crawl-frontier scheduling (the politeness pass of a crawl
+  // pipeline): per (host, batch) the candidate URLs rank by priority
+  // (longer pages first, doc_id tiebreak) and get a fetch slot at
+  // politeness-delay spacing; shard = host-id mod 16 routes each host
+  // to exactly one fetcher. Batching (doc_id div 4096) bounds every
+  // window partition regardless of corpus size — the real-frontier
+  // segmenting that keeps a 10^12-URL host from serializing one
+  // partition; one (host, batch)-keyed exchange total, no text on the
+  // wire beyond the host label.
+  // =================================================================
+
+  def crawlFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("host"), col("batch"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        concat(lit("h"), (col("doc_id") % 97).cast("string"),
+          lit(".example.org")).as("host"),
+        (col("doc_id") % 97 % 16).as("shard"),
+        expr("doc_id div 4096").as("batch"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("host"), col("shard"), col("batch"), col("rnk"),
+        ((col("rnk") - 1) * lit(500000L)).as("slot_us"))
+  }
+
+  def crawlFrontierSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars,
+       |         'h' || (doc_id % 97) || '.example.org' AS host,
+       |         (doc_id % 97) % 16 AS shard,
+       |         doc_id // 4096 AS batch
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, host, shard, batch,
+       |         CAST(row_number() OVER (PARTITION BY host, batch
+       |                                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM f)
+       |SELECT doc_id, host, shard, batch, rnk,
+       |       CAST((rnk - 1) * 500000 AS BIGINT) AS slot_us
+       |FROM r""".stripMargin
 
   // =================================================================
   // Rect dissolve (polygon union area per group): the measure of each

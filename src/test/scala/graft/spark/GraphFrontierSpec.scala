@@ -1,0 +1,99 @@
+package graft.spark
+
+import graft.queries.Queries
+
+/** stay_points / hits_rank / crawl_frontier vs independent plain-Scala
+  * recomputations (the DuckDB oracle mirror is the bit-exact gate;
+  * these pin semantics against a second implementation). */
+class GraphFrontierSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stay_points matches a plain-Scala anchor-reset walk") {
+    import spark.implicits._
+    val d2 = 100000L * 100000L
+    val tUs = 36000000000L
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long, Long)].collect()
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (u, rows) =>
+      val pts = rows.sortBy(r => (r._3, r._1)).map { case (id, _, us) =>
+        (us,
+          (id * id * 7919 + id * 104729) % 360000 - 180000,
+          (id * id * 104729 + id * 7919) % 160000 - 80000)
+      }
+      val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+      var (ax, ay, at) = (pts.head._2, pts.head._3, pts.head._1)
+      var (lt, n, sx, sy) = (pts.head._1, 1L, pts.head._2 + 180000, pts.head._3 + 80000)
+      def close(): Unit =
+        if (lt - at >= tUs)
+          out += ((u, at, lt, n, sx / n - 180000, sy / n - 80000))
+      pts.tail.foreach { case (us, x, y) =>
+        if ((x - ax) * (x - ax) + (y - ay) * (y - ay) <= d2) {
+          lt = us; n += 1; sx += x + 180000; sy += y + 80000
+        } else {
+          close()
+          ax = x; ay = y; at = us; lt = us; n = 1; sx = x + 180000; sy = y + 80000
+        }
+      }
+      close()
+      out
+    }.toSet
+    val got = Queries.stayPoints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.exists(_._4 >= 3), "no multi-point stay: fixture weak")
+  }
+
+  test("hits_rank matches a plain-Scala integer HITS iteration") {
+    import spark.implicits._
+    val scale = 1000000L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id").as[Long].collect()
+    val edges = docs.flatMap { d =>
+      (1 to 3).map(j => (s"h${d % 97}.example.org", s"h${(d * 31 + j * 17) % 97}.example.org"))
+    }.groupBy(identity).map { case ((s0, t), a) => (s0, t, a.length.toLong) }.toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    var hub = nodes.map(_ -> scale / n).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to 3) {
+      val araw = edges.groupBy(_._2).map { case (t, es) =>
+        t -> es.map(e => hub(e._1) * e._3).sum
+      }
+      val at = araw.values.sum
+      auth = nodes.map(h => h -> araw.getOrElse(h, 0L) * scale / at).toMap
+      val hraw = edges.groupBy(_._1).map { case (s0, es) =>
+        s0 -> es.map(e => auth(e._2) * e._3).sum
+      }
+      val ht = hraw.values.sum
+      hub = nodes.map(h => h -> hraw.getOrElse(h, 0L) * scale / ht).toMap
+    }
+    val got = Queries.hitsRank(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == n)
+    nodes.foreach { h =>
+      assert(got(h) == ((auth(h), hub(h))), s"host $h drifted")
+    }
+    assert(auth.values.toSet.size > 1 && hub.values.toSet.size > 1, "flat scores")
+  }
+
+  test("crawl_frontier matches a plain-Scala politeness schedule") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT)").as[(Long, Long)].collect()
+    val want = docs
+      .map { case (d, nc) => (d, nc, s"h${d % 97}.example.org", d % 97 % 16, d / 4096) }
+      .groupBy(r => (r._3, r._5)).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._2, r._1)).zipWithIndex.map { case ((d, _, h, sh, b), i) =>
+          (d, h, sh, b, (i + 1).toLong, i.toLong * 500000L)
+        }
+      }.toSet
+    val got = Queries.crawlFrontier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(got.exists(_._5 > 1), "all ranks 1: batching degenerate")
+  }
+}
