@@ -63,6 +63,8 @@ object SparkEntry {
     "quadkey" -> ((s, d) => Queries.quadkey(s, d)),
     // geohash base32 encoding (lon-first interleave, zero shuffle)
     "geohash" -> ((s, d) => Queries.geohash(s, d)),
+    // hexagonal (H3-style axial) binning via cube rounding, zero shuffle
+    "hex_bin" -> ((s, d) => Queries.hexBin(s, d)),
     // Getis-Ord Gi* hotspot z-scores over z6 cell counts
     "gi_star" -> ((s, d) => Queries.giStar(s, d)),
     // Mann-Kendall trend per z5 cell over 8 global time bins
@@ -224,6 +226,9 @@ object SparkEntry {
         TextOps.withMutatedCopies(s.read.parquet(s"$d/documents.parquet"))))),
     "sample_stratified" -> ((s, d) =>
       TextOps.stratifiedSample(s.read.parquet(s"$d/documents.parquet"))),
+    // Efraimidis-Spirakis weighted sample per lang (exponential keys)
+    "sample_weighted" -> ((s, d) =>
+      TextOps.weightedSample(s.read.parquet(s"$d/documents.parquet"))),
     "lang_id" -> ((s, d) => TextOps.langId(s.read.parquet(s"$d/documents.parquet"))),
     "lang_id_ngram" -> ((s, d) =>
       TextOps.langIdNgram(s.read.parquet(s"$d/documents.parquet"))),
@@ -375,6 +380,7 @@ object SparkEntry {
     "convex_hull" -> Queries.convexHullSql,
     "quadkey" -> Queries.quadkeySql,
     "geohash" -> Queries.geohashSql,
+    "hex_bin" -> Queries.hexBinSql,
     "gi_star" -> Queries.giStarSql,
     "mk_trend" -> Queries.mkTrendSql,
     "theil_sen" -> Queries.theilSenSql,
@@ -463,6 +469,7 @@ object SparkEntry {
     "ngram_jaccard" -> TextOps.ngramJaccardSql,
     "dup_clusters" -> TextOps.dupClustersSql,
     "sample_stratified" -> TextOps.stratifiedSampleSql(),
+    "sample_weighted" -> TextOps.weightedSampleSql(),
     // 64-bit sketch hashing IS SQL-expressible after all: HUGEINT limb
     // arithmetic reproduces mix64/FNV-1a/SimHash bit-exactly (SqlHash)
     "doc_fingerprint" -> TextOps.docFingerprintSql,

@@ -492,6 +492,41 @@ object TextOps {
        |FROM ranked WHERE rn <= $perStratum""".stripMargin
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis '06,
+    * exponential-key form): per language keep the `perStratum` docs with
+    * the smallest −ln(u)/w where w = n_chars and u is a deterministic
+    * rational in (0,1] from doc_id (Knuth multiplicative hash mod the
+    * prime 1e9+7) — longer docs sample proportionally more often, the
+    * draw is reproducible and join-free, and a doc's key never changes
+    * under corpus growth. The ranking key stays an UNROUNDED double with
+    * the doc_id tiebreak (repo invariant); u's integer derivation and
+    * the ln/division are token-identical across engines (ln is the
+    * mercator-verified function; pow is NOT cross-engine-stable, which
+    * is why the exponential form replaces u^(1/w)). Same
+    * WindowGroupLimit shape as [[stratifiedSample]] — the partial mode
+    * keeps ≤ k rows per stratum per input partition before the shuffle. */
+  def weightedSample(docs: DataFrame, perStratum: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("key").asc, col("doc_id").asc)
+    docs.select(col("lang"), col("doc_id"), col("n_chars"),
+        expr("CAST((doc_id * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000007.0").as("u"))
+      .withColumn("key", expr("-ln(u) / n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  def weightedSampleSql(perStratum: Int = 25): String =
+    s"""WITH u AS (SELECT lang, doc_id, n_chars,
+       |             CAST((doc_id * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000007.0 AS u
+       |           FROM documents),
+       |k AS (SELECT lang, doc_id, n_chars, -ln(u) / n_chars AS key FROM u),
+       |ranked AS (SELECT lang, doc_id, n_chars,
+       |             row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+       |           FROM k)
+       |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $perStratum""".stripMargin
+
   /** Exact per-stratum quantiles of doc length (p50/p90/p99 of n_chars per
     * language) — corpus-profile stats with INTEGER-EXACT rank selection:
     * rank_p = ceil(p·n/100) computed as `(n*p + 99) div 100`, value picked

@@ -2356,6 +2356,62 @@ object Queries {
        |FROM cells GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Hexagonal binning (the H3-style complement to the square tile
+  // grid): pointy-top axial hex assignment via the standard fractional
+  // cube-coordinate transform + cube rounding (round each of x/y/z,
+  // then repair the largest-residual axis so x+y+z = 0 holds). Every
+  // stage — transform, round, residuals, repair CASEs — is written
+  // token-for-token on both engines over doubles derived from the
+  // integer milli lattice; round() is ties-away-from-zero in both.
+  // Zero shuffles before the final ≤ dim-sized (hq, hr) map-combined
+  // count — the same "encode is free, aggregation is skinny" shape as
+  // geohash/quadkey, and the bin id is 2 small BIGINTs, broadcastable
+  // as a dimension at any corpus size.
+  // =================================================================
+
+  def hexBin(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        expr("CAST((event_id * 7919) % 360000 - 180000 AS DOUBLE)").as("xd"),
+        expr("CAST((event_id * 104729) % 160000 - 80000 AS DOUBLE)").as("yd"))
+      .withColumn("q0", expr("(sqrt(3.0) / 3.0 * xd - yd / 3.0) / 9000.0"))
+      .withColumn("r0", expr("yd * 2.0 / 3.0 / 9000.0"))
+      .withColumn("y0", expr("-q0 - r0"))
+      .withColumn("rx", expr("round(q0)"))
+      .withColumn("ry", expr("round(y0)"))
+      .withColumn("rz", expr("round(r0)"))
+      .withColumn("dx", expr("abs(rx - q0)"))
+      .withColumn("dy", expr("abs(ry - y0)"))
+      .withColumn("dz", expr("abs(rz - r0)"))
+      .withColumn("hq", expr(
+        "CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT)"))
+      .withColumn("hr", expr(
+        "CAST(CASE WHEN dx > dy AND dx > dz THEN rz WHEN dy > dz THEN rz " +
+          "ELSE -rx - ry END AS BIGINT)"))
+      .groupBy(col("hq"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def hexBinSql: String =
+    s"""WITH pts AS (
+       |  SELECT CAST((event_id * 7919) % 360000 - 180000 AS DOUBLE) AS xd,
+       |         CAST((event_id * 104729) % 160000 - 80000 AS DOUBLE) AS yd
+       |  FROM events),
+       |a AS (SELECT (sqrt(3.0) / 3.0 * xd - yd / 3.0) / 9000.0 AS q0,
+       |             yd * 2.0 / 3.0 / 9000.0 AS r0
+       |      FROM pts),
+       |b AS (SELECT q0, r0, -q0 - r0 AS y0 FROM a),
+       |c AS (SELECT q0, r0, y0, round(q0) AS rx, round(y0) AS ry, round(r0) AS rz
+       |      FROM b),
+       |d AS (SELECT *, abs(rx - q0) AS dx, abs(ry - y0) AS dy, abs(rz - r0) AS dz
+       |      FROM c),
+       |h AS (SELECT
+       |        CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS hq,
+       |        CAST(CASE WHEN dx > dy AND dx > dz THEN rz WHEN dy > dz THEN rz ELSE -rx - ry END AS BIGINT) AS hr
+       |      FROM d)
+       |SELECT hq, hr, CAST(count(*) AS BIGINT) AS cnt
+       |FROM h GROUP BY 1, 2""".stripMargin
+
+  // =================================================================
   // D10: nearest-segment snap join (map matching): every event point
   // snaps to its nearest road segment within R = 2000 milli-degrees, or
   // drops out. Blocking: road side explodes to the z6 cover of its bbox

@@ -156,6 +156,59 @@ class SpaceTimeSpec extends SparkTestBase {
     assert(Set("enter", "exit", "switch").subsetOf(got.map(_._6)), "kinds vacuous")
   }
 
+  test("hex_bin matches an independent cube-round reference and conserves count") {
+    import spark.implicits._
+    def hexRef(xm: Long, ym: Long): (Long, Long) = {
+      val (x, y) = (xm.toDouble, ym.toDouble)
+      val q0 = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / 9000.0
+      val r0 = y * 2.0 / 3.0 / 9000.0
+      val y0 = -q0 - r0
+      // ties-away-from-zero like both engines' round() (math.round is
+      // half-toward-positive-infinity — wrong for negative .5 ties)
+      def rnd(v: Double): Long =
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      var (rx, ry, rz) = (rnd(q0), rnd(y0), rnd(r0))
+      val (dx, dy, dz) = (math.abs(rx - q0), math.abs(ry - y0), math.abs(rz - r0))
+      if (dx > dy && dx > dz) rx = -ry - rz
+      else if (dy > dz) ry = -rx - rz
+      else rz = -rx - ry
+      (rx, rz)
+    }
+    val ids = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id").as[Long].collect()
+    val want = ids.map(id =>
+        hexRef(id * 7919 % 360000 - 180000, id * 104729 % 160000 - 80000))
+      .groupBy(identity).map { case (k, a) => k -> a.length.toLong }
+    val got = Queries.hexBin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.values.sum == ids.length.toLong, "count not conserved")
+    // every repaired bin satisfies the cube constraint by construction;
+    // the fixture must span many bins for the repair branches to fire
+    assert(got.size > 100, s"only ${got.size} hexes: repair untested")
+  }
+
+  test("sample_weighted matches an E-S exponential-key recomputation and skews long") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "doc_id", "CAST(n_chars AS BIGINT)")
+      .as[(String, Long, Long)].collect()
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.map { case (l, d, nc) =>
+        val u = ((d * 2654435761L) % 1000000007L + 1).toDouble / 1000000007.0
+        (l, d, nc, -math.log(u) / nc)
+      }.sortBy(r => (r._4, r._2)).take(25).zipWithIndex
+        .map { case ((l, d, nc, _), i) => (l, d, nc, (i + 1).toLong) }
+    }.toSet
+    val out = graft.ops.TextOps.weightedSample(
+      spark.read.parquet(s"$sf/documents.parquet")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == want)
+    val sampledMean = out.toSeq.map(_._3).sum.toDouble / out.size
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampledMean > corpusMean, s"no length skew: $sampledMean vs $corpusMean")
+  }
+
   test("areal_interp matches an exact integer recomputation and conserves mass") {
     import spark.implicits._
     val keys = spark.read.parquet(s"$sf/customer.parquet")
