@@ -120,6 +120,8 @@ object SparkEntry {
     "traj_simplify" -> ((s, d) => Queries.trajSimplify(s, d)),
     // stay-point detection: anchor-reset fold per user track (Li et al.)
     "stay_points" -> ((s, d) => Queries.stayPoints(s, d)),
+    // true Douglas-Peucker: iterative chord refinement to convergence
+    "dp_simplify" -> ((s, d) => Queries.dpSimplify(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
     "reverse_pip" -> ((s, d) => Queries.reversePip(s, d)),
     "reverse_bcast" -> ((s, d) =>
@@ -407,6 +409,7 @@ object SparkEntry {
     "triangle_count" -> Queries.triangleCountSql,
     "traj_simplify" -> Queries.trajSimplifySql,
     "stay_points" -> Queries.stayPointsSql,
+    "dp_simplify" -> Queries.dpSimplifySql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
     "reverse_bcast" -> Queries.reversePipSql, // same semantics, shuffle-free plan

@@ -3475,6 +3475,123 @@ object Queries {
   }
 
   // =================================================================
+  // Douglas–Peucker polyline simplification (the REAL recursive DP,
+  // complementing traj_simplify's radial pre-pass): iterative segment
+  // refinement — each round every active chord finds its farthest
+  // interior point (perpendicular metric cross²/len2; squared distance
+  // to the endpoint when the chord is degenerate) and splits there iff
+  // the distance exceeds tol. Active segments always PARTITION each
+  // track, so a round's candidate volume is ≤ one pass over the points
+  // regardless of segment count, and the loop runs to convergence
+  // (depth ≈ log track-length on scattered tracks; at 10^12 events
+  // tracks are day-segmented first). Kept points = every segment
+  // endpoint ever created. The argmax key and the split test are ONE
+  // double form (cross²/len2 — exact BIGINT operands, deterministic
+  // IEEE division identical on both engines) with the rn tiebreak;
+  // per-round frontier/kept localCheckpoint (iterative-loop lineage
+  // invariant). The oracle replays the refinement as a recursive CTE
+  // whose recursive term nests the argmax WINDOW and emits both
+  // children via unnest([0,1]) (the dtw/viterbi recursion toolbox);
+  // kept falls out as DISTINCT endpoints of the whole recursive table.
+  // =================================================================
+
+  private val DpTol2 = 120000L * 120000L // milli²
+
+  /** Shared farthest-point key over cr/len2/d2a integer columns. */
+  private val dpKeyExpr: String =
+    "CASE WHEN len2 = 0 THEN CAST(d2a AS DOUBLE) " +
+      "ELSE CAST(cr AS DOUBLE) * CAST(cr AS DOUBLE) / CAST(len2 AS DOUBLE) END"
+
+  def dpSimplify(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id").as("id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        expr("((event_id * event_id * 7919 + event_id * 104729) % 360000) - 180000").as("x"),
+        expr("((event_id * event_id * 104729 + event_id * 7919) % 160000) - 80000").as("y"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("id").asc))
+        .cast("long"))
+      .select(col("user_id"), col("rn"), col("x"), col("y"), col("id"))
+      .persist() // read every refinement round (3 roles) + the final join
+    val ends = pts.groupBy("user_id").agg(max(col("rn")).as("n")).persist()
+    var frontier = ends.filter(col("n") >= 2)
+      .select(col("user_id"), lit(1L).as("i"), col("n").as("j")).localCheckpoint()
+    var kept = frontier.select(col("user_id"), col("i").as("rn"))
+      .union(frontier.select(col("user_id"), col("j").as("rn")))
+      .union(ends.filter(col("n") === 1).select(col("user_id"), lit(1L).as("rn")))
+      .localCheckpoint()
+    val a = pts.select(col("user_id"), col("rn").as("i"), col("x").as("ax"), col("y").as("ay"))
+    val b = pts.select(col("user_id"), col("rn").as("j"), col("x").as("bx"), col("y").as("by"))
+    var converged = false
+    while (!converged) {
+      val top = frontier
+        .join(a, Seq("user_id", "i")).join(b, Seq("user_id", "j"))
+        .join(pts.hint("shuffle_hash"), Seq("user_id"))
+        .filter(col("rn") > col("i") && col("rn") < col("j"))
+        .withColumn("cr", expr("(bx - ax) * (y - ay) - (by - ay) * (x - ax)"))
+        .withColumn("len2", expr("(bx - ax) * (bx - ax) + (by - ay) * (by - ay)"))
+        .withColumn("d2a", expr("(x - ax) * (x - ax) + (y - ay) * (y - ay)"))
+        .withColumn("dkey", expr(dpKeyExpr))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"), col("i"), col("j"))
+            .orderBy(col("dkey").desc, col("rn").asc)))
+        .filter(col("rk") === 1 && col("dkey") > expr(s"CAST($DpTol2 AS DOUBLE)"))
+        .select(col("user_id"), col("i"), col("j"), col("rn").as("m"))
+        .localCheckpoint()
+      if (top.isEmpty) converged = true
+      else {
+        kept = kept.union(top.select(col("user_id"), col("m").as("rn"))).localCheckpoint()
+        frontier = top.select(col("user_id"), col("i"), col("m").as("j"))
+          .union(top.select(col("user_id"), col("m").as("i"), col("j")))
+          .localCheckpoint()
+      }
+    }
+    kept.join(pts, Seq("user_id", "rn"))
+      .select(col("user_id"), col("id").as("event_id"))
+  }
+
+  def dpSimplifySql: String =
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT user_id, event_id AS id, epoch_us(ts) AS us,
+       |         ((event_id * event_id * 7919 + event_id * 104729) % 360000) - 180000 AS x,
+       |         ((event_id * event_id * 104729 + event_id * 7919) % 160000) - 80000 AS y,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |ends AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS n FROM pts GROUP BY 1),
+       |segs AS (
+       |  SELECT user_id, CAST(1 AS BIGINT) AS i, n AS j FROM ends WHERE n >= 2
+       |  UNION ALL
+       |  SELECT t.user_id,
+       |         CASE WHEN c.s = 0 THEN t.i ELSE t.m END AS i,
+       |         CASE WHEN c.s = 0 THEN t.m ELSE t.j END AS j
+       |  FROM (
+       |    SELECT user_id, i, j, m FROM (
+       |      SELECT user_id, i, j, m,
+       |             row_number() OVER (PARTITION BY user_id, i, j
+       |                                ORDER BY $dpKeyExpr DESC, m ASC) AS rk,
+       |             $dpKeyExpr AS dkey
+       |      FROM (
+       |        SELECT s.user_id, s.i, s.j, CAST(p.rn AS BIGINT) AS m,
+       |               (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) AS cr,
+       |               (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS len2,
+       |               (p.x - a.x) * (p.x - a.x) + (p.y - a.y) * (p.y - a.y) AS d2a
+       |        FROM segs s
+       |        JOIN pts a ON a.user_id = s.user_id AND a.rn = s.i
+       |        JOIN pts b ON b.user_id = s.user_id AND b.rn = s.j
+       |        JOIN pts p ON p.user_id = s.user_id AND p.rn > s.i AND p.rn < s.j))
+       |    WHERE rk = 1 AND dkey > CAST($DpTol2 AS DOUBLE)
+       |  ) t, (SELECT unnest([0, 1]) AS s) c),
+       |kept AS (
+       |  SELECT user_id, i AS rn FROM segs
+       |  UNION
+       |  SELECT user_id, j AS rn FROM segs
+       |  UNION
+       |  SELECT user_id, CAST(1 AS BIGINT) AS rn FROM ends WHERE n = 1)
+       |SELECT k.user_id, p.id AS event_id
+       |FROM kept k JOIN pts p ON p.user_id = k.user_id AND p.rn = k.rn""".stripMargin
+
+  // =================================================================
   // Spatio-temporal co-location join: user pairs observed in the same
   // grid cell within a 6-hour window (the classic trajectory "meets"
   // join). Blocking is (cell, time-bucket) with bucket width == the

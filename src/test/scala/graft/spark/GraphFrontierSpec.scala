@@ -46,6 +46,49 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(got.nonEmpty && got.exists(_._4 >= 3), "no multi-point stay: fixture weak")
   }
 
+  test("dp_simplify matches a genuinely recursive Scala Douglas-Peucker") {
+    import spark.implicits._
+    val tol2 = 120000L * 120000L
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long, Long)].collect()
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (u, rows) =>
+      val pts = rows.sortBy(r => (r._3, r._1)).map { case (id, _, _) =>
+        (id,
+          (id * id * 7919 + id * 104729) % 360000 - 180000,
+          (id * id * 104729 + id * 7919) % 160000 - 80000)
+      }
+      val kept = collection.mutable.Set.empty[Int]
+      def rec(i: Int, j: Int): Unit = {
+        kept += i; kept += j
+        if (j - i < 2) return
+        val (ax, ay) = (pts(i)._2, pts(i)._3)
+        val (bx, by) = (pts(j)._2, pts(j)._3)
+        val len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+        var (best, bk) = (-1, -1.0)
+        for (p <- i + 1 until j) {
+          val (x, y) = (pts(p)._2, pts(p)._3)
+          val k =
+            if (len2 == 0) ((x - ax) * (x - ax) + (y - ay) * (y - ay)).toDouble
+            else {
+              val cr = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+              cr.toDouble * cr.toDouble / len2.toDouble
+            }
+          if (k > bk) { bk = k; best = p } // strict > == smallest-rn tiebreak
+        }
+        if (bk > tol2.toDouble) { rec(i, best); rec(best, j) }
+      }
+      rec(0, pts.length - 1)
+      kept.toSeq.map(k => (u, pts(k)._1))
+    }.toSet
+    val got = Queries.dpSimplify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // real simplification AND real splits (both recursion branches live)
+    assert(got.size > 2L * ev.map(_._2).distinct.length && got.size < ev.length,
+      s"degenerate DP: kept ${got.size} of ${ev.length}")
+  }
+
   test("hits_rank matches a plain-Scala integer HITS iteration") {
     import spark.implicits._
     val scale = 1000000L
