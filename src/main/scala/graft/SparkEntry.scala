@@ -112,6 +112,8 @@ object SparkEntry {
     // 3-round integer PageRank over the OD cell-transition graph;
     // oracle replays the power iteration as unrolled CTEs
     "cell_pagerank" -> ((s, d) => Queries.cellPagerank(s, d)),
+    // gravity-model regression over OD flows (quantized-exact moments)
+    "gravity_fit" -> ((s, d) => Queries.gravityFit(s, d)),
     // 4-round Bellman–Ford from the min source cell, integer edge costs
     "sssp_khop" -> ((s, d) => Queries.ssspKhop(s, d)),
     // degree-oriented triangle count (the orientation bounds hub fan-out)
@@ -405,6 +407,7 @@ object SparkEntry {
     "track_resample" -> Queries.trackResampleSql,
     "snap_points" -> Queries.snapPointsSql,
     "cell_pagerank" -> Queries.cellPagerankSql,
+    "gravity_fit" -> Queries.gravityFitSql,
     "sssp_khop" -> Queries.ssspKhopSql,
     "triangle_count" -> Queries.triangleCountSql,
     "traj_simplify" -> Queries.trajSimplifySql,

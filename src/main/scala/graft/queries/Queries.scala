@@ -3184,6 +3184,68 @@ object Queries {
        |SELECT cell, rq FROM r3""".stripMargin
   }
 
+  // =================================================================
+  // Gravity-model fit over the OD flow matrix (the spatial-interaction
+  // regression of transport analytics): least-squares of ln(flows) on
+  // ln(d²) across observed non-self OD cell pairs, d² the exact BIGINT
+  // squared center distance in z6 cell units. The zipf_fit discipline:
+  // both coordinates are 1e6-QUANTIZED integers before any sum, the
+  // regression moments accumulate as DECIMAL(38,0)/HUGEINT (exact,
+  // order-independent — and sxx overflows BIGINT once observed pairs
+  // pass ~10^5, so the widening is load-bearing), and the closed-form
+  // slope/intercept stay exact until the final double division+round.
+  // Shape: od_flows' one user-keyed exchange + one (o,d) map-combined
+  // groupBy + a 1-row moment aggregate. The synthetic scatter has no
+  // real distance decay — the op's contract is the exact regression
+  // mechanics, not a geographic claim about the fixture.
+  // =================================================================
+
+  def gravityFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = odFlows(spark, sfDir)
+      .filter(col("o_cell") =!= col("d_cell"))
+      .withColumn("dx", expr(
+        "(o_cell % 72057594037927936) div 268435456 - (d_cell % 72057594037927936) div 268435456"))
+      .withColumn("dy", expr("o_cell % 268435456 - d_cell % 268435456"))
+      .withColumn("d2", col("dx") * col("dx") + col("dy") * col("dy"))
+      .select(
+        round(log(col("d2").cast("double")) * lit(1000000.0), 0).cast("long").as("xq"),
+        round(log(col("flows").cast("double")) * lit(1000000.0), 0).cast("long").as("yq"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val s = q.agg(count(lit(1)).as("n"),
+      sum(d(col("xq"))).as("sx"), sum(d(col("yq"))).as("sy"),
+      sum(d(col("xq")) * d(col("yq"))).as("sxy"),
+      sum(d(col("xq")) * d(col("xq"))).as("sxx"))
+    val den = d(col("n")) * col("sxx") - col("sx") * col("sx")
+    s.select(col("n"),
+      round((d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+        / den.cast("double"), 4).as("slope"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+        / den.cast("double") / lit(1000000.0), 4).as("intercept"))
+  }
+
+  def gravityFitSql: String =
+    s"""WITH $odEdgeCtes,
+       |pairs AS (
+       |  SELECT (o_cell % 72057594037927936) // 268435456
+       |           - (d_cell % 72057594037927936) // 268435456 AS dx,
+       |         o_cell % 268435456 - d_cell % 268435456 AS dy,
+       |         flows
+       |  FROM edges),
+       |q AS (SELECT
+       |        CAST(round(ln(CAST(dx * dx + dy * dy AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS xq,
+       |        CAST(round(ln(CAST(flows AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS yq
+       |      FROM pairs),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             sum(xq) AS sx, sum(yq) AS sy,
+       |             sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+       |      FROM q)
+       |SELECT n,
+       |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |             / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+       |       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+       |             / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 4) AS intercept
+       |FROM s""".stripMargin
+
   /** The od_flows edge CTE chain (ev → seq → edges), shared by the graph
     * ops below; self-loops (consecutive events in one cell) excluded. */
   private def odEdgeCtes: String =

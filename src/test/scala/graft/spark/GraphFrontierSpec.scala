@@ -122,6 +122,41 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(auth.values.toSet.size > 1 && hub.values.toSet.size > 1, "flat scores")
   }
 
+  test("gravity_fit matches an exact BigInt regression recomputation") {
+    import spark.implicits._
+    import graft.core.CellMath
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long, Long)].collect()
+    def cellOf(id: Long): Long = CellMath.lonLatToCell(6,
+      (id * 7919 % 360000) / 1000.0 - 180.0, (id * 104729 % 160000) / 1000.0 - 80.0)
+    val flows = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val cs = rows.sortBy(r => (r._3, r._1)).map(r => cellOf(r._1))
+      cs.zip(cs.drop(1))
+    }.groupBy(p => p).map { case ((o, d), a) => (o, d, a.size.toLong) }
+      .filter { case (o, d, _) => o != d }
+    val q = flows.map { case (o, d, f) =>
+      val dx = CellMath.xOf(o) - CellMath.xOf(d)
+      val dy = CellMath.yOf(o) - CellMath.yOf(d)
+      val xq = BigDecimal(math.log((dx * dx + dy * dy).toDouble) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val yq = BigDecimal(math.log(f.toDouble) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (BigInt(xq), BigInt(yq))
+    }.toSeq
+    val n = BigInt(q.size)
+    val sx = q.map(_._1).sum; val sy = q.map(_._2).sum
+    val sxy = q.map(p => p._1 * p._2).sum; val sxx = q.map(p => p._1 * p._1).sum
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val den = (n * sxx - sx * sx).toDouble
+    val wantSlope = r4((n * sxy - sx * sy).toDouble / den)
+    val wantIcept = r4((sy * sxx - sx * sxy).toDouble / den / 1000000.0)
+    val row = Queries.gravityFit(spark, sf).collect().head
+    assert(row.getLong(0) == q.size.toLong)
+    assert(math.abs(row.getDouble(1) - wantSlope) < 1e-9, s"slope ${row.getDouble(1)} vs $wantSlope")
+    assert(math.abs(row.getDouble(2) - wantIcept) < 1e-9, s"icept ${row.getDouble(2)} vs $wantIcept")
+  }
+
   test("crawl_frontier matches a plain-Scala politeness schedule") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
