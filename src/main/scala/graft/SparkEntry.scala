@@ -65,6 +65,12 @@ object SparkEntry {
     "geohash" -> ((s, d) => Queries.geohash(s, d)),
     // hexagonal (H3-style axial) binning via cube rounding, zero shuffle
     "hex_bin" -> ((s, d) => Queries.hexBin(s, d)),
+    // 6-neighbor axial smoothing over the hex counts (cell_smooth analogue)
+    "hex_smooth" -> ((s, d) => Queries.hexSmooth(s, d)),
+    // recency heatmap: int-quantized exp(-age/tau) summed per cell
+    "decay_heat" -> ((s, d) => Queries.decayHeat(s, d)),
+    // implied-speed teleport flags per consecutive fix pair
+    "speed_filter" -> ((s, d) => Queries.speedFilter(s, d)),
     // Getis-Ord Gi* hotspot z-scores over z6 cell counts
     "gi_star" -> ((s, d) => Queries.giStar(s, d)),
     // Mann-Kendall trend per z5 cell over 8 global time bins
@@ -385,6 +391,9 @@ object SparkEntry {
     "quadkey" -> Queries.quadkeySql,
     "geohash" -> Queries.geohashSql,
     "hex_bin" -> Queries.hexBinSql,
+    "hex_smooth" -> Queries.hexSmoothSql,
+    "decay_heat" -> Queries.decayHeatSql,
+    "speed_filter" -> Queries.speedFilterSql,
     "gi_star" -> Queries.giStarSql,
     "mk_trend" -> Queries.mkTrendSql,
     "theil_sen" -> Queries.theilSenSql,

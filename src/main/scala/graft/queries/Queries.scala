@@ -2391,8 +2391,10 @@ object Queries {
       .groupBy(col("hq"), col("hr"))
       .agg(count(lit(1)).as("cnt"))
 
-  def hexBinSql: String =
-    s"""WITH pts AS (
+  /** The hex-assignment CTE chain (pts → … → h(hq, hr)), shared
+    * token-for-token by hexBinSql / hexSmoothSql. */
+  private def hexCtes: String =
+    s"""pts AS (
        |  SELECT CAST((event_id * 7919) % 360000 - 180000 AS DOUBLE) AS xd,
        |         CAST((event_id * 104729) % 160000 - 80000 AS DOUBLE) AS yd
        |  FROM events),
@@ -2407,9 +2409,138 @@ object Queries {
        |h AS (SELECT
        |        CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS hq,
        |        CAST(CASE WHEN dx > dy AND dx > dz THEN rz WHEN dy > dz THEN rz ELSE -rx - ry END AS BIGINT) AS hr
-       |      FROM d)
+       |      FROM d)""".stripMargin
+
+  def hexBinSql: String =
+    s"""WITH $hexCtes
        |SELECT hq, hr, CAST(count(*) AS BIGINT) AS cnt
        |FROM h GROUP BY 1, 2""".stripMargin
+
+  // =================================================================
+  // Hex k-ring smoothing (the cell_smooth pass on the hexagonal grid):
+  // each occupied hex sums its own and its 6 axial neighbors' counts —
+  // the scatter direction set {(1,0),(1,−1),(0,−1),(−1,0),(−1,1),
+  // (0,1),(0,0)} is the hex analogue of the 3×3 box. Fixed 7-probe
+  // integer fanout off the hex_bin counts, one (hq,hr) map-combined
+  // aggregation + one hex join; wn counts occupied neighbors so sparse
+  // frontiers normalize correctly downstream.
+  // =================================================================
+
+  def hexSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = hexBin(spark, sfDir).persist() // scatter + final join
+    val contrib = counts
+      .withColumn("d", explode(expr(
+        "array(named_struct('dq', 1, 'dr', 0), named_struct('dq', 1, 'dr', -1), " +
+          "named_struct('dq', 0, 'dr', -1), named_struct('dq', -1, 'dr', 0), " +
+          "named_struct('dq', -1, 'dr', 1), named_struct('dq', 0, 'dr', 1), " +
+          "named_struct('dq', 0, 'dr', 0))")))
+      .select((col("hq") + col("d.dq")).as("hq"), (col("hr") + col("d.dr")).as("hr"),
+        col("cnt"))
+      .groupBy(col("hq"), col("hr"))
+      .agg(sum(col("cnt")).as("sm"), count(lit(1)).as("wn"))
+    counts.join(contrib, Seq("hq", "hr"))
+      .select(col("hq"), col("hr"), col("cnt"), col("sm"), col("wn"))
+  }
+
+  def hexSmoothSql: String =
+    s"""WITH $hexCtes,
+       |counts AS MATERIALIZED (
+       |  SELECT hq, hr, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT counts.hq + d.dq AS hq, counts.hr + d.dr AS hr,
+       |         CAST(sum(cnt) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS wn
+       |  FROM counts,
+       |       (VALUES (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1), (0, 0))
+       |         d(dq, dr)
+       |  GROUP BY 1, 2)
+       |SELECT counts.hq, counts.hr, counts.cnt, contrib.sm, contrib.wn
+       |FROM counts JOIN contrib ON counts.hq = contrib.hq AND counts.hr = contrib.hr""".stripMargin
+
+  // =================================================================
+  // Time-decayed heat per cell (the "recency heatmap" of monitoring
+  // dashboards): each event contributes exp(−age/τ), τ = 5 days,
+  // age measured from the corpus max timestamp (1-row broadcast). The
+  // lmPerplexity discipline for transcendental sums: every per-event
+  // term is quantized to an INTEGER nano-weight (round(·1e9) of a
+  // token-identical double) BEFORE the per-cell sum, so aggregation
+  // order can never shift the result. One map-combined cell exchange.
+  // =================================================================
+
+  def decayHeat(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        evLon(col("event_id")).as("elon"), evLat(col("event_id")).as("elat"))
+    val mx = base.agg(max(col("us")).as("mx"))
+    base.crossJoin(broadcast(mx))
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"),
+        expr("CAST(round(exp(-(CAST(mx - us AS DOUBLE) / 432000000000.0)) * 1000000000.0, 0) AS BIGINT)")
+          .as("wq"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("wq")).as("heat_q"))
+  }
+
+  def decayHeatSql: String =
+    s"""WITH pts AS (SELECT event_id, epoch_us(ts) AS us,
+       |               $evLonSql AS elon, $evLatSql AS elat FROM events),
+       |mxs AS (SELECT max(us) AS mx FROM pts),
+       |w AS (SELECT ${cellSql(6, "elon", "elat")} AS cell,
+       |        CAST(round(exp(-(CAST(mx - us AS DOUBLE) / 432000000000.0)) * 1000000000.0, 0) AS BIGINT) AS wq
+       |      FROM pts CROSS JOIN mxs)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n, CAST(sum(wq) AS BIGINT) AS heat_q
+       |FROM w GROUP BY 1""".stripMargin
+
+  // =================================================================
+  // Implied-speed outlier flagging (the "teleport filter" of GPS/track
+  // cleaning): every consecutive fix pair per user gets its squared
+  // planar displacement over squared gap compared to a speed ceiling.
+  // The dt = 0 tie is decided by EXACT integer logic (moved at all ⇒
+  // teleport) so no NaN ever reaches a predicate — engines disagree on
+  // NaN comparison semantics; the dt > 0 branch is one double division
+  // of exact integers, token-identical both sides. One user-keyed
+  // window exchange, quadratic id scatter (linear lattice steps are
+  // arithmetic-chain degenerate).
+  // =================================================================
+
+  def speedFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        expr("((event_id * event_id * 7919 + event_id * 104729) % 360000) - 180000").as("x"),
+        expr("((event_id * event_id * 104729 + event_id * 7919) % 160000) - 80000").as("y"))
+      .withColumn("px", lag(col("x"), 1).over(w))
+      .withColumn("py", lag(col("y"), 1).over(w))
+      .withColumn("pus", lag(col("us"), 1).over(w))
+      .filter(col("pus").isNotNull)
+      .withColumn("d2", expr("(x - px) * (x - px) + (y - py) * (y - py)"))
+      .withColumn("dt", col("us") - col("pus"))
+      .withColumn("teleport", expr(
+        "CASE WHEN dt = 0 THEN d2 > 0 " +
+          "ELSE CAST(d2 AS DOUBLE) / (CAST(dt AS DOUBLE) * CAST(dt AS DOUBLE)) > 1e-9 END"))
+      .select(col("user_id"), col("event_id"), col("d2"), col("dt"), col("teleport"))
+  }
+
+  def speedFilterSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |         ((event_id * event_id * 7919 + event_id * 104729) % 360000) - 180000 AS x,
+       |         ((event_id * event_id * 104729 + event_id * 7919) % 160000) - 80000 AS y
+       |  FROM events),
+       |sq AS (
+       |  SELECT user_id, event_id, us, x, y,
+       |         lag(x, 1) OVER w AS px, lag(y, 1) OVER w AS py,
+       |         lag(us, 1) OVER w AS pus
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |p AS (
+       |  SELECT user_id, event_id,
+       |         (x - px) * (x - px) + (y - py) * (y - py) AS d2,
+       |         us - pus AS dt
+       |  FROM sq WHERE pus IS NOT NULL)
+       |SELECT user_id, event_id, d2, dt,
+       |       CASE WHEN dt = 0 THEN d2 > 0
+       |            ELSE CAST(d2 AS DOUBLE) / (CAST(dt AS DOUBLE) * CAST(dt AS DOUBLE)) > 1e-9 END AS teleport
+       |FROM p""".stripMargin
 
   // =================================================================
   // D10: nearest-segment snap join (map matching): every event point

@@ -188,6 +188,65 @@ class SpaceTimeSpec extends SparkTestBase {
     assert(got.size > 100, s"only ${got.size} hexes: repair untested")
   }
 
+  test("hex_smooth / decay_heat / speed_filter match plain-Scala recomputations") {
+    import spark.implicits._
+    // hex_smooth: 7-probe neighbor sums over the hex_bin counts
+    val counts = Queries.hexBin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dirs = Seq((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1), (0, 0))
+    val wantHex = counts.map { case ((q, r), c) =>
+      val hits = dirs.flatMap { case (dq, dr) => counts.get((q - dq, r - dr)) }
+      (q, r) -> ((c, hits.sum, hits.size.toLong))
+    }
+    val gotHex = Queries.hexSmooth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(gotHex == wantHex)
+
+    // decay_heat: per-event quantized exp weights summed per cell
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long)].collect()
+    val mx = ev.map(_._2).max
+    val wantHeat = ev.groupBy { case (id, _) =>
+      graft.core.CellMath.lonLatToCell(6,
+        (id * 7919 % 360000) / 1000.0 - 180.0, (id * 104729 % 160000) / 1000.0 - 80.0)
+    }.map { case (c, rows) =>
+      val hq = rows.map { case (_, us) =>
+        BigDecimal(math.exp(-((mx - us).toDouble / 432000000000.0)) * 1000000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      c -> ((rows.length.toLong, hq))
+    }
+    val gotHeat = Queries.decayHeat(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotHeat == wantHeat)
+
+    // speed_filter: pairwise implied-speed flags
+    val evu = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long, Long)].collect()
+    val wantTp = evu.groupBy(_._2).toSeq.flatMap { case (u, rows) =>
+      val pts = rows.sortBy(r => (r._3, r._1)).map { case (id, _, us) =>
+        (id, us,
+          (id * id * 7919 + id * 104729) % 360000 - 180000,
+          (id * id * 104729 + id * 7919) % 160000 - 80000)
+      }
+      pts.zip(pts.drop(1)).map { case ((_, pus, px, py), (id, us, x, y)) =>
+        val d2 = (x - px) * (x - px) + (y - py) * (y - py)
+        val dt = us - pus
+        val tp = if (dt == 0) d2 > 0
+          else d2.toDouble / (dt.toDouble * dt.toDouble) > 1e-9
+        (u, id, d2, dt, tp)
+      }
+    }.toSet
+    val gotTp = Queries.speedFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(gotTp == wantTp)
+    assert(gotTp.exists(_._5) && gotTp.exists(!_._5), "teleport flag vacuous")
+  }
+
   test("sample_weighted matches an E-S exponential-key recomputation and skews long") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
