@@ -128,6 +128,8 @@ object SparkEntry {
     "traj_simplify" -> ((s, d) => Queries.trajSimplify(s, d)),
     // stay-point detection: anchor-reset fold per user track (Li et al.)
     "stay_points" -> ((s, d) => Queries.stayPoints(s, d)),
+    // per-user mobility entropy (quantized nano-nat terms, one exchange)
+    "user_entropy" -> ((s, d) => Queries.userEntropy(s, d)),
     // true Douglas-Peucker: iterative chord refinement to convergence
     "dp_simplify" -> ((s, d) => Queries.dpSimplify(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
@@ -175,6 +177,8 @@ object SparkEntry {
     "link_graph" -> ((s, d) => Queries.linkGraph(s, d)),
     // HITS hubs/authorities over the host graph, integer-exact 3 rounds
     "hits_rank" -> ((s, d) => Queries.hitsRank(s, d)),
+    // anchor-text aggregation per target host (top-3 labels, seeded oracle)
+    "anchor_text" -> ((s, d) => Queries.anchorText(s, d)),
     // politeness-batched crawl scheduling: per-(host,batch) rank + slots
     "crawl_frontier" -> ((s, d) => Queries.crawlFrontier(s, d)),
     // KMV k-minimum-values distinct sketch per lang (bigram hashes)
@@ -421,6 +425,7 @@ object SparkEntry {
     "triangle_count" -> Queries.triangleCountSql,
     "traj_simplify" -> Queries.trajSimplifySql,
     "stay_points" -> Queries.stayPointsSql,
+    "user_entropy" -> Queries.userEntropySql,
     "dp_simplify" -> Queries.dpSimplifySql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
@@ -448,6 +453,7 @@ object SparkEntry {
     "toponym_resolve" -> Queries.toponymResolveSql,
     "link_graph" -> Queries.linkGraphSql,
     "hits_rank" -> Queries.hitsRankSql,
+    "anchor_text" -> Queries.anchorTextSql,
     "crawl_frontier" -> Queries.crawlFrontierSql,
     "kmv_distinct" -> TextOps.kmvDistinctSql,
     "rect_dissolve" -> Queries.rectDissolveSql,

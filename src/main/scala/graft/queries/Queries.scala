@@ -5229,6 +5229,98 @@ object Queries {
        |FROM l GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Anchor-text aggregation (the classic web-ranking signal): every
+  // page's anchors carry a label word drawn from ITS OWN text; the
+  // OPERATOR parses (href, label) pairs out of the html bytes
+  // (per-tag regexp inside whole-stage codegen), aggregates label
+  // counts per TARGET host, and keeps each host's top-3 labels. The
+  // oracle never parses html — it recomputes the labels from the
+  // anchor-seeding arithmetic, so a wrong extractor (missed tag,
+  // label/host mis-parse) changes counts and fails the hash (the
+  // link_graph discipline). Scale: extraction is per-row; the
+  // (host, label) key space is dim-sized; the top-3 window runs on
+  // the post-aggregate dim, not the corpus.
+  // =================================================================
+
+  def anchorText(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val html = concat(
+      lit("<html><body>"),
+      concat_ws("", transform(sequence(lit(1), lit(3)), j =>
+        concat(lit("<a href=\"https://h"),
+          ((col("doc_id") * 31 + j * 17) % 97).cast("string"),
+          lit(".example.org/p/"), (col("doc_id") * 7 + j).cast("string"),
+          lit("\">"),
+          element_at(split(col("text"), " "),
+            ((col("doc_id") + j) % 5 + 1).cast("int")),
+          lit("</a>")))),
+      lit("</body></html>"))
+    val tagged = docs.select(encode(html, "UTF-8").as("html"))
+      .select(explode(regexp_extract_all(decode(col("html"), "UTF-8"),
+        lit("<a href=\"[^\"]+\">[^<]*</a>"), lit(0))).as("tag"))
+      .select(
+        regexp_extract(col("tag"), "href=\"https://([^/]+)/", 1).as("dst_host"),
+        regexp_extract(col("tag"), ">([^<]*)<", 1).as("label"))
+    val counts = tagged.groupBy(col("dst_host"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("dst_host")).orderBy(col("n").desc, col("label").asc)
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("dst_host"), col("label"), col("n"), col("rnk"))
+  }
+
+  def anchorTextSql: String =
+    s"""WITH l AS (
+       |  SELECT 'h' || ((doc_id * 31 + j * 17) % 97) || '.example.org' AS dst_host,
+       |         split_part(text, ' ', CAST((doc_id + j) % 5 + 1 AS INT)) AS label
+       |  FROM (SELECT doc_id, text, unnest(generate_series(1, 3)) AS j FROM documents)),
+       |c AS (SELECT dst_host, label, CAST(count(*) AS BIGINT) AS n FROM l GROUP BY 1, 2),
+       |r AS (SELECT dst_host, label, n,
+       |        CAST(row_number() OVER (PARTITION BY dst_host
+       |                                ORDER BY n DESC, label ASC) AS BIGINT) AS rnk
+       |      FROM c)
+       |SELECT dst_host, label, n, rnk FROM r WHERE rnk <= 3""".stripMargin
+
+  // =================================================================
+  // Per-user mobility entropy (the predictability statistic of human-
+  // mobility analysis): Shannon entropy of each user's z6 cell-visit
+  // distribution. Per-cell terms −p·ln(p) are quantized to INTEGER
+  // nano-nats BEFORE the per-user sum (the lmPerplexity/bearing_hist
+  // transcendental-sum discipline). The per-user total rides a window
+  // over the (user,cell) aggregate — same hash partitioning, so the
+  // window REUSES the groupBy exchange: one exchange total.
+  // =================================================================
+
+  def userEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        F.cellAt(lit(6), evLon(col("event_id")), evLat(col("event_id"))).as("cell"))
+      .groupBy(col("user_id"), col("cell")).agg(count(lit(1)).as("v"))
+      .withColumn("n", sum(col("v")).over(w))
+      .withColumn("hq", expr(
+        "CAST(round(-(CAST(v AS DOUBLE) / n) * ln(CAST(v AS DOUBLE) / n) * 1000000000.0, 0) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_fixes"), count(lit(1)).as("n_cells"),
+        sum(col("hq")).as("ent_q"))
+  }
+
+  def userEntropySql: String =
+    s"""WITH ev AS (SELECT user_id,
+       |              ${cellSql(6, s"($evLonSql)", s"($evLatSql)")} AS cell
+       |            FROM events),
+       |vc AS (SELECT user_id, cell, CAST(count(*) AS BIGINT) AS v FROM ev GROUP BY 1, 2),
+       |wn AS (SELECT user_id, cell, v,
+       |         CAST(sum(v) OVER (PARTITION BY user_id) AS BIGINT) AS n
+       |       FROM vc),
+       |ht AS (SELECT user_id, n,
+       |         CAST(round(-(CAST(v AS DOUBLE) / n) * ln(CAST(v AS DOUBLE) / n) * 1000000000.0, 0) AS BIGINT) AS hq
+       |       FROM wn)
+       |SELECT user_id, CAST(max(n) AS BIGINT) AS n_fixes,
+       |       CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(hq) AS BIGINT) AS ent_q
+       |FROM ht GROUP BY 1""".stripMargin
+
+  // =================================================================
   // HITS hubs & authorities (Kleinberg '99) over the host link graph:
   // 3 mutual-reinforcement rounds, each an edge join + map-combined
   // groupBy, L1-normalized per half-step. The cellPagerank integer

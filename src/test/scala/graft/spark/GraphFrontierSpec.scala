@@ -122,6 +122,48 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(auth.values.toSet.size > 1 && hub.values.toSet.size > 1, "flat scores")
   }
 
+  test("anchor_text matches a seed-arithmetic recomputation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    val want = docs.flatMap { case (d, text) =>
+      val words = text.split(" ")
+      (1 to 3).map(j =>
+        (s"h${(d * 31 + j * 17) % 97}.example.org", words(((d + j) % 5).toInt)))
+    }.groupBy(p => p).map { case ((h, l), a) => (h, l, a.size.toLong) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.toSeq.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((h, l, n), i) => (h, l, n, (i + 1).toLong) }
+      }.toSet
+    val got = Queries.anchorText(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.map(_._2).size > 3, "label variety vacuous")
+  }
+
+  test("user_entropy matches a quantized-term recomputation") {
+    import spark.implicits._
+    import graft.core.CellMath
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id").as[(Long, Long)].collect()
+    val want = ev.groupBy(_._2).map { case (u, rows) =>
+      val byCell = rows.groupBy { case (id, _) => CellMath.lonLatToCell(6,
+        (id * 7919 % 360000) / 1000.0 - 180.0, (id * 104729 % 160000) / 1000.0 - 80.0)
+      }.map { case (_, a) => a.length.toLong }
+      val n = byCell.sum
+      val ent = byCell.map { v =>
+        val p = v.toDouble / n
+        BigDecimal(-p * math.log(p) * 1000000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      u -> ((n, byCell.size.toLong, ent))
+    }
+    val got = Queries.userEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._3 > 0), "all-zero entropy: vacuous")
+  }
+
   test("gravity_fit matches an exact BigInt regression recomputation") {
     import spark.implicits._
     import graft.core.CellMath
