@@ -130,6 +130,8 @@ object SparkEntry {
     "stay_points" -> ((s, d) => Queries.stayPoints(s, d)),
     // per-user mobility entropy (quantized nano-nat terms, one exchange)
     "user_entropy" -> ((s, d) => Queries.userEntropy(s, d)),
+    // day-of-week seasonality per cell with integer chi-square numerator
+    "dow_profile" -> ((s, d) => Queries.dowProfile(s, d)),
     // true Douglas-Peucker: iterative chord refinement to convergence
     "dp_simplify" -> ((s, d) => Queries.dpSimplify(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
@@ -179,6 +181,8 @@ object SparkEntry {
     "hits_rank" -> ((s, d) => Queries.hitsRank(s, d)),
     // anchor-text aggregation per target host (top-3 labels, seeded oracle)
     "anchor_text" -> ((s, d) => Queries.anchorText(s, d)),
+    // term co-occurrence PMI over bounded doc windows, top-50 collocations
+    "pmi_pairs" -> ((s, d) => Queries.pmiPairs(s, d)),
     // politeness-batched crawl scheduling: per-(host,batch) rank + slots
     "crawl_frontier" -> ((s, d) => Queries.crawlFrontier(s, d)),
     // KMV k-minimum-values distinct sketch per lang (bigram hashes)
@@ -426,6 +430,7 @@ object SparkEntry {
     "traj_simplify" -> Queries.trajSimplifySql,
     "stay_points" -> Queries.stayPointsSql,
     "user_entropy" -> Queries.userEntropySql,
+    "dow_profile" -> Queries.dowProfileSql,
     "dp_simplify" -> Queries.dpSimplifySql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,
@@ -454,6 +459,7 @@ object SparkEntry {
     "link_graph" -> Queries.linkGraphSql,
     "hits_rank" -> Queries.hitsRankSql,
     "anchor_text" -> Queries.anchorTextSql,
+    "pmi_pairs" -> Queries.pmiPairsSql,
     "crawl_frontier" -> Queries.crawlFrontierSql,
     "kmv_distinct" -> TextOps.kmvDistinctSql,
     "rect_dissolve" -> Queries.rectDissolveSql,

@@ -5229,6 +5229,115 @@ object Queries {
        |FROM l GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Day-of-week seasonality per cell (the temporal-profile op of the
+  // space-time cube): per-z6-cell visit counts by day of week plus a
+  // uniformity chi-square statistic with CLEARED DENOMINATORS —
+  // chi_q = Σ_d (7·o_d − n)², an EXACT BIGINT (χ² = chi_q/(49·n/7);
+  // the caller divides — no engine division ever happens), missing
+  // days counting o_d = 0 via the 7-slot dense array. One (cell,dow)
+  // exchange + one cell exchange, both map-combined skinny.
+  // =================================================================
+
+  def dowProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(F.cellAt(lit(6), evLon(col("event_id")), evLat(col("event_id"))).as("cell"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7").as("dow"))
+      .groupBy(col("cell"), col("dow")).agg(count(lit(1)).as("o"))
+      .groupBy("cell")
+      .agg(collect_list(struct(col("dow"), col("o"))).as("kv"), sum(col("o")).as("n"))
+      .withColumn("arr", expr(
+        "transform(sequence(0, 6), i -> coalesce(try_element_at(map_from_entries(kv), CAST(i AS BIGINT)), CAST(0 AS BIGINT)))"))
+      .withColumn("chi_q", expr(
+        "aggregate(arr, CAST(0 AS BIGINT), (a, o) -> a + (7 * o - n) * (7 * o - n))"))
+      .select(col("cell"), col("n"), col("chi_q"))
+  }
+
+  def dowProfileSql: String =
+    s"""WITH ev AS (SELECT ${cellSql(6, s"($evLonSql)", s"($evLatSql)")} AS cell,
+       |              (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+       |            FROM events),
+       |oc AS MATERIALIZED (
+       |  SELECT cell, dow, CAST(count(*) AS BIGINT) AS o FROM ev GROUP BY 1, 2),
+       |grid AS (SELECT c.cell, gs.dow
+       |         FROM (SELECT DISTINCT cell FROM oc) c,
+       |              (SELECT unnest(generate_series(0, 6)) AS dow) gs),
+       |dense AS (SELECT g.cell,
+       |            list(coalesce(oc.o, 0) ORDER BY g.dow) AS arr,
+       |            CAST(sum(coalesce(oc.o, 0)) AS BIGINT) AS n
+       |          FROM grid g LEFT JOIN oc ON g.cell = oc.cell AND g.dow = oc.dow
+       |          GROUP BY g.cell)
+       |SELECT cell, n,
+       |       CAST(list_sum(list_transform(arr, o -> (7 * o - n) * (7 * o - n))) AS BIGINT) AS chi_q
+       |FROM dense""".stripMargin
+
+  // =================================================================
+  // Term co-occurrence PMI (the phrase-mining / collocation op of NLP
+  // curation): unordered pairs from each doc's FIRST 10 TOKENS (the
+  // bounded-fanout window — 45 pairs/doc flat at any corpus size),
+  // PMI = ln(n_docs·c_xy / (c_x·c_y)) over doc-level incidence
+  // counts. All counts are exact integers; the PMI double is
+  // token-identical and round(…,6)-quantized for OUTPUT while the
+  // ranking stays on the unrounded key with the pair tiebreak (repo
+  // invariant). Marginals attach via broadcast (the distinct-term dim
+  // is vocabulary-bounded); pairs with c_xy < 3 pruned before any
+  // wide work. Top-50 global — a dim-sized WindowGroupLimit.
+  // =================================================================
+
+  def pmiPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), expr("slice(split(text, ' '), 1, 10)").as("toks"))
+      .select(col("doc_id"), array_distinct(col("toks")).as("toks"))
+      .persist() // pair explode + marginal counts
+    val nDocs = docs.count()
+    val pairs = docs
+      .select(col("doc_id"), explode(expr(
+        "flatten(transform(toks, (x, i) -> transform(slice(toks, i + 2, size(toks)), y -> " +
+          "IF(x < y, named_struct('a', x, 'b', y), named_struct('a', y, 'b', x)))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 3)
+    val terms = docs.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val w = Window.orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+    pairs
+      .join(broadcast(terms.withColumnRenamed("t", "a").withColumnRenamed("ct", "ca")), "a")
+      .join(broadcast(terms.withColumnRenamed("t", "b").withColumnRenamed("ct", "cb")), "b")
+      .withColumn("pmi", expr(
+        s"ln(CAST($nDocs AS DOUBLE) * cxy / (CAST(ca AS DOUBLE) * cb))"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 50)
+      .select(col("a"), col("b"), col("cxy"), col("ca"), col("cb"),
+        round(col("pmi"), 6).as("pmi_r"), col("rnk"))
+  }
+
+  def pmiPairsSql: String =
+    s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')[1:10]) AS toks
+       |           FROM documents),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+       |pr AS (
+       |  SELECT CASE WHEN x < y THEN x ELSE y END AS a,
+       |         CASE WHEN x < y THEN y ELSE x END AS b
+       |  FROM (
+       |    SELECT u.x, unnest(toks[u.i + 1:len(toks)]) AS y
+       |    FROM (SELECT toks, unnest(list_transform(generate_series(1, len(toks)),
+       |                        i -> struct_pack(x := toks[i], i := i))) AS u
+       |          FROM d))),
+       |cp AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cxy
+       |       FROM pr GROUP BY 1, 2 HAVING count(*) >= 3),
+       |tm AS MATERIALIZED (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS ct
+       |  FROM (SELECT unnest(toks) AS t FROM d) GROUP BY 1),
+       |sc AS (
+       |  SELECT cp.a, cp.b, cp.cxy, ta.ct AS ca, tb.ct AS cb,
+       |         ln(CAST(n_docs AS DOUBLE) * cxy / (CAST(ta.ct AS DOUBLE) * tb.ct)) AS pmi
+       |  FROM cp JOIN tm ta ON cp.a = ta.t JOIN tm tb ON cp.b = tb.t
+       |  CROSS JOIN nd),
+       |rk AS (SELECT a, b, cxy, ca, cb, round(pmi, 6) AS pmi_r,
+       |         CAST(row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS BIGINT) AS rnk
+       |       FROM sc)
+       |SELECT a, b, cxy, ca, cb, pmi_r, rnk FROM rk WHERE rnk <= 50""".stripMargin
+
+  // =================================================================
   // Anchor-text aggregation (the classic web-ranking signal): every
   // page's anchors carry a label word drawn from ITS OWN text; the
   // OPERATOR parses (href, label) pairs out of the html bytes

@@ -199,6 +199,50 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(2) - wantIcept) < 1e-9, s"icept ${row.getDouble(2)} vs $wantIcept")
   }
 
+  test("dow_profile matches an integer chi-square recomputation") {
+    import spark.implicits._
+    import graft.core.CellMath
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long)].collect()
+    val want = ev.groupBy { case (id, _) => CellMath.lonLatToCell(6,
+      (id * 7919 % 360000) / 1000.0 - 180.0, (id * 104729 % 160000) / 1000.0 - 80.0)
+    }.map { case (c, rows) =>
+      val o = Array.fill(7)(0L)
+      rows.foreach { case (_, us) => o(((us / 86400000000L + 4) % 7).toInt) += 1 }
+      val n = o.sum
+      c -> ((n, o.map(v => (7 * v - n) * (7 * v - n)).sum))
+    }
+    val got = Queries.dowProfile(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0), "perfectly uniform: chi vacuous")
+  }
+
+  test("pmi_pairs matches a plain-Scala collocation recomputation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (_, t) => t.split(" ").take(10).distinct.toSeq }
+    val nDocs = docs.length
+    val cp = toks.flatMap { ts =>
+      for (i <- ts.indices; j <- i + 1 until ts.length)
+        yield if (ts(i) < ts(j)) (ts(i), ts(j)) else (ts(j), ts(i))
+    }.groupBy(p => p).map { case (k, a) => k -> a.size.toLong }.filter(_._2 >= 3)
+    val ct = toks.flatten.groupBy(t => t).map { case (t, a) => t -> a.size.toLong }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = cp.toSeq.map { case ((a, b), cxy) =>
+      val pmi = math.log(nDocs.toDouble * cxy / (ct(a).toDouble * ct(b)))
+      (a, b, cxy, ct(a), ct(b), pmi)
+    }.sortBy(r => (-r._6, r._1, r._2)).take(50).zipWithIndex
+      .map { case ((a, b, cxy, ca, cb, pmi), i) => (a, b, cxy, ca, cb, r6(pmi), (i + 1).toLong) }
+      .toSet
+    val got = Queries.pmiPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(got == want)
+  }
+
   test("crawl_frontier matches a plain-Scala politeness schedule") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
