@@ -154,6 +154,63 @@ object StreamingIndex {
       }
   }
 
+  /** Streaming geofence transition detection — the batch
+    * `Queries.geofenceEvents` semantics maintained incrementally with
+    * `flatMapGroupsWithState`: state per user is ONE fence id (8 bytes ×
+    * live users — bounded, no growth with stream length), each arriving
+    * fix resolves its containing fence against the driver-frozen rect dim
+    * (min feature_id on overlap, −1 outside, half-open PIP — identical
+    * rules) and a transition row (enter/exit/switch) is emitted whenever
+    * the fence changes. Within a batch the group sorts by (us, event_id)
+    * exactly like the batch lag window; cross-batch order is the source's
+    * contract (same as every per-user streaming op here). */
+  final case class FenceEvent(user_id: Long, event_id: Long, us: Long,
+                              from_f: Long, to_f: Long, kind: String)
+  // NOT private: the state encoder's generated code must see the accessor
+  final case class FenceState(fence: Long)
+
+  def geofenceStream(events: DataFrame,
+                     fences: Array[(Long, Double, Double, Double, Double)])
+      : org.apache.spark.sql.Dataset[FenceEvent] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fenceOf(lon: Double, lat: Double): Long = {
+      var best = -1L
+      var i = 0
+      while (i < fences.length) {
+        val (id, w, s, e, n) = fences(i)
+        if (lon >= w && lon < e && lat >= s && lat < n && (best == -1L || id < best))
+          best = id
+        i += 1
+      }
+      best
+    }
+    events
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("us").as[Long], col("elon").as[Double], col("elat").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FenceState, FenceEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[FenceState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FenceEvent]
+          var cur = state.getOption.map(_.fence)
+          sorted.foreach { case (_, id, us, lon, lat) =>
+            val f = fenceOf(lon, lat)
+            cur match {
+              case Some(p) if p != f =>
+                val kind = if (p == -1L) "enter" else if (f == -1L) "exit" else "switch"
+                out += FenceEvent(user, id, us, p, f, kind)
+              case _ => ()
+            }
+            cur = Some(f)
+          }
+          cur.foreach(f => state.update(FenceState(f)))
+          out.iterator
+      }
+  }
+
   /** Streaming per-cell page counts with watermarked event-time windows —
     * the hot-cell statistics (E5) maintained incrementally: arriving pages
     * carry a proximity point, the aggregation keys on its z6 cell. */

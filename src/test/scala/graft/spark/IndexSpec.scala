@@ -184,6 +184,30 @@ class IndexSpec extends SparkTestBase {
       ("2026-01-01 00:21:00.0", "2026-01-01 00:21:00.0", 1L)), s"got ${rows.toSeq}")
   }
 
+  test("streaming geofence: per-user fence state carries across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double, Double)]
+    val df = mem.toDF().toDF("user_id", "event_id", "us", "elon", "elat")
+    // overlapping fences: id 3 wins over 5 where both contain (min-id rule)
+    val fences = Array((5L, 0.0, 0.0, 10.0, 10.0), (3L, 5.0, 0.0, 15.0, 10.0))
+    val out = graft.streaming.StreamingIndex.geofenceStream(df, fences)
+      .writeStream.format("memory").queryName("gf_out")
+      .outputMode("append").start()
+    mem.addData((7L, 1L, 100L, 2.0, 2.0), (7L, 2L, 200L, 7.0, 2.0))
+    out.processAllAvailable()
+    mem.addData((7L, 3L, 300L, 20.0, 20.0), (7L, 4L, 400L, 2.0, 2.0))
+    out.processAllAvailable(); out.stop()
+    val rows = spark.sql("SELECT event_id, from_f, to_f, kind FROM gf_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // first fix emits nothing; then switch 5->3, exit 3->-1 (cross-batch
+    // state carry), enter -1->5
+    assert(rows.toSeq == Seq(
+      (2L, 5L, 3L, "switch"), (3L, 3L, -1L, "exit"), (4L, -1L, 5L, "enter")),
+      s"got ${rows.toSeq}")
+  }
+
   test("streaming curation: sequential-scrub keeps vs the batch independent flags") {
     import spark.implicits._
     import graft.ops.TextOps
