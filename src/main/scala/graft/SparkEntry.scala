@@ -132,6 +132,10 @@ object SparkEntry {
     "user_entropy" -> ((s, d) => Queries.userEntropy(s, d)),
     // day-of-week seasonality per cell with integer chi-square numerator
     "dow_profile" -> ((s, d) => Queries.dowProfile(s, d)),
+    // ordered funnel view->click->signup->purchase per user (fold + min-chain)
+    "funnel_steps" -> ((s, d) => Queries.funnelSteps(s, d)),
+    // per-origin-cell transition entropy over the OD matrix
+    "trans_entropy" -> ((s, d) => Queries.transEntropy(s, d)),
     // true Douglas-Peucker: iterative chord refinement to convergence
     "dp_simplify" -> ((s, d) => Queries.dpSimplify(s, d)),
     "cell_compact" -> ((s, d) => Queries.cellCompact(s, d)),
@@ -431,6 +435,8 @@ object SparkEntry {
     "stay_points" -> Queries.stayPointsSql,
     "user_entropy" -> Queries.userEntropySql,
     "dow_profile" -> Queries.dowProfileSql,
+    "funnel_steps" -> Queries.funnelStepsSql,
+    "trans_entropy" -> Queries.transEntropySql,
     "dp_simplify" -> Queries.dpSimplifySql,
     "cell_compact" -> Queries.cellCompactSql,
     "reverse_pip" -> Queries.reversePipSql,

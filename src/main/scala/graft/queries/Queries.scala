@@ -5229,6 +5229,118 @@ object Queries {
        |FROM l GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Ordered funnel analysis (view → click → signup → purchase): per
+  // user, the time of the first step-k event STRICTLY AFTER the
+  // completed step k−1 and WITHIN the 12-hour conversion window — the
+  // canonical product-analytics funnel with ordered semantics (without
+  // the window every synthetic user converts and depth is vacuous). The engine runs it as ONE user-keyed fold over
+  // the time-sorted event array (the stay_points shape); the oracle is
+  // the equivalent chain of filtered MIN aggregates (first-in-time-
+  // order ≡ min us over the qualifying set; strict > on integer
+  // microseconds decides equal-timestamp ties identically on both
+  // sides). Missing steps encode as −1, never NULL — nullable BIGINTs
+  // round-trip the compare as float64 and invite 2^53 hazards.
+  // =================================================================
+
+  private val FunnelSteps = Seq("view", "click", "signup", "purchase")
+  private val FunnelWinUs = 43200000000L // 12 h conversion window per step
+
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val step = (k: Int, prev: String) =>
+      s"IF(p.event_type = '${FunnelSteps(k)}' AND $prev <> -1 AND s.t${k + 1} = -1 " +
+        s"AND p.us > $prev AND p.us <= $prev + $FunnelWinUs, p.us, s.t${k + 1})"
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("pts"))
+      .withColumn("f", expr(
+        s"""aggregate(pts,
+           |  named_struct('t1', CAST(-1 AS BIGINT), 't2', CAST(-1 AS BIGINT),
+           |               't3', CAST(-1 AS BIGINT), 't4', CAST(-1 AS BIGINT)),
+           |  (s, p) -> named_struct(
+           |    't1', IF(p.event_type = 'view' AND s.t1 = -1, p.us, s.t1),
+           |    't2', ${step(1, "s.t1")},
+           |    't3', ${step(2, "s.t2")},
+           |    't4', ${step(3, "s.t3")}))""".stripMargin))
+      .select(col("user_id"),
+        col("f.t1").as("t1"), col("f.t2").as("t2"),
+        col("f.t3").as("t3"), col("f.t4").as("t4"))
+      .withColumn("depth", expr(
+        "CASE WHEN t4 <> -1 THEN CAST(4 AS BIGINT) WHEN t3 <> -1 THEN 3 " +
+          "WHEN t2 <> -1 THEN 2 WHEN t1 <> -1 THEN 1 ELSE 0 END"))
+  }
+
+  def funnelStepsSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+       |u1 AS (SELECT user_id,
+       |         CAST(coalesce(min(us) FILTER (WHERE event_type = 'view'), -1) AS BIGINT) AS t1
+       |       FROM ev GROUP BY 1),
+       |u2 AS (SELECT ev.user_id, u1.t1,
+       |         CAST(coalesce(min(us) FILTER (WHERE event_type = 'click'
+       |                                       AND u1.t1 <> -1 AND us > u1.t1
+       |                                       AND us <= u1.t1 + $FunnelWinUs), -1) AS BIGINT) AS t2
+       |       FROM ev JOIN u1 ON ev.user_id = u1.user_id GROUP BY 1, 2),
+       |u3 AS (SELECT ev.user_id, u2.t1, u2.t2,
+       |         CAST(coalesce(min(us) FILTER (WHERE event_type = 'signup'
+       |                                       AND u2.t2 <> -1 AND us > u2.t2
+       |                                       AND us <= u2.t2 + $FunnelWinUs), -1) AS BIGINT) AS t3
+       |       FROM ev JOIN u2 ON ev.user_id = u2.user_id GROUP BY 1, 2, 3),
+       |u4 AS (SELECT ev.user_id, u3.t1, u3.t2, u3.t3,
+       |         CAST(coalesce(min(us) FILTER (WHERE event_type = 'purchase'
+       |                                       AND u3.t3 <> -1 AND us > u3.t3
+       |                                       AND us <= u3.t3 + $FunnelWinUs), -1) AS BIGINT) AS t4
+       |       FROM ev JOIN u3 ON ev.user_id = u3.user_id GROUP BY 1, 2, 3, 4)
+       |SELECT user_id, t1, t2, t3, t4,
+       |       CASE WHEN t4 <> -1 THEN CAST(4 AS BIGINT) WHEN t3 <> -1 THEN 3
+       |            WHEN t2 <> -1 THEN 2 WHEN t1 <> -1 THEN 1 ELSE 0 END AS depth
+       |FROM u4""".stripMargin
+
+  // =================================================================
+  // Per-origin-cell transition entropy (second-order mobility
+  // predictability): Shannon entropy of each origin cell's outgoing
+  // OD distribution — the user_entropy discipline applied to the
+  // od_flows matrix: per-destination −p·ln p terms quantized to
+  // INTEGER nano-nats before the origin sum; the origin total windows
+  // over the (o,d) aggregate, REUSING its exchange.
+  // =================================================================
+
+  def transEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_cell"))
+    odFlows(spark, sfDir)
+      .withColumn("n", sum(col("flows")).over(w))
+      .withColumn("hq", expr(
+        "CAST(round(-(CAST(flows AS DOUBLE) / n) * ln(CAST(flows AS DOUBLE) / n) * 1000000000.0, 0) AS BIGINT)"))
+      .groupBy(col("o_cell"))
+      .agg(max(col("n")).as("n_out"), count(lit(1)).as("n_dst"),
+        sum(col("hq")).as("ent_q"))
+  }
+
+  def transEntropySql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, ts, user_id,
+       |         ${cellSql(6, s"($evLonSql)", s"($evLatSql)")} AS o_cell
+       |  FROM events),
+       |seq AS (
+       |  SELECT o_cell,
+       |         lead(o_cell, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d_cell
+       |  FROM ev),
+       |fl AS (SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS flows
+       |       FROM seq WHERE d_cell IS NOT NULL
+       |       GROUP BY o_cell, d_cell),
+       |wn AS (SELECT o_cell, flows,
+       |         CAST(sum(flows) OVER (PARTITION BY o_cell) AS BIGINT) AS n
+       |       FROM fl),
+       |ht AS (SELECT o_cell, n,
+       |         CAST(round(-(CAST(flows AS DOUBLE) / n) * ln(CAST(flows AS DOUBLE) / n) * 1000000000.0, 0) AS BIGINT) AS hq
+       |       FROM wn)
+       |SELECT o_cell, CAST(max(n) AS BIGINT) AS n_out,
+       |       CAST(count(*) AS BIGINT) AS n_dst, CAST(sum(hq) AS BIGINT) AS ent_q
+       |FROM ht GROUP BY 1""".stripMargin
+
+  // =================================================================
   // Day-of-week seasonality per cell (the temporal-profile op of the
   // space-time cube): per-z6-cell visit counts by day of week plus a
   // uniformity chi-square statistic with CLEARED DENOMINATORS —

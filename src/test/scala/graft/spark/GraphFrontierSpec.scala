@@ -199,6 +199,58 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(2) - wantIcept) < 1e-9, s"icept ${row.getDouble(2)} vs $wantIcept")
   }
 
+  test("funnel_steps matches a sequential-walk recomputation with depth variety") {
+    import spark.implicits._
+    val win = 43200000000L
+    val steps = Seq("view", "click", "signup", "purchase")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val t = Array.fill(4)(-1L)
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, ty) =>
+        val k = steps.indexOf(ty)
+        if (k == 0 && t(0) == -1L) t(0) = us
+        else if (k > 0 && t(k - 1) != -1L && t(k) == -1L &&
+          us > t(k - 1) && us <= t(k - 1) + win) t(k) = us
+      }
+      val depth = t.lastIndexWhere(_ != -1L) + 1
+      u -> ((t(0), t(1), t(2), t(3), depth.toLong))
+    }
+    val got = Queries.funnelSteps(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    assert(want.values.map(_._5).toSet.size >= 3, "funnel depth vacuous")
+  }
+
+  test("trans_entropy matches a quantized-term recomputation") {
+    import spark.implicits._
+    import graft.core.CellMath
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long, Long)].collect()
+    def cellOf(id: Long): Long = CellMath.lonLatToCell(6,
+      (id * 7919 % 360000) / 1000.0 - 180.0, (id * 104729 % 160000) / 1000.0 - 80.0)
+    val flows = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val cs = rows.sortBy(r => (r._3, r._1)).map(r => cellOf(r._1))
+      cs.zip(cs.drop(1))
+    }.groupBy(p => p).map { case ((o, d), a) => (o, d, a.size.toLong) }
+    val want = flows.groupBy(_._1).map { case (o, fs) =>
+      val n = fs.map(_._3).sum
+      val ent = fs.map { case (_, _, v) =>
+        val p = v.toDouble / n
+        BigDecimal(-p * math.log(p) * 1000000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      o -> ((n, fs.size.toLong, ent))
+    }
+    val got = Queries.transEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
   test("dow_profile matches an integer chi-square recomputation") {
     import spark.implicits._
     import graft.core.CellMath
