@@ -185,6 +185,8 @@ object SparkEntry {
     "hits_rank" -> ((s, d) => Queries.hitsRank(s, d)),
     // anchor-text aggregation per target host (top-3 labels, seeded oracle)
     "anchor_text" -> ((s, d) => Queries.anchorText(s, d)),
+    // per-host geo profile: exact integer centroid + cleared-denominator spread
+    "host_geo" -> ((s, d) => Queries.hostGeo(s, d)),
     // term co-occurrence PMI over bounded doc windows, top-50 collocations
     "pmi_pairs" -> ((s, d) => Queries.pmiPairs(s, d)),
     // politeness-batched crawl scheduling: per-(host,batch) rank + slots
@@ -465,6 +467,7 @@ object SparkEntry {
     "link_graph" -> Queries.linkGraphSql,
     "hits_rank" -> Queries.hitsRankSql,
     "anchor_text" -> Queries.anchorTextSql,
+    "host_geo" -> Queries.hostGeoSql,
     "pmi_pairs" -> Queries.pmiPairsSql,
     "crawl_frontier" -> Queries.crawlFrontierSql,
     "kmv_distinct" -> TextOps.kmvDistinctSql,

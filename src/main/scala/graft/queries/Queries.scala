@@ -5229,6 +5229,52 @@ object Queries {
        |FROM l GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Per-host geographic profile (the webtext×geo composition stat: how
+  // spread out is each host's content?): over each host's pages'
+  // proximity points, the exact integer centroid and the CLEARED-
+  // DENOMINATOR dispersion disp_q = n·Σ(x²+y²) − (Σx)² − (Σy)²
+  // (= n² × coordinate variance sum — no centroid subtraction, no
+  // division, no doubles anywhere). Sums accumulate as DECIMAL(38,0)/
+  // HUGEINT (n·Σx² passes 2⁶³ once a host holds ~10⁵ pages — the
+  // gravity_fit widening, load-bearing); the milli-lattice shift keeps
+  // the centroid divisions on non-negative operands (div ≡ //). One
+  // map-combined host exchange, dim-sized output.
+  // =================================================================
+
+  def hostGeo(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        expr("concat('h', CAST(doc_id % 97 AS STRING), '.example.org')").as("host"),
+        expr("(doc_id * 7919) % 360000").as("xs"),
+        expr("(doc_id * 104729) % 140000").as("ys"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("xs"))).as("sx"), sum(d(col("ys"))).as("sy"),
+        sum(d(col("xs")) * d(col("xs")) + d(col("ys")) * d(col("ys"))).as("s2"))
+      .select(col("host"), col("n"),
+        expr("CAST(sx div n AS BIGINT) - 180000").as("cx"),
+        expr("CAST(sy div n AS BIGINT) - 70000").as("cy"),
+        expr("CAST(n * s2 - sx * sx - sy * sy AS BIGINT)").as("disp_q"))
+  }
+
+  def hostGeoSql: String =
+    s"""WITH p AS (
+       |  SELECT 'h' || (doc_id % 97) || '.example.org' AS host,
+       |         (doc_id * 7919) % 360000 AS xs,
+       |         (doc_id * 104729) % 140000 AS ys
+       |  FROM documents),
+       |a AS (SELECT host, CAST(count(*) AS BIGINT) AS n,
+       |             sum(xs) AS sx, sum(ys) AS sy,
+       |             sum(xs * xs + ys * ys) AS s2
+       |      FROM p GROUP BY 1)
+       |SELECT host, n,
+       |       CAST(sx // n AS BIGINT) - 180000 AS cx,
+       |       CAST(sy // n AS BIGINT) - 70000 AS cy,
+       |       CAST(n * s2 - sx * sx - sy * sy AS BIGINT) AS disp_q
+       |FROM a""".stripMargin
+
+  // =================================================================
   // Ordered funnel analysis (view → click → signup → purchase): per
   // user, the time of the first step-k event STRICTLY AFTER the
   // completed step k−1 and WITHIN the 12-hour conversion window — the

@@ -164,6 +164,27 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(got.values.exists(_._3 > 0), "all-zero entropy: vacuous")
   }
 
+  test("host_geo matches an exact BigInt profile recomputation") {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id").as[Long].collect()
+    val want = ids.groupBy(_ % 97).map { case (h, ds) =>
+      val xs = ds.map(d => BigInt(d * 7919 % 360000))
+      val ys = ds.map(d => BigInt(d * 104729 % 140000))
+      val n = BigInt(ds.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val s2 = xs.map(x => x * x).sum + ys.map(y => y * y).sum
+      s"h$h.example.org" -> ((ds.length.toLong,
+        (sx / n).toLong - 180000, (sy / n).toLong - 70000,
+        (n * s2 - sx * sx - sy * sy).toLong))
+    }
+    val got = Queries.hostGeo(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._4 > 0), "zero dispersion everywhere: vacuous")
+  }
+
   test("gravity_fit matches an exact BigInt regression recomputation") {
     import spark.implicits._
     import graft.core.CellMath
