@@ -69,6 +69,8 @@ object SparkEntry {
     "hex_smooth" -> ((s, d) => Queries.hexSmooth(s, d)),
     // recency heatmap: int-quantized exp(-age/tau) summed per cell
     "decay_heat" -> ((s, d) => Queries.decayHeat(s, d)),
+    // incremental-maintenance diff: changed z6 cells between snapshot halves
+    "tile_diff" -> ((s, d) => Queries.tileDiff(s, d)),
     // implied-speed teleport flags per consecutive fix pair
     "speed_filter" -> ((s, d) => Queries.speedFilter(s, d)),
     // Getis-Ord Gi* hotspot z-scores over z6 cell counts
@@ -407,6 +409,7 @@ object SparkEntry {
     "hex_bin" -> Queries.hexBinSql,
     "hex_smooth" -> Queries.hexSmoothSql,
     "decay_heat" -> Queries.decayHeatSql,
+    "tile_diff" -> Queries.tileDiffSql,
     "speed_filter" -> Queries.speedFilterSql,
     "gi_star" -> Queries.giStarSql,
     "mk_trend" -> Queries.mkTrendSql,

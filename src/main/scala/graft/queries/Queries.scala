@@ -5229,6 +5229,53 @@ object Queries {
        |FROM l GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Changed-tile diff (the incremental-view-maintenance primitive of a
+  // tile pipeline: which cells must re-render between two snapshots?):
+  // the event stream splits at its midpoint timestamp (1-row broadcast,
+  // exact integer midpoint) into consecutive batches A and B; per-z6-
+  // cell counts FULL-OUTER join on cell and cells with a nonzero delta
+  // emit (cnt_a, cnt_b, delta). Two map-combined aggregations + one
+  // cell-keyed join — at 10^12 events the two sides are snapshot
+  // manifests, and the diff output is exactly the re-render worklist.
+  // =================================================================
+
+  def tileDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"),
+        F.cellAt(lit(6), evLon(col("event_id")), evLat(col("event_id"))).as("cell"))
+    val st = base.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val cut = base.crossJoin(broadcast(st))
+      .withColumn("half", expr("(mn + mx + 1) div 2")).persist() // both sides
+    val a = cut.filter(col("us") < col("half"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt_a"))
+    val b = cut.filter(col("us") >= col("half"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt_b"))
+    a.join(b, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .withColumn("delta", col("cnt_b") - col("cnt_a"))
+      .filter(col("delta") =!= 0)
+  }
+
+  def tileDiffSql: String =
+    s"""WITH pts AS (SELECT epoch_us(ts) AS us,
+       |               ${cellSql(6, s"($evLonSql)", s"($evLatSql)")} AS cell
+       |             FROM events),
+       |st AS (SELECT min(us) AS mn, max(us) AS mx FROM pts),
+       |cut AS (SELECT cell, us, (mn + mx + 1) // 2 AS half
+       |        FROM pts CROSS JOIN st),
+       |a AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt_a
+       |      FROM cut WHERE us < half GROUP BY 1),
+       |b AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt_b
+       |      FROM cut WHERE us >= half GROUP BY 1),
+       |d AS (SELECT coalesce(a.cell, b.cell) AS cell,
+       |             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+       |      FROM a FULL OUTER JOIN b ON a.cell = b.cell)
+       |SELECT cell, cnt_a, cnt_b, cnt_b - cnt_a AS delta
+       |FROM d WHERE cnt_b - cnt_a <> 0""".stripMargin
+
+  // =================================================================
   // Per-host geographic profile (the webtext×geo composition stat: how
   // spread out is each host's content?): over each host's pages'
   // proximity points, the exact integer centroid and the CLEARED-

@@ -164,6 +164,26 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(got.values.exists(_._3 > 0), "all-zero entropy: vacuous")
   }
 
+  test("tile_diff matches a snapshot-half recomputation") {
+    import spark.implicits._
+    import graft.core.CellMath
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long)].collect()
+    val half = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    def cellOf(id: Long) = CellMath.lonLatToCell(6,
+      (id * 7919 % 360000) / 1000.0 - 180.0, (id * 104729 % 160000) / 1000.0 - 80.0)
+    val a = ev.filter(_._2 < half).groupBy(e => cellOf(e._1)).view.mapValues(_.length.toLong)
+    val b = ev.filter(_._2 >= half).groupBy(e => cellOf(e._1)).view.mapValues(_.length.toLong)
+    val want = (a.keySet ++ b.keySet).map { c =>
+      (c, a.getOrElse(c, 0L), b.getOrElse(c, 0L))
+    }.collect { case (c, x, y) if y - x != 0 => (c, x, y, y - x) }.toSet
+    val got = Queries.tileDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.exists(_._4 > 0) && got.exists(_._4 < 0), "one-sided diff: vacuous")
+  }
+
   test("host_geo matches an exact BigInt profile recomputation") {
     import spark.implicits._
     val ids = spark.read.parquet(s"$sf/documents.parquet")
