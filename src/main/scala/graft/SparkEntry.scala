@@ -101,6 +101,8 @@ object SparkEntry {
     "kde_grid" -> ((s, d) => Queries.kdeGrid(s, d)),
     // standard deviational ellipse per event type, exact BIGINT moments
     "std_ellipse" -> ((s, d) => Queries.stdEllipse(s, d)),
+    // Weiszfeld geometric median per type, 3 quantized-replay iterations
+    "median_center" -> ((s, d) => Queries.medianCenter(s, d)),
     // points covered by NO feature: cell-blocked PIP + skinny id anti-join
     "pip_anti" -> ((s, d) => Queries.pipAnti(s, d)),
     // zonal statistics: per-feature aggregation of a z10 cell value field
@@ -425,6 +427,7 @@ object SparkEntry {
     "local_moran" -> Queries.localMoranSql,
     "kde_grid" -> Queries.kdeGridSql,
     "std_ellipse" -> Queries.stdEllipseSql,
+    "median_center" -> Queries.medianCenterSql,
     "pip_anti" -> Queries.pipAntiSql,
     "zonal_stats" -> Queries.zonalStatsSql,
     "skyline" -> Queries.skylineSql,

@@ -5229,6 +5229,90 @@ object Queries {
        |FROM l GROUP BY 1, 2""".stripMargin
 
   // =================================================================
+  // Median center (geometric median per event type, Weiszfeld '37 — the
+  // robust companion to std_ellipse in the centrography toolbox): 3
+  // fixed Weiszfeld iterations from the integer mean center. Every
+  // iteration's per-point terms 10⁹/d and 10⁹·x/d are QUANTIZED TO
+  // BIGINT before summing (order-independent; sums widen to
+  // DECIMAL(38,0)/HUGEINT), the new center is one integer division, and
+  // the d = 0 coincidence point drops out via an EXACT integer d² gate
+  // — so the unrolled-CTE oracle replays the iteration bit-for-bit (the
+  // cellPagerank/embed_kmeans discipline). Per round: one broadcast of
+  // the 5-row center dim + one map-combined type aggregation.
+  // =================================================================
+
+  private val WzScale = 1000000000L // 1e9 weight quantum
+
+  def medianCenter(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"),
+        expr("(event_id * 7919) % 360000").as("xs"),
+        expr("(event_id * 104729) % 160000").as("ys"))
+      .persist() // read by the init mean + every Weiszfeld round
+    var ctr = pts.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(xs) div count(*) AS BIGINT)").as("cx"),
+        expr("CAST(sum(ys) div count(*) AS BIGINT)").as("cy"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      ctr = pts.join(broadcast(ctr), "event_type")
+        .withColumn("d2", expr("(xs - cx) * (xs - cx) + (ys - cy) * (ys - cy)"))
+        .withColumn("wq", expr(
+          s"IF(d2 = 0, CAST(0 AS BIGINT), CAST(round($WzScale.0 / sqrt(CAST(d2 AS DOUBLE)), 0) AS BIGINT))"))
+        .withColumn("wxq", expr(
+          s"IF(d2 = 0, CAST(0 AS BIGINT), CAST(round(xs * $WzScale.0 / sqrt(CAST(d2 AS DOUBLE)), 0) AS BIGINT))"))
+        .withColumn("wyq", expr(
+          s"IF(d2 = 0, CAST(0 AS BIGINT), CAST(round(ys * $WzScale.0 / sqrt(CAST(d2 AS DOUBLE)), 0) AS BIGINT))"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          sum(d(col("wxq"))).as("swx"), sum(d(col("wyq"))).as("swy"),
+          sum(d(col("wq"))).as("sw"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(swx div sw AS BIGINT)").as("cx"),
+          expr("CAST(swy div sw AS BIGINT)").as("cy"))
+        .localCheckpoint()
+    }
+    ctr.select(col("event_type"), col("n"),
+      (col("cx") - 180000).as("cx"), (col("cy") - 80000).as("cy"))
+  }
+
+  def medianCenterSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""w$i AS (
+         |  SELECT p.event_type, c.n,
+         |         CASE WHEN (p.xs - c.cx) * (p.xs - c.cx) + (p.ys - c.cy) * (p.ys - c.cy) = 0
+         |              THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(round($WzScale.0 / sqrt(CAST((p.xs - c.cx) * (p.xs - c.cx) + (p.ys - c.cy) * (p.ys - c.cy) AS DOUBLE)), 0) AS BIGINT) END AS wq,
+         |         CASE WHEN (p.xs - c.cx) * (p.xs - c.cx) + (p.ys - c.cy) * (p.ys - c.cy) = 0
+         |              THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(round(p.xs * $WzScale.0 / sqrt(CAST((p.xs - c.cx) * (p.xs - c.cx) + (p.ys - c.cy) * (p.ys - c.cy) AS DOUBLE)), 0) AS BIGINT) END AS wxq,
+         |         CASE WHEN (p.xs - c.cx) * (p.xs - c.cx) + (p.ys - c.cy) * (p.ys - c.cy) = 0
+         |              THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(round(p.ys * $WzScale.0 / sqrt(CAST((p.xs - c.cx) * (p.xs - c.cx) + (p.ys - c.cy) * (p.ys - c.cy) AS DOUBLE)), 0) AS BIGINT) END AS wyq
+         |  FROM pts p JOIN c${i - 1} c ON p.event_type = c.event_type),
+         |c$i AS MATERIALIZED (
+         |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |         CAST(sum(wxq) // sum(wq) AS BIGINT) AS cx,
+         |         CAST(sum(wyq) // sum(wq) AS BIGINT) AS cy
+         |  FROM w$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT event_type,
+       |         (event_id * 7919) % 360000 AS xs,
+       |         (event_id * 104729) % 160000 AS ys
+       |  FROM events),
+       |c0 AS MATERIALIZED (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(xs) // count(*) AS BIGINT) AS cx,
+       |         CAST(sum(ys) // count(*) AS BIGINT) AS cy
+       |  FROM pts GROUP BY 1),
+       |$rounds
+       |SELECT event_type, n, cx - 180000 AS cx, cy - 80000 AS cy
+       |FROM c3""".stripMargin
+  }
+
+  // =================================================================
   // Changed-tile diff (the incremental-view-maintenance primitive of a
   // tile pipeline: which cells must re-render between two snapshots?):
   // the event stream splits at its midpoint timestamp (1-row broadcast,

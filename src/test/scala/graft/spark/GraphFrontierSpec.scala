@@ -164,6 +164,47 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(got.values.exists(_._3 > 0), "all-zero entropy: vacuous")
   }
 
+  test("median_center matches a quantized Weiszfeld replay and lowers the objective") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "event_type").as[(Long, String)].collect()
+    def rnd(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = ev.groupBy(_._2).map { case (ty, rows) =>
+      val pts = rows.map { case (id, _) =>
+        (id * 7919 % 360000, id * 104729 % 160000)
+      }
+      val n = pts.length.toLong
+      var cx = pts.map(p => BigInt(p._1)).sum / n
+      var cy = pts.map(p => BigInt(p._2)).sum / n
+      var objInit = -1.0
+      for (k <- 1 to 3) {
+        if (k == 1) objInit = pts.map { case (x, y) =>
+          math.sqrt(((x - cx) * (x - cx) + (y - cy) * (y - cy)).toDouble)
+        }.sum
+        var (swx, swy, sw) = (BigInt(0), BigInt(0), BigInt(0))
+        pts.foreach { case (x, y) =>
+          val d2 = (BigInt(x) - cx) * (BigInt(x) - cx) + (BigInt(y) - cy) * (BigInt(y) - cy)
+          if (d2 != 0) {
+            val dd = math.sqrt(d2.toDouble)
+            sw += rnd(1000000000.0 / dd)
+            swx += rnd(x.toLong * 1000000000.0 / dd)
+            swy += rnd(y.toLong * 1000000000.0 / dd)
+          }
+        }
+        cx = swx / sw; cy = swy / sw
+      }
+      val objFinal = pts.map { case (x, y) =>
+        math.sqrt(((x - cx) * (x - cx) + (y - cy) * (y - cy)).toDouble)
+      }.sum
+      assert(objFinal <= objInit, s"$ty objective rose: $objFinal > $objInit")
+      ty -> ((n, cx.toLong - 180000, cy.toLong - 80000))
+    }
+    val got = Queries.medianCenter(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
   test("tile_diff matches a snapshot-half recomputation") {
     import spark.implicits._
     import graft.core.CellMath
