@@ -165,6 +165,10 @@ object SparkEntry {
         Synth.custFeatures(s, d).select(col("feature_id"), col("flon"), col("flat")), 8)),
     "knn_disk" -> ((s, d) => Queries.knnDisk(s, d)),
     "reverse_topk" -> ((s, d) => Queries.reverseTopK(s, d)),
+    // k-NN majority-vote classification over the reverse-top-3 neighbors
+    "knn_classify" -> ((s, d) => Queries.knnClassify(s, d)),
+    // spatial Gini of the per-cell event distribution (integer numerator)
+    "cell_gini" -> ((s, d) => Queries.cellGini(s, d)),
     "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
     "context_assemble" -> ((s, d) => Queries.contextAssemble(s, d)),
     "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
@@ -456,6 +460,8 @@ object SparkEntry {
     "quantiles_lang" -> TextOps.quantilesByLangSql,
     "knn_disk" -> Queries.knnDiskSql,
     "reverse_topk" -> Queries.reverseTopKSql,
+    "knn_classify" -> Queries.knnClassifySql,
+    "cell_gini" -> Queries.cellGiniSql,
     "context_chain" -> Queries.contextChainSql,
     "context_assemble" -> Queries.contextAssembleSql,
     "bbox_filter" -> Queries.bboxFilterSql,

@@ -1565,6 +1565,104 @@ object Queries {
        |FROM ranked WHERE rank <= 3""".stripMargin
 
   // =================================================================
+  // k-NN majority-vote classification (the ML-flavored spatial op):
+  // each probe point takes the modal class (feature_id mod 5 — the
+  // synthetic label) of its reverse-top-3 neighbors, ties to the
+  // smallest class. Rides the EXACT reverseTopK machinery (containment
+  // first, unrounded haversine ranking key, id tiebreak); the vote is
+  // pure integer counting with a deterministic argmax window that
+  // reuses the event-keyed exchange. Oracle = the reverse_topk mirror
+  // rebased token-for-token + the vote CTEs (repo composition rule).
+  // =================================================================
+
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_id")).orderBy(col("votes").desc, col("cls").asc)
+    Geocode.reverseTopK(eventPoints(spark, sfDir), custFeatures(spark, sfDir),
+        z = 8, r = 2, limit = 3)
+      .select(col("event_id"), (col("feature_id") % 5).as("cls"))
+      .groupBy(col("event_id"), col("cls")).agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("cls"), col("votes"))
+  }
+
+  def knnClassifySql: String =
+    s"""WITH cf AS (${custFeaturesSql}), pts AS (${eventPointsSql}),
+       |pip AS (
+       |  SELECT p.event_id, f.feature_id,
+       |         ${haversineSql("p.elon", "p.elat", "f.flon", "f.flat")} AS dist,
+       |         1 AS is_inside
+       |  FROM pts p JOIN cf f
+       |    ON p.elon >= f.west AND p.elon < f.east
+       |   AND p.elat >= f.south AND p.elat < f.north),
+       |pc AS (SELECT event_id, elon, elat,
+       |              ${tileXSql(8, "elon")} AS ex, ${tileYSql(8, "elat")} AS ey FROM pts),
+       |fc AS (SELECT feature_id, flon, flat,
+       |              ${tileXSql(8, "flon")} AS fx, ${tileYSql(8, "flat")} AS fy FROM cf),
+       |diskc AS (
+       |  SELECT p.event_id, f.feature_id,
+       |         ${haversineSql("p.elon", "p.elat", "f.flon", "f.flat")} AS dist,
+       |         row_number() OVER (PARTITION BY p.event_id
+       |                            ORDER BY ${haversineSql("p.elon", "p.elat", "f.flon", "f.flat")} ASC,
+       |                                     f.feature_id ASC) AS rn
+       |  FROM pc p, LATERAL (SELECT unnest(generate_series(-2, 2)) AS dx) dxs,
+       |       LATERAL (SELECT unnest(generate_series(-2, 2)) AS dy) dys
+       |  JOIN fc f ON f.fx = p.ex + dxs.dx AND f.fy = p.ey + dys.dy),
+       |near AS (SELECT event_id, feature_id, dist, 0 AS is_inside
+       |         FROM diskc WHERE rn <= 3),
+       |u AS (SELECT event_id, feature_id, max(is_inside) AS is_inside,
+       |             min(dist) AS dist
+       |      FROM (SELECT * FROM pip UNION ALL SELECT * FROM near)
+       |      GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_id
+       |                               ORDER BY is_inside DESC, dist ASC, feature_id ASC) AS rank
+       |  FROM u),
+       |v AS (SELECT event_id, feature_id % 5 AS cls, CAST(count(*) AS BIGINT) AS votes
+       |      FROM ranked WHERE rank <= 3 GROUP BY 1, 2),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_id
+       |                                    ORDER BY votes DESC, cls ASC) AS rn
+       |       FROM v)
+       |SELECT event_id, cls, votes FROM r2 WHERE rn = 1""".stripMargin
+
+  // =================================================================
+  // Spatial Gini coefficient (inequality of the event distribution
+  // over occupied z6 cells): after the per-cell aggregation the frame
+  // is dim-sized, so the global ascending-rank window is a ≤4096-row
+  // sort, not a corpus sort. The numerator 2·Σi·xᵢ − (n+1)·Σx is EXACT
+  // BIGINT; only the reporting ratio divides (token-identical, rounded).
+  // =================================================================
+
+  def cellGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("cnt").asc, col("cell").asc)
+    eventPoints(spark, sfDir)
+      .select(F.cellAt(lit(6), col("elon"), col("elat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("total"),
+        sum(col("i") * col("cnt")).as("sic"))
+      .select(col("n_cells"), col("total"),
+        (lit(2L) * col("sic") - (col("n_cells") + 1) * col("total")).as("gini_num"))
+      .withColumn("gini_r", expr(
+        "round(CAST(gini_num AS DOUBLE) / (CAST(n_cells AS DOUBLE) * total), 6)"))
+  }
+
+  def cellGiniSql: String =
+    s"""WITH pts AS (${eventPointsSql}),
+       |c AS (SELECT ${cellSql(6, "elon", "elat")} AS cell, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM pts GROUP BY 1),
+       |r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt ASC, cell ASC) AS BIGINT) AS i
+       |      FROM c),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(cnt) AS BIGINT) AS total,
+       |             CAST(sum(i * cnt) AS BIGINT) AS sic
+       |      FROM r)
+       |SELECT n_cells, total,
+       |       2 * sic - (n_cells + 1) * total AS gini_num,
+       |       round(CAST(2 * sic - (n_cells + 1) * total AS DOUBLE)
+       |             / (CAST(n_cells AS DOUBLE) * total), 6) AS gini_r
+       |FROM s""".stripMargin
+
+  // =================================================================
   // D6+G4: expanding-ring kNN oracle. The loop's semantics have a closed
   // form: with nested radii (1,2,4,8) a point is answered in the FIRST
   // round whose Chebyshev disk contains any feature — i.e. radius* =

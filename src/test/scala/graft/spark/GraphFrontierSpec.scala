@@ -164,6 +164,39 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(got.values.exists(_._3 > 0), "all-zero entropy: vacuous")
   }
 
+  test("knn_classify votes match the reverse_topk output; cell_gini exact") {
+    import spark.implicits._
+    import graft.core.CellMath
+    // vote recompute over the (already oracle-gated) top-3 neighbor sets
+    val topk = graft.ops.Geocode.reverseTopK(
+        graft.synth.Synth.eventPoints(spark, sf),
+        graft.synth.Synth.custFeatures(spark, sf), z = 8, r = 2, limit = 3)
+      .selectExpr("event_id", "feature_id").as[(Long, Long)].collect()
+    val want = topk.groupBy(_._1).map { case (e, rows) =>
+      val byCls = rows.groupBy(_._2 % 5).map { case (c, a) => (c, a.length.toLong) }
+      val (cls, votes) = byCls.toSeq.minBy { case (c, v) => (-v, c) }
+      e -> ((cls, votes))
+    }
+    val got = Queries.knnClassify(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(want.values.map(_._1).toSet.size > 1, "single-class votes: vacuous")
+
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id").as[Long].collect()
+    val cnts = ev.map(id => CellMath.lonLatToCell(6,
+        (id * 7919 % 360000) / 1000.0 - 180.0, (id * 104729 % 160000) / 1000.0 - 80.0))
+      .groupBy(identity _).toSeq.map { case (c, a) => (c, a.length.toLong) }
+      .sortBy { case (c, v) => (v, c) }
+    val n = cnts.length.toLong
+    val tot = cnts.map(_._2).sum
+    val sic = cnts.zipWithIndex.map { case ((_, v), i) => (i + 1) * v }.sum
+    val gn = 2 * sic - (n + 1) * tot
+    val row = Queries.cellGini(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((n, tot, gn)))
+    assert(gn > 0, "zero inequality: fixture vacuous")
+  }
+
   test("median_center matches a quantized Weiszfeld replay and lowers the objective") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")
