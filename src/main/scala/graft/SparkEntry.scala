@@ -169,6 +169,8 @@ object SparkEntry {
     "knn_classify" -> ((s, d) => Queries.knnClassify(s, d)),
     // spatial Gini of the per-cell event distribution (integer numerator)
     "cell_gini" -> ((s, d) => Queries.cellGini(s, d)),
+    // join-count statistics per event-type pair (categorical autocorr)
+    "join_counts" -> ((s, d) => Queries.joinCounts(s, d)),
     "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
     "context_assemble" -> ((s, d) => Queries.contextAssemble(s, d)),
     "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
@@ -462,6 +464,7 @@ object SparkEntry {
     "reverse_topk" -> Queries.reverseTopKSql,
     "knn_classify" -> Queries.knnClassifySql,
     "cell_gini" -> Queries.cellGiniSql,
+    "join_counts" -> Queries.joinCountsSql,
     "context_chain" -> Queries.contextChainSql,
     "context_assemble" -> Queries.contextAssembleSql,
     "bbox_filter" -> Queries.bboxFilterSql,

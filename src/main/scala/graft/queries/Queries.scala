@@ -1626,6 +1626,55 @@ object Queries {
        |SELECT event_id, cls, votes FROM r2 WHERE rn = 1""".stripMargin
 
   // =================================================================
+  // Join-count statistics for categorical point data (the classic
+  // categorical-autocorrelation measure): for every event-type pair
+  // (a ≤ b), the number of same-z6-cell point pairs — Σ_c n_a·n_b for
+  // a<b and Σ_c n(n−1)/2 within a type. ALL integer: one (cell,type)
+  // aggregation, a cell-keyed self-join of the ≤5-rows-per-cell type
+  // counts (bounded 25 fanout), one map-combined 15-key pair sum.
+  // Type totals ride along so the analyst can form expectations.
+  // =================================================================
+
+  def joinCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"),
+        F.cellAt(lit(6), evLon(col("event_id")), evLat(col("event_id"))).as("cell"))
+      .groupBy(col("cell"), col("event_type")).agg(count(lit(1)).as("n"))
+      .persist() // both sides of the pair join + the totals
+    val tots = tc.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    val a = tc.select(col("cell"), col("event_type").as("ta"), col("n").as("na"))
+    val b = tc.select(col("cell"), col("event_type").as("tb"), col("n").as("nb"))
+    a.join(b.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("ta") <= col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(expr("IF(ta = tb, (na * (na - 1)) div 2, na * nb)")).as("jc"))
+      .join(broadcast(tots.withColumnRenamed("event_type", "ta")
+        .withColumnRenamed("nt", "nta")), "ta")
+      .join(broadcast(tots.withColumnRenamed("event_type", "tb")
+        .withColumnRenamed("nt", "ntb")), "tb")
+      .select(col("ta"), col("tb"), col("jc"), col("nta"), col("ntb"))
+  }
+
+  def joinCountsSql: String =
+    s"""WITH pts AS (SELECT event_type, ${cellSql(6, "elon", "elat")} AS cell
+       |             FROM (SELECT event_id, event_type, $evLonSql AS elon,
+       |                          $evLatSql AS elat FROM events)),
+       |tc AS MATERIALIZED (
+       |  SELECT cell, event_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM pts GROUP BY 1, 2),
+       |tots AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM tc GROUP BY 1),
+       |jc AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |         CAST(sum(CASE WHEN a.event_type = b.event_type
+       |                       THEN (a.n * (a.n - 1)) // 2
+       |                       ELSE a.n * b.n END) AS BIGINT) AS jc
+       |  FROM tc a JOIN tc b ON a.cell = b.cell AND a.event_type <= b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT jc.ta, jc.tb, jc.jc, x.nt AS nta, y.nt AS ntb
+       |FROM jc JOIN tots x ON jc.ta = x.event_type
+       |        JOIN tots y ON jc.tb = y.event_type""".stripMargin
+
+  // =================================================================
   // Spatial Gini coefficient (inequality of the event distribution
   // over occupied z6 cells): after the per-cell aggregation the frame
   // is dim-sized, so the global ascending-rank window is a ≤4096-row

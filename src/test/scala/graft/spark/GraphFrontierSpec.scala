@@ -164,6 +164,33 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(got.values.exists(_._3 > 0), "all-zero entropy: vacuous")
   }
 
+  test("join_counts matches an exact pair recomputation") {
+    import spark.implicits._
+    import graft.core.CellMath
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "event_type").as[(Long, String)].collect()
+    val byCell = ev.groupBy { case (id, _) => CellMath.lonLatToCell(6,
+      (id * 7919 % 360000) / 1000.0 - 180.0, (id * 104729 % 160000) / 1000.0 - 80.0)
+    }
+    val jc = collection.mutable.Map.empty[(String, String), Long]
+    byCell.values.foreach { rows =>
+      val n = rows.groupBy(_._2).map { case (t, a) => t -> a.length.toLong }
+      for (a <- n.keys; b <- n.keys if a <= b) {
+        val v = if (a == b) n(a) * (n(a) - 1) / 2 else n(a) * n(b)
+        jc((a, b)) = jc.getOrElse((a, b), 0L) + v
+      }
+    }
+    val tot = ev.groupBy(_._2).map { case (t, a) => t -> a.length.toLong }
+    val want = jc.collect { case ((a, b), v) if v > 0 || true =>
+      (a, b, v, tot(a), tot(b))
+    }.toSet
+    val got = Queries.joinCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    assert(got.size == 15, s"expected 15 type pairs, got ${got.size}")
+  }
+
   test("knn_classify votes match the reverse_topk output; cell_gini exact") {
     import spark.implicits._
     import graft.core.CellMath
