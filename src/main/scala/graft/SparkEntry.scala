@@ -171,6 +171,8 @@ object SparkEntry {
     "cell_gini" -> ((s, d) => Queries.cellGini(s, d)),
     // join-count statistics per event-type pair (categorical autocorr)
     "join_counts" -> ((s, d) => Queries.joinCounts(s, d)),
+    // pairwise host vocabulary Jaccard (mirror-site detector, top-20)
+    "host_sim" -> ((s, d) => Queries.hostSim(s, d)),
     "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
     "context_assemble" -> ((s, d) => Queries.contextAssemble(s, d)),
     "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
@@ -465,6 +467,7 @@ object SparkEntry {
     "knn_classify" -> Queries.knnClassifySql,
     "cell_gini" -> Queries.cellGiniSql,
     "join_counts" -> Queries.joinCountsSql,
+    "host_sim" -> Queries.hostSimSql,
     "context_chain" -> Queries.contextChainSql,
     "context_assemble" -> Queries.contextAssembleSql,
     "bbox_filter" -> Queries.bboxFilterSql,

@@ -1626,6 +1626,61 @@ object Queries {
        |SELECT event_id, cls, votes FROM r2 WHERE rn = 1""".stripMargin
 
   // =================================================================
+  // Host vocabulary similarity (the mirror-site / template-family
+  // detector at host granularity): per-host distinct-token sets
+  // compared pairwise by exact Jaccard. Host count is BOUNDED (a dim)
+  // so the honest shape is the full pairwise join over the aggregated
+  // dim — the verify kernel is the same sorted-int64 merge-intersect
+  // (`sorted_inter_count`, 4.6× over string arrays) the doc-level
+  // dedup family uses; for UNBOUNDED set families the engine's
+  // minhash-LSH path is the scale answer. Ranking key = the unrounded
+  // inter/uni rational with the (a,b) tiebreak; top-20.
+  // =================================================================
+
+  def hostSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(expr("concat('h', CAST(doc_id % 97 AS STRING), '.example.org')").as("host"),
+        explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+      .distinct()
+      .groupBy("host")
+      .agg(sort_array(collect_list(xxhash64(col("tok")))).as("h"),
+        count(lit(1)).as("nt"))
+      .persist() // both sides of the pair join
+    val w = Window.orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+    t.select(col("host").as("a"), col("h").as("ha"), col("nt").as("na"))
+      .join(broadcast(t.select(col("host").as("b"), col("h").as("hb"), col("nt").as("nb"))),
+        col("a") < col("b"))
+      .withColumn("inter", F.sortedInterCount(col("ha"), col("hb")).cast("long"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select(col("a"), col("b"), col("inter"), col("uni"),
+        round(col("jaccard"), 6).as("jac_r"), col("rnk"))
+  }
+
+  def hostSimSql: String =
+    s"""WITH p AS (
+       |  SELECT DISTINCT 'h' || (doc_id % 97) || '.example.org' AS host,
+       |         unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |t AS MATERIALIZED (
+       |  SELECT host, CAST(count(*) AS BIGINT) AS nt, list(tok) AS toks
+       |  FROM p GROUP BY 1),
+       |pr AS (
+       |  SELECT a.host AS a, b.host AS b,
+       |         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+       |         a.nt + b.nt - len(list_intersect(a.toks, b.toks)) AS uni
+       |  FROM t a JOIN t b ON a.host < b.host),
+       |rk AS (
+       |  SELECT a, b, inter, CAST(uni AS BIGINT) AS uni,
+       |         round(CAST(inter AS DOUBLE) / uni, 6) AS jac_r,
+       |         CAST(row_number() OVER (ORDER BY CAST(inter AS DOUBLE) / uni DESC,
+       |                                 a ASC, b ASC) AS BIGINT) AS rnk
+       |  FROM pr)
+       |SELECT a, b, inter, uni, jac_r, rnk FROM rk WHERE rnk <= 20""".stripMargin
+
+  // =================================================================
   // Join-count statistics for categorical point data (the classic
   // categorical-autocorrelation measure): for every event-type pair
   // (a ≤ b), the number of same-z6-cell point pairs — Σ_c n_a·n_b for

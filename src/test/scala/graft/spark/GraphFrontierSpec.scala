@@ -164,6 +164,30 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(got.values.exists(_._3 > 0), "all-zero entropy: vacuous")
   }
 
+  test("host_sim matches an exact set-Jaccard recomputation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    val sets = docs.groupBy(_._1 % 97).map { case (h, ds) =>
+      s"h$h.example.org" -> ds.flatMap(_._2.split(" ")).toSet
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hosts = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- hosts.indices; j <- i + 1 until hosts.length
+    } yield {
+      val (a, b) = (hosts(i), hosts(j))
+      val inter = (sets(a) & sets(b)).size.toLong
+      val uni = sets(a).size + sets(b).size - inter
+      (a, b, inter, uni, inter.toDouble / uni)
+    }).sortBy(r => (-r._5, r._1, r._2)).take(20).zipWithIndex
+      .map { case ((a, b, i2, u, j), k) => (a, b, i2, u, r6(j), (k + 1).toLong) }.toSet
+    val got = Queries.hostSim(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSet
+    assert(got == want)
+  }
+
   test("join_counts matches an exact pair recomputation") {
     import spark.implicits._
     import graft.core.CellMath
