@@ -173,6 +173,8 @@ object SparkEntry {
     "join_counts" -> ((s, d) => Queries.joinCounts(s, d)),
     // pairwise host vocabulary Jaccard (mirror-site detector, top-20)
     "host_sim" -> ((s, d) => Queries.hostSim(s, d)),
+    // home-location inference: modal night-time cell per user
+    "home_cell" -> ((s, d) => Queries.homeCell(s, d)),
     "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
     "context_assemble" -> ((s, d) => Queries.contextAssemble(s, d)),
     "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
@@ -468,6 +470,7 @@ object SparkEntry {
     "cell_gini" -> Queries.cellGiniSql,
     "join_counts" -> Queries.joinCountsSql,
     "host_sim" -> Queries.hostSimSql,
+    "home_cell" -> Queries.homeCellSql,
     "context_chain" -> Queries.contextChainSql,
     "context_assemble" -> Queries.contextAssembleSql,
     "bbox_filter" -> Queries.bboxFilterSql,

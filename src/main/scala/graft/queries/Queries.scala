@@ -1626,6 +1626,44 @@ object Queries {
        |SELECT event_id, cls, votes FROM r2 WHERE rn = 1""".stripMargin
 
   // =================================================================
+  // Home-location inference (the canonical mobility enrichment): each
+  // user's modal z6 cell among NIGHT-TIME fixes (UTC hour ∈ [0,6) —
+  // exact integer hour arithmetic; a fixed documented convention, no
+  // timezone lookup on the synthetic globe), ties to the smallest
+  // cell. One (user,cell) aggregation + a user-keyed argmax window
+  // that reuses its exchange; users with no night fixes emit nothing
+  // (the honest contract — a fabricated fallback would poison
+  // downstream joins).
+  // =================================================================
+
+  def homeCell(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("cell").asc)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24").as("hour"),
+        F.cellAt(lit(6), evLon(col("event_id")), evLat(col("event_id"))).as("cell"))
+      .filter(col("hour") >= 0 && col("hour") < 6)
+      .groupBy(col("user_id"), col("cell")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("cell").as("home_cell"), col("n").as("night_fixes"))
+  }
+
+  def homeCellSql: String =
+    s"""WITH ev AS (SELECT user_id,
+       |              (epoch_us(ts) // 3600000000) % 24 AS hour,
+       |              ${cellSql(6, s"($evLonSql)", s"($evLatSql)")} AS cell
+       |            FROM events),
+       |nc AS (SELECT user_id, cell, CAST(count(*) AS BIGINT) AS n
+       |       FROM ev WHERE hour >= 0 AND hour < 6 GROUP BY 1, 2),
+       |rk AS (SELECT user_id, cell, n,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY n DESC, cell ASC) AS rn
+       |       FROM nc)
+       |SELECT user_id, cell AS home_cell, n AS night_fixes
+       |FROM rk WHERE rn = 1""".stripMargin
+
+  // =================================================================
   // Host vocabulary similarity (the mirror-site / template-family
   // detector at host granularity): per-host distinct-token sets
   // compared pairwise by exact Jaccard. Host count is BOUNDED (a dim)

@@ -164,6 +164,26 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(got.values.exists(_._3 > 0), "all-zero entropy: vacuous")
   }
 
+  test("home_cell matches a modal-night-cell recomputation") {
+    import spark.implicits._
+    import graft.core.CellMath
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long, Long)].collect()
+    val want = ev.filter(e => (e._3 / 3600000000L) % 24 < 6)
+      .groupBy(_._2).map { case (u, rows) =>
+        val byCell = rows.groupBy { case (id, _, _) => CellMath.lonLatToCell(6,
+          (id * 7919 % 360000) / 1000.0 - 180.0, (id * 104729 % 160000) / 1000.0 - 80.0)
+        }.map { case (c, a) => (c, a.length.toLong) }
+        val (c, n) = byCell.toSeq.minBy { case (c0, n0) => (-n0, c0) }
+        u -> ((c, n))
+      }
+    val got = Queries.homeCell(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "no night fixes: fixture vacuous")
+  }
+
   test("host_sim matches an exact set-Jaccard recomputation") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
