@@ -175,6 +175,8 @@ object SparkEntry {
     "host_sim" -> ((s, d) => Queries.hostSim(s, d)),
     // home-location inference: modal night-time cell per user
     "home_cell" -> ((s, d) => Queries.homeCell(s, d)),
+    // cohort retention: first-seen-week cohorts x active-week user counts
+    "cohort_retention" -> ((s, d) => Queries.cohortRetention(s, d)),
     "context_chain" -> ((s, d) => Queries.contextChain(s, d)),
     "context_assemble" -> ((s, d) => Queries.contextAssemble(s, d)),
     "bbox_filter" -> ((s, d) => Queries.bboxFilter(s, d)),
@@ -471,6 +473,7 @@ object SparkEntry {
     "join_counts" -> Queries.joinCountsSql,
     "host_sim" -> Queries.hostSimSql,
     "home_cell" -> Queries.homeCellSql,
+    "cohort_retention" -> Queries.cohortRetentionSql,
     "context_chain" -> Queries.contextChainSql,
     "context_assemble" -> Queries.contextAssembleSql,
     "bbox_filter" -> Queries.bboxFilterSql,

@@ -1626,6 +1626,46 @@ object Queries {
        |SELECT event_id, cls, votes FROM r2 WHERE rn = 1""".stripMargin
 
   // =================================================================
+  // Cohort retention (the canonical product-analytics matrix, the
+  // funnel's companion): users cohort by FIRST-SEEN epoch week; each
+  // (cohort, active-week) pair counts the cohort's users active that
+  // week. All integer: distinct (user, week) first — the skinny frame
+  // everything else rides — then the cohort via a user-partition MIN
+  // window that REUSES the distinct's exchange, then one map-combined
+  // (cohort, week) aggregation. Week 0 = epoch week (UTC), documented.
+  // =================================================================
+
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    val st = base.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    base.crossJoin(broadcast(st))
+      // staggered onboarding (user_id % 4 quarters of the span) — fixture
+      // shaping: the raw synth stream starts every user in week 0, which
+      // would collapse the cohort dimension to one value
+      .filter(expr("us >= mn + (user_id % 4) * ((mx - mn + 1) div 4)"))
+      .select(col("user_id"), expr("us div 604800000000").as("week"))
+      .distinct()
+      .withColumn("cohort", min(col("week")).over(w))
+      .groupBy(col("cohort"), col("week"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  def cohortRetentionSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |st AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+       |uw AS (
+       |  SELECT DISTINCT user_id, us // 604800000000 AS week
+       |  FROM ev CROSS JOIN st
+       |  WHERE us >= mn + (user_id % 4) * ((mx - mn + 1) // 4)),
+       |c AS (SELECT user_id, week,
+       |        min(week) OVER (PARTITION BY user_id) AS cohort
+       |      FROM uw)
+       |SELECT cohort, week, CAST(count(*) AS BIGINT) AS users
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  // =================================================================
   // Home-location inference (the canonical mobility enrichment): each
   // user's modal z6 cell among NIGHT-TIME fixes (UTC hour ∈ [0,6) —
   // exact integer hour arithmetic; a fixed documented convention, no

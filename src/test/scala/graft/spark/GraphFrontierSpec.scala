@@ -164,6 +164,23 @@ class GraphFrontierSpec extends SparkTestBase {
     assert(got.values.exists(_._3 > 0), "all-zero entropy: vacuous")
   }
 
+  test("cohort_retention matches a first-week-cohort recomputation") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long)].collect()
+    val mn = ev.map(_._2).min; val mx = ev.map(_._2).max
+    val uw = ev.filter { case (u, us) => us >= mn + (u % 4) * ((mx - mn + 1) / 4) }
+      .map { case (u, us) => (u, us / 604800000000L) }.distinct
+    val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val want = uw.map { case (u, w) => (cohort(u), w) }
+      .groupBy(p => p).map { case ((c, w), a) => (c, w, a.size.toLong) }.toSet
+    val got = Queries.cohortRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.map(_._1).size >= 3, "fewer than 3 cohorts: stagger vacuous")
+  }
+
   test("home_cell matches a modal-night-cell recomputation") {
     import spark.implicits._
     import graft.core.CellMath
