@@ -212,51 +212,200 @@ object Geo {
       ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))
   }
 
-  /** C4b: do the OUTER SHELLS of two simple polygons overlap in their
-    * interiors? True iff some edge pair properly crosses, or one shell has
-    * a vertex inside the other (covers full containment). Exact for shells
-    * in general position; shared-boundary points resolve per
-    * [[pointInRings]]'s half-open crossing rule (deterministic). Holes are
-    * ignored — shell semantics, like carmen's feature covers. Callers
-    * wanting strict open-interval behavior on axis-aligned data must gate
-    * on the open bbox overlap first (polyOverlapGeomOf does).
+  /** C4b: do the INTERIORS of two polygons overlap in a 2-dimensional set?
+    * Even-odd over ALL rings of both geometries (matching [[pointInRings]]),
+    * so holes and MultiPolygon parts are first-class: a probe landing in a
+    * hole of the other polygon counts as OUTSIDE it.
     *
-    * KNOWN LIMITATION (degenerate boundary coincidences): when boundary
-    * intersections are vertex-on-edge / vertex-on-vertex (no proper
-    * open-interior crossing), the answer is decided by [[pointInRings]]'s
-    * half-open rule on the coincident vertices, NOT by interior overlap.
-    * Measured on fixed fixtures (GeoSpec pins all three): a square and the
-    * diamond through its corners → true (correct); an inscribed diamond
-    * with vertices on the square's edges → true (correct); two squares
-    * sharing ONLY a corner point → true (FALSE POSITIVE — interiors are
-    * disjoint). General-position inputs (random doubles) never hit these;
-    * on lattice-aligned data callers needing strict open-interval semantics
-    * must gate on the open bbox overlap first (polyOverlapGeomOf does,
-    * which masks the corner-touch case). */
+    * True iff (1) some edge pair properly crosses, or (2) some boundary
+    * probe point of one polygon lies strictly inside the other, or (3) the
+    * two boundaries coincide (identical interiors). Probe points are every
+    * vertex plus sub-edge midpoints, each edge split at the OTHER
+    * geometry's vertices lying on it: when no edge pair properly crosses,
+    * the other boundary can only meet an edge at such split points (a
+    * non-vertex meeting would be a proper crossing, and a collinear-overlap
+    * ends at a vertex), so each sub-segment is uniformly inside / on /
+    * outside and its midpoint decides it — the on-segment + local
+    * side-change analysis the r4 half-open shortcut skipped.
+    *
+    * EXACT on the milli-degree lattice: when every coordinate of both
+    * inputs sits on the 0.001° lattice (within ulps), coordinates are first
+    * quantized to exact integer-valued doubles (round(x·1000) —
+    * boundary-safe, the ov_area_q trick). All predicates are then exact:
+    * orientation/cross products of integers < 2^20 stay < 2^41 ≪ 2^53, and
+    * probe midpoints are dyadic halves. The r4 corner-touch false positive
+    * (two squares sharing one vertex, disjoint interiors → true) is gone —
+    * GeoSpec pins the flip. Non-lattice inputs take the same code path on
+    * the raw coordinates: exact in general position (boundary coincidences
+    * off the lattice are measure-zero; JTS relate("2********") property
+    * test in GeoSpec). */
   def polysOverlap(a: Geom, b: Geom): Boolean = {
     if (a.kind != Geom.Poly || b.kind != Geom.Poly) return false
-    val ra = a.rings(0); val rb = b.rings(0)
-    var i = 0
-    while (i + 3 < ra.length) {
-      var j = 0
-      while (j + 3 < rb.length) {
-        if (properSegIntersect(ra(i), ra(i + 1), ra(i + 2), ra(i + 3),
-          rb(j), rb(j + 1), rb(j + 2), rb(j + 3))) return true
-        j += 2
+    val (ra, rb) =
+      if (latticeAligned(a.rings) && latticeAligned(b.rings))
+        (quantRings(a.rings), quantRings(b.rings))
+      else (a.rings, b.rings)
+    ringsOverlap(ra, rb)
+  }
+
+  private def latticeAligned(rings: Array[Array[Double]]): Boolean = {
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r); var i = 0
+      while (i < ring.length) {
+        val q = ring(i) * 1000.0
+        if (math.abs(q - math.rint(q)) > 1e-6) return false
+        i += 1
       }
-      i += 2
+      r += 1
     }
-    var k = 0
-    while (k + 1 < ra.length) {
-      if (pointInRings(Array(rb), ra(k), ra(k + 1))) return true
-      k += 2
-    }
-    k = 0
-    while (k + 1 < rb.length) {
-      if (pointInRings(Array(ra), rb(k), rb(k + 1))) return true
-      k += 2
+    true
+  }
+
+  private def quantRings(rings: Array[Array[Double]]): Array[Array[Double]] =
+    rings.map(_.map(x => math.rint(x * 1000.0)))
+
+  /** Applies `f` to every nonzero-length edge of the ring INCLUDING the
+    * closing wrap edge (degenerate when the ring repeats its first vertex);
+    * short-circuits true. */
+  private def anyEdge(ring: Array[Double])(
+      f: (Double, Double, Double, Double) => Boolean): Boolean = {
+    val n = ring.length / 2
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val ux = ring(2 * i); val uy = ring(2 * i + 1)
+      val vx = ring(2 * j); val vy = ring(2 * j + 1)
+      if ((ux != vx || uy != vy) && f(ux, uy, vx, vy)) return true
+      i += 1
     }
     false
+  }
+
+  /** p on the CLOSED segment u–v (exact for lattice-quantized coords). */
+  private def onSeg(ux: Double, uy: Double, vx: Double, vy: Double,
+                    px: Double, py: Double): Boolean =
+    (vx - ux) * (py - uy) - (vy - uy) * (px - ux) == 0 &&
+      px >= math.min(ux, vx) && px <= math.max(ux, vx) &&
+      py >= math.min(uy, vy) && py <= math.max(uy, vy)
+
+  /** Even-odd ray cast via cross-product SIGNS (no division — exact for
+    * lattice-quantized coords). Assumes p is NOT on the boundary. */
+  private def insideEvenOdd(rings: Array[Array[Double]], px: Double, py: Double): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val n = ring.length / 2
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        val xi = ring(2 * i); val yi = ring(2 * i + 1)
+        val xj = ring(2 * j); val yj = ring(2 * j + 1)
+        if ((yi > py) != (yj > py)) {
+          val cross = (xj - xi) * (py - yi) - (px - xi) * (yj - yi)
+          if (cross != 0 && (yj > yi) == (cross > 0)) inside = !inside
+        }
+        j = i
+        i += 1
+      }
+      r += 1
+    }
+    inside
+  }
+
+  /** 1 = strictly inside (even-odd over all rings), 0 = on the boundary,
+    * −1 = strictly outside. */
+  private def classifyPoint(rings: Array[Array[Double]], px: Double, py: Double): Int = {
+    var r = 0
+    while (r < rings.length) {
+      if (anyEdge(rings(r)) { (ux, uy, vx, vy) => onSeg(ux, uy, vx, vy, px, py) })
+        return 0
+      r += 1
+    }
+    if (insideEvenOdd(rings, px, py)) 1 else -1
+  }
+
+  /** Probe ∂A against B: every vertex of A plus sub-edge midpoints (edges
+    * split at B-vertices lying strictly inside them). Returns 1 if any
+    * probe is strictly inside B; else 0 if EVERY probe lies on ∂B; else −1. */
+  private def probeBoundary(ra: Array[Array[Double]], rb: Array[Array[Double]]): Int = {
+    var allOn = true
+    var hit = false
+    def check(px: Double, py: Double): Boolean = {
+      classifyPoint(rb, px, py) match {
+        case 1 => hit = true; true
+        case 0 => false
+        case _ => allOn = false; false
+      }
+    }
+    var r = 0
+    while (r < ra.length) {
+      val ring = ra(r)
+      val n = ring.length / 2
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        val ux = ring(2 * i); val uy = ring(2 * i + 1)
+        val vx = ring(2 * j); val vy = ring(2 * j + 1)
+        if (check(ux, uy)) return 1
+        if (ux != vx || uy != vy) {
+          // B vertices strictly interior to this edge, ordered along it by
+          // the (exact) dot-product parameter
+          val splits = ArrayBuffer.empty[(Double, Double, Double)]
+          var rr = 0
+          while (rr < rb.length) {
+            val rg = rb(rr); var k = 0
+            while (k + 1 < rg.length) {
+              val wx = rg(k); val wy = rg(k + 1)
+              if ((wx != ux || wy != uy) && (wx != vx || wy != vy) &&
+                  onSeg(ux, uy, vx, vy, wx, wy)) {
+                val t = (vx - ux) * (wx - ux) + (vy - uy) * (wy - uy)
+                splits += ((t, wx, wy))
+              }
+              k += 2
+            }
+            rr += 1
+          }
+          var px = ux; var py = uy
+          splits.sortBy(_._1).foreach { case (_, wx, wy) =>
+            if (check((px + wx) / 2, (py + wy) / 2)) return 1
+            px = wx; py = wy
+          }
+          if (check((px + vx) / 2, (py + vy) / 2)) return 1
+        }
+        i += 1
+      }
+      r += 1
+    }
+    if (hit) 1 else if (allOn) 0 else -1
+  }
+
+  private def ringsOverlap(ra: Array[Array[Double]], rb: Array[Array[Double]]): Boolean = {
+    // 1. proper open-interior edge crossing, any ring pair
+    var r1 = 0
+    while (r1 < ra.length) {
+      val ringA = ra(r1)
+      var r2 = 0
+      while (r2 < rb.length) {
+        val ringB = rb(r2)
+        if (anyEdge(ringA) { (ax, ay, bx, by) =>
+          anyEdge(ringB) { (cx, cy, dx, dy) =>
+            properSegIntersect(ax, ay, bx, by, cx, cy, dx, dy) } })
+          return true
+        r2 += 1
+      }
+      r1 += 1
+    }
+    // 2. boundary probes strictly inside the other
+    val pa = probeBoundary(ra, rb)
+    if (pa == 1) return true
+    val pb = probeBoundary(rb, ra)
+    if (pb == 1) return true
+    // 3. no boundary point of either in the other's interior: interiors
+    // overlap iff the boundaries coincide (then they are identical) —
+    // witnessed by every probe of each lying on the other
+    pa == 0 && pb == 0
   }
 
   // ------------------------------------------------------------------

@@ -54,6 +54,33 @@ object TableIO {
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }
 
+  /** Table row count from METADATA only — the manifest's `total_rows` when
+    * the table is TableIO-managed, else the parquet footers' block row
+    * counts (what an Iceberg manifest records). O(files) driver-side footer
+    * reads, NO Spark job: parameters derived from the corpus size (eps
+    * sizing, nList sizing) must not pay a full scan pre-pass at 10^12
+    * rows. */
+  def rowCount(spark: SparkSession, path: String): Long = {
+    manifestJson(path).flatMap { js =>
+      """"total_rows":\s*(\d+)""".r.findFirstMatchIn(js).map(_.group(1).toLong)
+    }.getOrElse {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += r.getRecordCount finally r.close()
+        }
+      }
+      total
+    }
+  }
+
   // =================================================================
   // Versioned snapshots (the Iceberg commit protocol, emulated): each
   // commit writes immutable data files under snap-<id>/, then a manifest

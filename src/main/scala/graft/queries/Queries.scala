@@ -1022,23 +1022,53 @@ object Queries {
       |FROM events""".stripMargin
 
   def dbscan(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    // eps derives from the corpus size read from table METADATA
+    // (TableIO.rowCount: manifest total_rows / parquet footer block
+    // counts) — the r4 shape paid a full count() scan pre-pass for a
+    // single scalar, an extra corpus pass at 10^12 rows.
+    val n = graft.index.TableIO.rowCount(spark, s"$sfDir/events.parquet")
+    dbscanOf(dbscanPoints(spark, sfDir), n)
+  }
+
+  /** [[dbscan]] core over any (id, xq, yq) milli-lattice point frame with
+    * corpus size `n` supplied by the caller (from table metadata — never a
+    * scan). `salt > 1` activates the D7 hot-cell treatment on the eps-grid
+    * self-join: eps-cells over real geodata are exactly the hot-cell
+    * (city) pattern — the home side replicates ×salt for cells holding
+    * ≥ `hotThreshold` points, each probe row picks a deterministic salt
+    * from its point id ([[graft.pipeline.Skew.saltedJoin]]); a pair still
+    * meets in exactly one (cell, salt) bucket, so the closure sees the
+    * identical pair set (GeocoderSpec asserts row-identity on a hot-cell
+    * fixture). */
+  def dbscanOf(points: DataFrame, n: Long, salt: Int = 1,
+               hotThreshold: Long = 1000000L): DataFrame = {
     val eps = math.floor(DbscanK / math.sqrt(n.toDouble)).toLong
     // pts persisted: probe side, home side, and the core/border joins all
-    // read it (same multi-consumer convention as the cover frames above)
-    val pts = dbscanPoints(spark, sfDir)
+    // read it (same multi-consumer convention as the cover frames above).
+    // ck packs (sx, sy) into ONE key column — both grid coords are
+    // nonnegative and < 10^6 for any eps ≥ 1, so the pack is
+    // collision-free; out-of-range probe neighbors (sx or sy = −1) pack to
+    // ids no home cell carries and simply match nothing. A scalar key is
+    // what the hot-key histogram and the salting helper work over.
+    val pts = points
       .withColumn("sx", expr(s"(xq + 180000) div $eps"))
       .withColumn("sy", expr(s"(yq + 80000) div $eps"))
+      .withColumn("ck", col("sx") * 1000000L + col("sy"))
       .persist()
     val probes = pts
       .withColumn("dx", explode(sequence(lit(-1), lit(1))))
       .withColumn("dy", explode(sequence(lit(-1), lit(1))))
       .select(col("id").as("a"), col("xq").as("ax"), col("yq").as("ay"),
-        (col("sx") + col("dx")).as("sx"), (col("sy") + col("dy")).as("sy"))
-    val pairs = probes
-      .join(pts.select(col("id").as("b"), col("xq").as("bx"),
-        col("yq").as("by"), col("sx"), col("sy")).hint("shuffle_hash"),
-        Seq("sx", "sy"))
+        ((col("sx") + col("dx")) * 1000000L + col("sy") + col("dy")).as("ck"))
+    val home = pts.select(col("id").as("b"), col("xq").as("bx"),
+      col("yq").as("by"), col("ck")).hint("shuffle_hash")
+    val joined =
+      if (salt <= 1) probes.join(home, Seq("ck"))
+      else {
+        val hot = graft.pipeline.Skew.hotKeys(pts, "ck", 16, hotThreshold)
+        graft.pipeline.Skew.saltedJoin(probes, home, "ck", "a", hot, salt)
+      }
+    val pairs = joined
       .filter(col("a") =!= col("b"))
       .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
         (col("ay") - col("by")) * (col("ay") - col("by")) <= lit(eps * eps))
@@ -3995,16 +4025,45 @@ object Queries {
       .localCheckpoint()
     val a = pts.select(col("user_id"), col("rn").as("i"), col("x").as("ax"), col("y").as("ay"))
     val b = pts.select(col("user_id"), col("rn").as("j"), col("x").as("bx"), col("y").as("by"))
+    // Per-round candidate generation is a BOUNDARY SCATTER, not a join:
+    // the r4 shape joined the frontier to ALL of a user's points on
+    // user_id alone and filtered rn ∈ (i,j) — candidate volume |active
+    // segments| × |user points| per round once intervals converge (the
+    // r4 sweep's slowest query at 7.7 s). Active segments are DISJOINT
+    // rn-intervals, so scattering each segment as a boundary row at
+    // pos = i and taking one running last(seg) window over the rn-ordered
+    // union assigns every point its covering segment in O(points) per
+    // round regardless of segment count; boundary rows sort before the
+    // point at the same rn (isPt 0 < 1), and the rn∈(i,j) gate drops
+    // points trailing a segment's j or sitting on endpoints.
+    val segStructT = "struct<i:bigint,j:bigint,ax:bigint,ay:bigint,bx:bigint,by:bigint>"
+    val ptRows = pts.select(col("user_id"), col("rn").as("pos"),
+      lit(1).as("isPt"), lit(null).cast(segStructT).as("seg"),
+      col("rn"), col("x"), col("y"))
+    val runW = Window.partitionBy(col("user_id"))
+      .orderBy(col("pos").asc, col("isPt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var converged = false
     while (!converged) {
-      val top = frontier
+      val segRows = frontier
         .join(a, Seq("user_id", "i")).join(b, Seq("user_id", "j"))
-        .join(pts.hint("shuffle_hash"), Seq("user_id"))
-        .filter(col("rn") > col("i") && col("rn") < col("j"))
-        .withColumn("cr", expr("(bx - ax) * (y - ay) - (by - ay) * (x - ax)"))
-        .withColumn("len2", expr("(bx - ax) * (bx - ax) + (by - ay) * (by - ay)"))
-        .withColumn("d2a", expr("(x - ax) * (x - ax) + (y - ay) * (y - ay)"))
+        .select(col("user_id"), col("i").as("pos"), lit(0).as("isPt"),
+          struct(col("i"), col("j"), col("ax"), col("ay"), col("bx"), col("by")).as("seg"),
+          lit(null).cast("long").as("rn"),
+          lit(null).cast("long").as("x"), lit(null).cast("long").as("y"))
+      val top = segRows.unionByName(ptRows)
+        .withColumn("sg", last(col("seg"), ignoreNulls = true).over(runW))
+        .filter(col("isPt") === 1 && col("sg").isNotNull &&
+          col("rn") > col("sg.i") && col("rn") < col("sg.j"))
+        .withColumn("cr", expr("(sg.bx - sg.ax) * (y - sg.ay) - (sg.by - sg.ay) * (x - sg.ax)"))
+        .withColumn("len2", expr("(sg.bx - sg.ax) * (sg.bx - sg.ax) + (sg.by - sg.ay) * (sg.by - sg.ay)"))
+        .withColumn("d2a", expr("(x - sg.ax) * (x - sg.ax) + (y - sg.ay) * (y - sg.ay)"))
         .withColumn("dkey", expr(dpKeyExpr))
+        .select(col("user_id"), col("sg.i").as("i"), col("sg.j").as("j"),
+          col("rn"), col("dkey"))
+        // argmax window partitions by (user_id, i, j): the running window
+        // already hash-partitioned on user_id, which satisfies the
+        // clustered distribution — this adds a sort, not an exchange
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("user_id"), col("i"), col("j"))
             .orderBy(col("dkey").desc, col("rn").asc)))
@@ -6500,18 +6559,26 @@ object Queries {
   // the token-window equi-join with per-language phrase dict entries.
   // =================================================================
 
+  /** The shipped fallback language list (config, like carmen's
+    * `languageMode` option set): a bounded static superset of the corpus
+    * languages — NOT derived from the data. */
+  val FallbackLangs: Seq[String] =
+    Seq("ar", "de", "en", "es", "fr", "it", "ja", "ko", "pt", "ru", "zh").sorted
+
   def langFallback(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
     // The per-language EFFECTIVE phrase dictionary (alt name when defined
     // for that language, default name otherwise) — a langs × gazetteer
-    // dimension table built driver-side (langs is a bounded static set at
-    // any scale; carmen ships a fixed language list). The doc-side match is
+    // dimension table built driver-side from the SHIPPED language list
+    // ([[FallbackLangs]]): carmen ships a fixed list, so deriving it from
+    // a corpus distinct+collect (the r4 shape) was a needless full scan at
+    // 10^12 rows. Languages in the list but absent from the corpus add
+    // only unmatched dict rows to the broadcast dim. The doc-side match is
     // then a token-window equi-join on (phrase, lang): the at-scale plan,
     // vs the θ-contains-join that scanned every doc × every name.
-    val langs = docs.select(col("lang")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val langs = FallbackLangs
     val effRows = for { l <- langs.toSeq; g <- gazetteer } yield {
       val alt = altNames.find(a => a._1 == g.id && a._2 == l)
       (l, g.id, alt.map(_._3).getOrElse(g.name),

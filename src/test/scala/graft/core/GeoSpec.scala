@@ -249,7 +249,7 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
-  test("polysOverlap: degenerate lattice coincidences pin the half-open contract") {
+  test("polysOverlap: degenerate lattice coincidences are decided EXACTLY") {
     import graft.core.Geo
     def poly(pts: Double*) = Geo.Geom(Geo.Geom.Poly, Array(pts.toArray))
     val square = poly(0, 0, 2, 0, 2, 2, 0, 2, 0, 0)
@@ -260,11 +260,56 @@ class GeoSpec extends AnyFunSuite {
     // inscribed diamond, vertices ON the square's edges: contained interior
     val inscribed = poly(1, 0, 2, 1, 1, 2, 0, 1, 1, 0)
     assert(Geo.polysOverlap(square, inscribed) && Geo.polysOverlap(inscribed, square))
-    // two squares sharing ONLY the corner (2,2): interiors disjoint, but the
-    // half-open vertex rule reports true — the documented false positive
-    // (masked in polyOverlapGeomOf by the open bbox gate)
+    // two squares sharing ONLY the corner (2,2): interiors disjoint — the
+    // r4 half-open shortcut reported a FALSE POSITIVE here; the exact
+    // kernel (boundary probes, not vertex half-open PIP) must say no
     val corner = poly(2, 2, 4, 2, 4, 4, 2, 4, 2, 2)
-    assert(Geo.polysOverlap(square, corner))
+    assert(!Geo.polysOverlap(square, corner) && !Geo.polysOverlap(corner, square))
+    // shared-edge squares: interiors disjoint, boundary overlap is a full
+    // collinear segment (split points are the shared-edge vertices)
+    val beside = poly(2, 0, 4, 0, 4, 2, 2, 2, 2, 0)
+    assert(!Geo.polysOverlap(square, beside) && !Geo.polysOverlap(beside, square))
+    // identical polygons: boundaries coincide, interiors equal → overlap
+    assert(Geo.polysOverlap(square, poly(0, 0, 2, 0, 2, 2, 0, 2, 0, 0)))
+    // vertex-on-edge T-touch from outside: disjoint interiors
+    val tee = poly(1, 2, 3, 4, -1, 4, 1, 2)
+    assert(!Geo.polysOverlap(square, tee) && !Geo.polysOverlap(tee, square))
+  }
+
+  test("polysOverlap: holes and multipolygon parts are even-odd first-class") {
+    import graft.core.Geo
+    def geom(rings: Array[Double]*) = Geo.Geom(Geo.Geom.Poly, rings.toArray)
+    // 10×10 square with a 4..6 hole
+    val holed = geom(
+      Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0),
+      Array(4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0, 4.0, 4.0))
+    // entirely inside the hole: the hole EXCLUDES it → no interior overlap
+    val inHole = geom(Array(4.5, 4.5, 5.5, 4.5, 5.5, 5.5, 4.5, 5.5, 4.5, 4.5))
+    assert(!Geo.polysOverlap(holed, inHole) && !Geo.polysOverlap(inHole, holed))
+    // exactly filling the hole (boundary = hole ring): still no overlap
+    val fillHole = geom(Array(4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0, 4.0, 4.0))
+    assert(!Geo.polysOverlap(holed, fillHole) && !Geo.polysOverlap(fillHole, holed))
+    // spanning the hole boundary: overlaps the solid part
+    val spans = geom(Array(3.0, 3.0, 5.0, 3.0, 5.0, 5.0, 3.0, 5.0, 3.0, 3.0))
+    assert(Geo.polysOverlap(holed, spans) && Geo.polysOverlap(spans, holed))
+    // two disjoint parts as one multipolygon-flattened Geom: a probe hitting
+    // either part overlaps; between the parts (even-odd outside) does not
+    val multi = geom(
+      Array(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0, 0.0, 0.0),
+      Array(8.0, 0.0, 10.0, 0.0, 10.0, 2.0, 8.0, 2.0, 8.0, 0.0))
+    val betw = geom(Array(4.0, 0.0, 6.0, 0.0, 6.0, 2.0, 4.0, 2.0, 4.0, 0.0))
+    val onPart = geom(Array(1.0, 0.5, 1.5, 0.5, 1.5, 1.5, 1.0, 1.5, 1.0, 0.5))
+    assert(!Geo.polysOverlap(multi, betw) && Geo.polysOverlap(multi, onPart))
+    // WKB MultiPolygon round-trip feeds the same kernel
+    val wkbMulti = {
+      val p1 = Geo.writeWkbPolygon(Array(Array(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0, 0.0, 0.0)))
+      val p2 = Geo.writeWkbPolygon(Array(Array(8.0, 0.0, 10.0, 0.0, 10.0, 2.0, 8.0, 2.0, 8.0, 0.0)))
+      val bb = java.nio.ByteBuffer.allocate(9 + p1.length + p2.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(6); bb.putInt(2); bb.put(p1); bb.put(p2)
+      Geo.parseWkb(bb.array())
+    }
+    assert(!Geo.polysOverlap(wkbMulti, betw) && Geo.polysOverlap(wkbMulti, onPart))
   }
 
   test("polyMomentsQ: exact shoelace area + centroid vs JTS on lattice polygons") {

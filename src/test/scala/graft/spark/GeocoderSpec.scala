@@ -328,6 +328,29 @@ class GeocoderSpec extends SparkTestBase {
     assert(plain.nonEmpty && salted == plain)
   }
 
+  test("dbscan: salted hot-cell self-join is row-identical to the plain plan") {
+    import graft.queries.Queries
+    // hot-cell fixture: the even half crowds one eps-cell (eps = 10,700 at
+    // n = 400), the odd half scatters — the city-cell skew pattern D7
+    // exists for
+    val pts = spark.range(400).toDF("id")
+      .withColumn("xq", when(col("id") % 2 === 0, (col("id") * 13) % 50)
+        .otherwise((col("id") * 9973) % 300000 - 150000))
+      .withColumn("yq", when(col("id") % 2 === 0, (col("id") * 7) % 50)
+        .otherwise((col("id") * 104729) % 150000 - 75000))
+    val plain = Queries.dbscanOf(pts, n = 400L).collect().toSet
+    val salted = Queries.dbscanOf(pts, n = 400L, salt = 4, hotThreshold = 20L)
+      .collect().toSet
+    assert(plain.nonEmpty && salted == plain)
+    // the fixture really salts: the crowded cell crosses the threshold
+    val eps = math.floor(214000.0 / math.sqrt(400.0)).toLong
+    val hot = graft.pipeline.Skew.hotKeys(
+      pts.withColumn("ck", expr(
+        s"((xq + 180000) div $eps) * 1000000 + ((yq + 80000) div $eps)")),
+      "ck", 16, 20L)
+    assert(hot.nonEmpty)
+  }
+
   test("poly_overlap_geom: general kernel ≡ rect fast path on rects; blocked ≡ brute on triangles") {
     import graft.queries.Queries
     // rects: the general kernel must reproduce the rect fast path exactly
