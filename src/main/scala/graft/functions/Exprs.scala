@@ -195,6 +195,75 @@ object Exprs {
       copy(first = f, second = s, third = t, fourth = q)
   }
 
+  /** dp_keep_ids(xs, ys, ids, tol2): Douglas–Peucker kept-point ids over
+    * ONE rn-sorted track (parallel BIGINT coordinate/id arrays). The
+    * refinement tree is replayed with an explicit segment stack: each
+    * segment finds its farthest interior point (cross²/len2 double key,
+    * squared-distance-to-a when degenerate, smallest-index tiebreak — the
+    * EXACT arithmetic and tie rule of the recursive-CTE oracle) and splits
+    * iff the key exceeds tol2. Split order cannot change the result (each
+    * segment's argmax is independent), so the stack replay equals the
+    * level-by-level oracle recursion. Per-track LOCAL by design: tracks
+    * are bounded (day-segmented at 10^12-event scale), so the whole
+    * simplification is one groupBy exchange + this kernel + explode — no
+    * per-round driver iteration, no repeated corpus passes. */
+  case class DpKeepIds(first: Expression, second: Expression, third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dp_keep_ids"
+    override def nullSafeEval(xsA: Any, ysA: Any, idsA: Any, tolA: Any): Any = {
+      val xs = xsA.asInstanceOf[ArrayData].toLongArray()
+      val ys = ysA.asInstanceOf[ArrayData].toLongArray()
+      val ids = idsA.asInstanceOf[ArrayData].toLongArray()
+      val tol2 = tolA.asInstanceOf[Double]
+      val n = xs.length
+      if (n == 0) return new GenericArrayData(Array.empty[Long])
+      val keep = new Array[Boolean](n)
+      keep(0) = true; keep(n - 1) = true
+      // explicit segment stack of (i, j) index pairs (≤ 2n live segments)
+      val st = new Array[Int](4 * n + 8)
+      var sp = 0
+      if (n >= 3) { st(0) = 0; st(1) = n - 1; sp = 2 }
+      while (sp > 0) {
+        sp -= 2
+        val i = st(sp); val j = st(sp + 1)
+        if (j - i >= 2) {
+          val ax = xs(i); val ay = ys(i); val bx = xs(j); val by = ys(j)
+          val len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+          var best = -1.0; var m = -1
+          var k = i + 1
+          while (k < j) {
+            val dkey =
+              if (len2 == 0)
+                ((xs(k) - ax) * (xs(k) - ax) + (ys(k) - ay) * (ys(k) - ay)).toDouble
+              else {
+                val cr = (bx - ax) * (ys(k) - ay) - (by - ay) * (xs(k) - ax)
+                cr.toDouble * cr.toDouble / len2.toDouble
+              }
+            if (dkey > best) { best = dkey; m = k }
+            k += 1
+          }
+          if (m >= 0 && best > tol2) {
+            keep(m) = true
+            st(sp) = i; st(sp + 1) = m
+            st(sp + 2) = m; st(sp + 3) = j
+            sp += 4
+          }
+        }
+      }
+      var cnt = 0; var k = 0
+      while (k < n) { if (keep(k)) cnt += 1; k += 1 }
+      val out = new Array[Any](cnt)
+      var o = 0; k = 0
+      while (k < n) { if (keep(k)) { out(o) = ids(k); o += 1 }; k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): DpKeepIds =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
   /** clip_to_cell(geom_wkb, cell): polygon pre-clipped to the tile rect
     * (Sutherland–Hodgman) re-encoded as WKB — the per-tile geometry the
     * batched PIP stage consumes. */
@@ -921,6 +990,8 @@ object F {
   def clipToCell(wkb: Column, cell: Column): Column = c(ClipToCellWkb(x(wkb), x(cell)))
   def rectWkb(w: Column, s: Column, e: Column, n: Column): Column =
     c(RectWkb(x(w), x(s), x(e), x(n)))
+  def dpKeepIds(xs: Column, ys: Column, ids: Column, tol2: Column): Column =
+    c(DpKeepIds(x(xs), x(ys), x(ids), x(tol2)))
   def extractText(html: Column): Column = c(ExtractText(x(html)))
   def tokenize(s: Column): Column = c(TokenizeExpr(x(s)))
   def phraseForm(s: Column): Column = c(PhraseFormExpr(x(s)))

@@ -4006,80 +4006,28 @@ object Queries {
       "ELSE CAST(cr AS DOUBLE) * CAST(cr AS DOUBLE) / CAST(len2 AS DOUBLE) END"
 
   def dpSimplify(spark: SparkSession, sfDir: String): DataFrame = {
-    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+    // Tracks are BOUNDED by design (day-segmented first at 10^12-event
+    // scale — the block comment above), so the scale-correct shape is the
+    // per-track LOCAL kernel: ONE groupBy exchange collects each track
+    // rn-sorted, F.dpKeepIds replays the whole refinement tree in-row
+    // (identical argmax arithmetic + tiebreak as the recursive-CTE
+    // oracle), and explode emits the kept ids. The r4 round-driven
+    // DataFrame loop paid |rounds| × (exchange + localCheckpoint + driver
+    // latency) ≈ 7.7 s at sf0.1 — and its per-round candidate join was
+    // segments × points besides; this is one job, no iteration, and the
+    // same rows bit-exactly. The sort key (us, id) in the collected
+    // struct reproduces the oracle's row_number ordering.
+    spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id").as("id"), col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"),
         expr("((event_id * event_id * 7919 + event_id * 104729) % 360000) - 180000").as("x"),
         expr("((event_id * event_id * 104729 + event_id * 7919) % 160000) - 80000").as("y"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("id").asc))
-        .cast("long"))
-      .select(col("user_id"), col("rn"), col("x"), col("y"), col("id"))
-      .persist() // read every refinement round (3 roles) + the final join
-    val ends = pts.groupBy("user_id").agg(max(col("rn")).as("n")).persist()
-    var frontier = ends.filter(col("n") >= 2)
-      .select(col("user_id"), lit(1L).as("i"), col("n").as("j")).localCheckpoint()
-    var kept = frontier.select(col("user_id"), col("i").as("rn"))
-      .union(frontier.select(col("user_id"), col("j").as("rn")))
-      .union(ends.filter(col("n") === 1).select(col("user_id"), lit(1L).as("rn")))
-      .localCheckpoint()
-    val a = pts.select(col("user_id"), col("rn").as("i"), col("x").as("ax"), col("y").as("ay"))
-    val b = pts.select(col("user_id"), col("rn").as("j"), col("x").as("bx"), col("y").as("by"))
-    // Per-round candidate generation is a BOUNDARY SCATTER, not a join:
-    // the r4 shape joined the frontier to ALL of a user's points on
-    // user_id alone and filtered rn ∈ (i,j) — candidate volume |active
-    // segments| × |user points| per round once intervals converge (the
-    // r4 sweep's slowest query at 7.7 s). Active segments are DISJOINT
-    // rn-intervals, so scattering each segment as a boundary row at
-    // pos = i and taking one running last(seg) window over the rn-ordered
-    // union assigns every point its covering segment in O(points) per
-    // round regardless of segment count; boundary rows sort before the
-    // point at the same rn (isPt 0 < 1), and the rn∈(i,j) gate drops
-    // points trailing a segment's j or sitting on endpoints.
-    val segStructT = "struct<i:bigint,j:bigint,ax:bigint,ay:bigint,bx:bigint,by:bigint>"
-    val ptRows = pts.select(col("user_id"), col("rn").as("pos"),
-      lit(1).as("isPt"), lit(null).cast(segStructT).as("seg"),
-      col("rn"), col("x"), col("y"))
-    val runW = Window.partitionBy(col("user_id"))
-      .orderBy(col("pos").asc, col("isPt").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var converged = false
-    while (!converged) {
-      val segRows = frontier
-        .join(a, Seq("user_id", "i")).join(b, Seq("user_id", "j"))
-        .select(col("user_id"), col("i").as("pos"), lit(0).as("isPt"),
-          struct(col("i"), col("j"), col("ax"), col("ay"), col("bx"), col("by")).as("seg"),
-          lit(null).cast("long").as("rn"),
-          lit(null).cast("long").as("x"), lit(null).cast("long").as("y"))
-      val top = segRows.unionByName(ptRows)
-        .withColumn("sg", last(col("seg"), ignoreNulls = true).over(runW))
-        .filter(col("isPt") === 1 && col("sg").isNotNull &&
-          col("rn") > col("sg.i") && col("rn") < col("sg.j"))
-        .withColumn("cr", expr("(sg.bx - sg.ax) * (y - sg.ay) - (sg.by - sg.ay) * (x - sg.ax)"))
-        .withColumn("len2", expr("(sg.bx - sg.ax) * (sg.bx - sg.ax) + (sg.by - sg.ay) * (sg.by - sg.ay)"))
-        .withColumn("d2a", expr("(x - sg.ax) * (x - sg.ax) + (y - sg.ay) * (y - sg.ay)"))
-        .withColumn("dkey", expr(dpKeyExpr))
-        .select(col("user_id"), col("sg.i").as("i"), col("sg.j").as("j"),
-          col("rn"), col("dkey"))
-        // argmax window partitions by (user_id, i, j): the running window
-        // already hash-partitioned on user_id, which satisfies the
-        // clustered distribution — this adds a sort, not an exchange
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("user_id"), col("i"), col("j"))
-            .orderBy(col("dkey").desc, col("rn").asc)))
-        .filter(col("rk") === 1 && col("dkey") > expr(s"CAST($DpTol2 AS DOUBLE)"))
-        .select(col("user_id"), col("i"), col("j"), col("rn").as("m"))
-        .localCheckpoint()
-      if (top.isEmpty) converged = true
-      else {
-        kept = kept.union(top.select(col("user_id"), col("m").as("rn"))).localCheckpoint()
-        frontier = top.select(col("user_id"), col("i"), col("m").as("j"))
-          .union(top.select(col("user_id"), col("m").as("i"), col("j")))
-          .localCheckpoint()
-      }
-    }
-    kept.join(pts, Seq("user_id", "rn"))
-      .select(col("user_id"), col("id").as("event_id"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("us"), col("id"), col("x"), col("y")))).as("ps"))
+      .select(col("user_id"), explode(F.dpKeepIds(
+        expr("transform(ps, p -> p.x)"), expr("transform(ps, p -> p.y)"),
+        expr("transform(ps, p -> p.id)"),
+        lit(DpTol2.toDouble))).as("event_id"))
   }
 
   def dpSimplifySql: String =
