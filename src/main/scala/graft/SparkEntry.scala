@@ -40,6 +40,9 @@ object SparkEntry {
     // same join, GENERAL-polygon kernel (bbox-cover blocking + exact
     // shell-overlap verify); row-identical on rects, shares the oracle
     "poly_overlap_geom" -> ((s, d) => Queries.polyOverlapGeom(s, d)),
+    // hole-aware interior overlap over frame (donut) features: even-odd
+    // kernel; oracle = integer inclusion-exclusion band-area positivity
+    "poly_overlap_holes" -> ((s, d) => Queries.polyOverlapHoles(s, d)),
     "poly_centroid" -> ((s, d) => Queries.polyCentroid(s, d)),
     // segment×segment proper-crossing join: cover blocking + exact integer
     // orientation tests; emits the exact rational intersection point
@@ -410,6 +413,7 @@ object SparkEntry {
     "tile_cover_rect" -> Queries.tileCoverRectSql,
     "poly_overlap" -> Queries.polyOverlapSql,
     "poly_overlap_geom" -> Queries.polyOverlapSql,
+    "poly_overlap_holes" -> Queries.polyOverlapHolesSql,
     "poly_centroid" -> Queries.polyCentroidSql,
     "seg_join" -> Queries.segJoinSql,
     "dbscan" -> Queries.dbscanSql,

@@ -195,6 +195,28 @@ object Exprs {
       copy(first = f, second = s, third = t, fourth = q)
   }
 
+  /** frame_wkb(w, s, e, n; band): rect shell with a rect hole inset by
+    * `band` per side — the donut/frame geometry for hole-aware overlap
+    * (band is a literal constructor param, not a child). */
+  case class FrameWkb(first: Expression, second: Expression, third: Expression,
+                      fourth: Expression, band: Double)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "frame_wkb"
+    override def nullSafeEval(w: Any, s: Any, e: Any, n: Any): Any = {
+      val (ww, ss, ee, nn) = (w.asInstanceOf[Double], s.asInstanceOf[Double],
+        e.asInstanceOf[Double], n.asInstanceOf[Double])
+      val (hw, hs, he, hn) = (ww + band, ss + band, ee - band, nn - band)
+      Geo.writeWkbPolygon(Array(
+        Array(ww, ss, ee, ss, ee, nn, ww, nn, ww, ss),
+        Array(hw, hs, he, hs, he, hn, hw, hn, hw, hs)))
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): FrameWkb =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
   /** dp_keep_ids(xs, ys, ids, tol2): Douglas–Peucker kept-point ids over
     * ONE rn-sorted track (parallel BIGINT coordinate/id arrays). The
     * refinement tree is replayed with an explicit segment stack: each
@@ -992,6 +1014,8 @@ object F {
     c(RectWkb(x(w), x(s), x(e), x(n)))
   def dpKeepIds(xs: Column, ys: Column, ids: Column, tol2: Column): Column =
     c(DpKeepIds(x(xs), x(ys), x(ids), x(tol2)))
+  def frameWkb(w: Column, s: Column, e: Column, n: Column, band: Double): Column =
+    c(FrameWkb(x(w), x(s), x(e), x(n), band))
   def extractText(html: Column): Column = c(ExtractText(x(html)))
   def tokenize(s: Column): Column = c(TokenizeExpr(x(s)))
   def phraseForm(s: Column): Column = c(PhraseFormExpr(x(s)))

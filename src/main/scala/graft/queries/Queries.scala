@@ -715,6 +715,95 @@ object Queries {
     polyOverlapGeomOf(paddedCustFeatures(spark, sfDir)
       .select(col("feature_id"), col("geom_wkb")), z)
 
+  /** Frame (donut) features: shell rect + rect HOLE inset by the band
+    * width. TWO features per customer — a big frame (id 2k: the
+    * poly_overlap 1.5° padding, band 0.2°) and a small frame (id 2k+1:
+    * 0.45°×0.35° half-extents, band 0.1°) at a deterministic lattice
+    * offset from the same center, spanning all regimes: wholly inside the
+    * big hole (bbox overlap, interiors DISJOINT — the case hole-blindness
+    * gets wrong), shell crossing the hole ring, and band-on-band overlap.
+    * Planted pairs keep the fixture O(n); parity TIERS were tried first
+    * and are vacuous — even/odd ids land on disjoint cosets of the
+    * multiplicative synth lattice and never approach each other. */
+  private def frameFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = custFeatures(spark, sfDir)
+    val big = base.select((col("feature_id") * 2).as("feature_id"),
+      (col("west") - 1.5).as("west"), (col("south") - 1.5).as("south"),
+      (col("east") + 1.5).as("east"), (col("north") + 1.5).as("north"))
+      .withColumn("geom_wkb",
+        F.frameWkb(col("west"), col("south"), col("east"), col("north"), 0.2))
+    val dx = (col("feature_id") * 13 % 37 - 18) * lit(0.1)
+    val dy = (col("feature_id") * 17 % 19 - 9) * lit(0.1)
+    val small = base.select((col("feature_id") * 2 + 1).as("feature_id"),
+      (col("flon") + dx - 0.45).as("west"), (col("flat") + dy - 0.35).as("south"),
+      (col("flon") + dx + 0.45).as("east"), (col("flat") + dy + 0.35).as("north"))
+      .withColumn("geom_wkb",
+        F.frameWkb(col("west"), col("south"), col("east"), col("north"), 0.1))
+    big.unionByName(small)
+  }
+
+  /** Hole-aware overlap join: [[polyOverlapGeomOf]] (bbox-cover PBSM
+    * blocking + exact even-odd kernel) over the frame features — pairs
+    * whose INTERIORS (shell minus hole) overlap, with the bbox-overlap
+    * area as the deterministic output value. The oracle decides interior
+    * overlap by exact integer inclusion–exclusion on the milli lattice:
+    * |R| − |R∩Ha| − |R∩Hb| + |R∩Ha∩Hb| > 0 for R = shellA∩shellB and
+    * H the hole rects (open/closed boundary differences are measure-zero
+    * for rect unions, so area positivity ⇔ open-interior overlap). */
+  def polyOverlapHoles(spark: SparkSession, sfDir: String, z: Int = 6): DataFrame =
+    polyOverlapGeomOf(frameFeatures(spark, sfDir)
+      .select(col("feature_id"), col("geom_wkb")), z)
+
+  def polyOverlapHolesSql: String = {
+    // clamped rect-intersection area over quantized BIGINT bounds
+    def area(w: String, s: String, e: String, n: String) =
+      s"greatest(0, $e - $w) * greatest(0, $n - $s)"
+    s"""WITH cf AS (${custFeaturesSql}),
+       |ff AS MATERIALIZED (
+       |  SELECT feature_id * 2 AS feature_id,
+       |         west - 1.5 AS west, south - 1.5 AS south,
+       |         east + 1.5 AS east, north + 1.5 AS north,
+       |         CAST(0.2 AS DOUBLE) AS band
+       |  FROM cf
+       |  UNION ALL
+       |  SELECT feature_id * 2 + 1 AS feature_id,
+       |         (flon + (feature_id * 13 % 37 - 18) * CAST(0.1 AS DOUBLE)) - 0.45 AS west,
+       |         (flat + (feature_id * 17 % 19 - 9) * CAST(0.1 AS DOUBLE)) - 0.35 AS south,
+       |         (flon + (feature_id * 13 % 37 - 18) * CAST(0.1 AS DOUBLE)) + 0.45 AS east,
+       |         (flat + (feature_id * 17 % 19 - 9) * CAST(0.1 AS DOUBLE)) + 0.35 AS north,
+       |         CAST(0.1 AS DOUBLE) AS band
+       |  FROM cf),
+       |q AS MATERIALIZED (
+       |  SELECT feature_id,
+       |         CAST(round(west * 1000, 0) AS BIGINT) AS wq,
+       |         CAST(round(south * 1000, 0) AS BIGINT) AS sq,
+       |         CAST(round(east * 1000, 0) AS BIGINT) AS eq,
+       |         CAST(round(north * 1000, 0) AS BIGINT) AS nq,
+       |         CAST(round((west + band) * 1000, 0) AS BIGINT) AS hwq,
+       |         CAST(round((south + band) * 1000, 0) AS BIGINT) AS hsq,
+       |         CAST(round((east - band) * 1000, 0) AS BIGINT) AS heq,
+       |         CAST(round((north - band) * 1000, 0) AS BIGINT) AS hnq
+       |  FROM ff),
+       |r AS (
+       |  SELECT a.feature_id AS a_id, b.feature_id AS b_id,
+       |         greatest(a.wq, b.wq) AS rw, greatest(a.sq, b.sq) AS rs,
+       |         least(a.eq, b.eq) AS re, least(a.nq, b.nq) AS rn,
+       |         a.hwq AS haw, a.hsq AS has, a.heq AS hae, a.hnq AS han,
+       |         b.hwq AS hbw, b.hsq AS hbs, b.heq AS hbe, b.hnq AS hbn
+       |  FROM q a JOIN q b ON a.feature_id < b.feature_id
+       |  WHERE a.wq < b.eq AND b.wq < a.eq AND a.sq < b.nq AND b.sq < a.nq)
+       |SELECT a_id, b_id, (re - rw) * (rn - rs) AS ov_area_q
+       |FROM r
+       |WHERE (re - rw) * (rn - rs)
+       |      - ${area("greatest(rw, haw)", "greatest(rs, has)",
+                       "least(re, hae)", "least(rn, han)")}
+       |      - ${area("greatest(rw, hbw)", "greatest(rs, hbs)",
+                       "least(re, hbe)", "least(rn, hbn)")}
+       |      + ${area("greatest(rw, haw, hbw)", "greatest(rs, has, hbs)",
+                       "least(re, hae, hbe)", "least(rn, han, hbn)")}
+       |      > 0""".stripMargin
+  }
+
   /** [[polyOverlap]] over any frame of (feature_id, west, south, east,
     * north, geom_wkb) rect features.
     *
