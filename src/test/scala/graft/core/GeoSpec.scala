@@ -276,6 +276,40 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.polysOverlap(square, tee) && !Geo.polysOverlap(tee, square))
   }
 
+  test("polysOverlap ≡ JTS 2D-interior relate on coarse-lattice triangles (degeneracy-rich)") {
+    // step-1° integer coordinates in a 5×5 box: shared vertices, vertex-on-
+    // edge and collinear-edge configurations occur constantly — the regime
+    // the exact quantized kernel exists for (the random-double test above
+    // never hits it)
+    val r = new Random(4242)
+    def latTri(): Array[Double] = {
+      while (true) {
+        val ax = r.nextInt(5).toDouble; val ay = r.nextInt(5).toDouble
+        val bx = r.nextInt(5).toDouble; val by = r.nextInt(5).toDouble
+        val cx = r.nextInt(5).toDouble; val cy = r.nextInt(5).toDouble
+        if ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax) != 0)
+          return Array(ax, ay, bx, by, cx, cy, ax, ay)
+      }
+      throw new IllegalStateException
+    }
+    var checked = 0; var overlaps = 0; var degenerateTouches = 0
+    (0 until 800).foreach { trial =>
+      val ta = latTri(); val tb = latTri()
+      val mine = Geo.polysOverlap(
+        Geom(Geom.Poly, Array(ta)), Geom(Geom.Poly, Array(tb)))
+      val ja = toJts(ta); val jb = toJts(tb)
+      val jts = ja.relate(jb).matches("2********")
+      assert(mine == jts, s"trial $trial a=${ta.mkString(",")} b=${tb.mkString(",")}")
+      checked += 1
+      if (jts) overlaps += 1
+      else if (ja.intersects(jb)) degenerateTouches += 1
+    }
+    // the generator must exercise overlap, disjoint AND the degenerate
+    // touching-but-not-overlapping regime, or the test proves nothing
+    assert(overlaps > 100 && overlaps < checked - 50, s"$overlaps/$checked")
+    assert(degenerateTouches > 30, s"only $degenerateTouches touching pairs")
+  }
+
   test("polysOverlap: holes and multipolygon parts are even-odd first-class") {
     import graft.core.Geo
     def geom(rings: Array[Double]*) = Geo.Geom(Geo.Geom.Poly, rings.toArray)

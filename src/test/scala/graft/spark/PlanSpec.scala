@@ -121,6 +121,24 @@ class PlanSpec extends SparkTestBase {
     assert(a == b, "bucketed path must be row-identical to the fat parquet path")
   }
 
+  test("dbscan: salted self-join keys the exchange on (ck, _salt); unsalted is shuffle-hash on ck") {
+    import org.apache.spark.sql.functions._
+    val pts = spark.range(300).toDF("id")
+      .withColumn("xq", (col("id") * 9973) % 300000 - 150000)
+      .withColumn("yq", (col("id") * 104729) % 150000 - 75000)
+    // (BroadcastHashJoin appears legitimately downstream for the dim-sized
+    // cluster-label attach — only the eps-grid SELF-join must shuffle)
+    val plain = plan(Queries.dbscanOf(pts, n = 300L))
+    assert(plain.contains("ShuffledHashJoin"),
+      "eps-grid self-join must stay a shuffle-hash join (never broadcast a corpus-sized side)")
+    assert(!plain.contains("_salt"), "unsalted path must not carry a salt column")
+    val salted = plan(Queries.dbscanOf(pts, n = 300L, salt = 4, hotThreshold = 2L))
+    assert(salted.contains("_salt"),
+      "salted path must key the join exchange on the salt column")
+    assert(salted.contains("ShuffledHashJoin"),
+      "salting must not demote the self-join from shuffle-hash")
+  }
+
   test("fuzzy joins are deletion-blocked equi-joins, not nested loops") {
     val pm = plan(Queries.fuzzyMatch(spark, "/root/testdata/sf0.001"))
     val pn = plan(Queries.fuzzyMentions(spark, "/root/testdata/sf0.001"))
