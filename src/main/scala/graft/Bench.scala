@@ -218,9 +218,13 @@ object Bench {
     * post-sample probe. */
   private def forkRate(cores: String, childEnv: Map[String, String]): Double = {
     val k = cores.toInt
-    val cmd = Seq("taskset", "-c", s"${totalCpus - k}-${totalCpus - 1}",
-      javaBin) ++ parentJvmArgs ++ Seq(s"-Xms$childHeap", "-XX:+AlwaysPreTouch",
-      "-cp", System.getProperty("java.class.path"), "graft.Bench")
+    // same fail-soft contract as pinCpus: without taskset the child runs
+    // unpinned (cpu_pinning:false already flags the run)
+    val pin = if (pinningWorks)
+      Seq("taskset", "-c", s"${totalCpus - k}-${totalCpus - 1}") else Seq.empty
+    val cmd = pin ++ Seq(javaBin) ++ parentJvmArgs ++
+      Seq(s"-Xms$childHeap", "-XX:+AlwaysPreTouch",
+        "-cp", System.getProperty("java.class.path"), "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*)
     childEnv.foreach { case (k2, v) => pb.environment().put(k2, v) }
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
