@@ -620,16 +620,36 @@ object Bench {
     val rateBuck = headlineBucketed((4 * n).toString)
     unpinCpus()
 
-    // per-query sweep LAST — its ~165 s of all-core heat must not sit in
-    // the same box window as the scaling pairs (see runQueries)
-    val results = runQueries()
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // per-query sweep LAST (its ~150 s of all-core heat must not sit in
+    // the same box window as the scaling pairs) and in a FRESH CHILD JVM:
+    // running it in-process after ~25 min of pair/index phases measured
+    // dedup_winnow 2.2× its fresh-JVM value (heap/codegen history, same
+    // iid argument as the sample children) — the child reproduces the
+    // r4-and-earlier condition where the sweep opened the run.
+    val (qs, total, idfStr) = if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1"))
+      ("{}", 0.0, "0.000")
+    else {
+      val cmd = Seq(javaBin) ++ parentJvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_PERQ_ONLY", "1")
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8)
+      p.waitFor()
+      val obj = """"queries":(\{[^}]*\})""".r.findFirstMatchIn(out).map(_.group(1))
+        .getOrElse { System.err.println(
+          s"[bench] query child produced no JSON: ${out.takeRight(300)}"); "{}" }
+      val tot = """"[a-z0-9_]+":([0-9.]+)""".r.findAllMatchIn(obj)
+        .map(_.group(1).toDouble).sum
+      val idf = """"idf_dict_sec":([0-9.]+)""".r.findFirstMatchIn(out)
+        .map(_.group(1)).getOrElse("0.000")
+      (obj, tot, idf)
+    }
     val pairEffStr = pairEffs.map(x => f"$x%.3f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"geocode-join throughput (docs/sec)","value":${f"$rate4N%.1f"},"unit":"docs/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"scale_n":$n,"docs_per_sec_n":${f"$rateN%.1f"},"docs_per_sec_4n":${f"$rate4N%.1f"},"scaling_efficiency":${f"$eff%.3f"},"samples_n":${arr(sN)},"samples_4n":${arr(s4N)},"pair_efficiencies":$pairEffStr,"clean_pairs":$cleanPairs,"cpu_pinning":$pinningWorks,"idf_dict_sec":${f"$idfDictSec%.3f"},"estimator":"pinned-pair-ratio-median_clean_probe_le_1.2-interleaved-$samplesPerConfig","load_probe_worst_ratio":${f"$probeWorst%.2f"}$wide,"docs_per_sec_indexed_4n":${f"$rateIdx%.1f"},"docs_per_sec_fat_4n":${f"$rateFat%.1f"},"docs_per_sec_bucketed_4n":${f"$rateBuck%.1f"},"amplification":$amp,"sf":"$sfDir"}""")
+      s"""{"metric":"geocode-join throughput (docs/sec)","value":${f"$rate4N%.1f"},"unit":"docs/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"scale_n":$n,"docs_per_sec_n":${f"$rateN%.1f"},"docs_per_sec_4n":${f"$rate4N%.1f"},"scaling_efficiency":${f"$eff%.3f"},"samples_n":${arr(sN)},"samples_4n":${arr(s4N)},"pair_efficiencies":$pairEffStr,"clean_pairs":$cleanPairs,"cpu_pinning":$pinningWorks,"idf_dict_sec":$idfStr,"estimator":"pinned-pair-ratio-median_clean_probe_le_1.2-interleaved-$samplesPerConfig","load_probe_worst_ratio":${f"$probeWorst%.2f"}$wide,"docs_per_sec_indexed_4n":${f"$rateIdx%.1f"},"docs_per_sec_fat_4n":${f"$rateFat%.1f"},"docs_per_sec_bucketed_4n":${f"$rateBuck%.1f"},"amplification":$amp,"sf":"$sfDir"}""")
   }
 }
 
