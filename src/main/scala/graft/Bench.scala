@@ -219,8 +219,11 @@ object Bench {
   private def forkRate(cores: String, childEnv: Map[String, String]): Double = {
     val k = cores.toInt
     // same fail-soft contract as pinCpus: without taskset the child runs
-    // unpinned (cpu_pinning:false already flags the run)
-    val pin = if (pinningWorks)
+    // unpinned (cpu_pinning:false already flags the run), and k >= total
+    // CPUs means no confinement (oversubscribed but valid — pinCpus's own
+    // guard; an unguarded range would go negative on a narrower box and
+    // taskset would exit without exec'ing the child, banking rate 0.0)
+    val pin = if (pinningWorks && k < totalCpus)
       Seq("taskset", "-c", s"${totalCpus - k}-${totalCpus - 1}") else Seq.empty
     val cmd = pin ++ Seq(javaBin) ++ parentJvmArgs ++
       Seq(s"-Xms$childHeap", "-XX:+AlwaysPreTouch",

@@ -241,11 +241,11 @@ object Geo {
     * test in GeoSpec). */
   def polysOverlap(a: Geom, b: Geom): Boolean = {
     if (a.kind != Geom.Poly || b.kind != Geom.Poly) return false
+    val exact = latticeAligned(a.rings) && latticeAligned(b.rings)
     val (ra, rb) =
-      if (latticeAligned(a.rings) && latticeAligned(b.rings))
-        (quantRings(a.rings), quantRings(b.rings))
+      if (exact) (quantRings(a.rings), quantRings(b.rings))
       else (a.rings, b.rings)
-    ringsOverlap(ra, rb)
+    ringsOverlap(ra, rb, exactInts = exact)
   }
 
   private def latticeAligned(rings: Array[Array[Double]]): Boolean = {
@@ -381,7 +381,88 @@ object Geo {
     if (hit) 1 else if (allOn) 0 else -1
   }
 
-  private def ringsOverlap(ra: Array[Array[Double]], rb: Array[Array[Double]]): Boolean = {
+  /** Exact interior point of the even-odd region over integer-valued
+    * rings, as a rational (xNum/xDen, y2/2): scanline at y* = vy + 1/2
+    * just above the globally lowest vertex — no vertex lies strictly
+    * inside the band (vy, vy+1), y* equals no vertex y (y2 = 2·vy+1 is
+    * odd), and the region's lowest point is vy so the band meets its
+    * interior. Edge crossings are exact rationals; sorted, parity-paired,
+    * the first nonempty interval's midpoint is interior. BigInt
+    * throughout — one probe per degenerate pair, cost irrelevant.
+    * Returns null when the region has no area on the scanline. */
+  private def interiorPointRat(rings: Array[Array[Double]]): Array[BigInt] = {
+    var vy = Long.MaxValue
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r); var i = 1
+      while (i < ring.length) {
+        val y = ring(i).toLong
+        if (y < vy) vy = y
+        i += 2
+      }
+      r += 1
+    }
+    if (vy == Long.MaxValue) return null
+    val y2 = 2 * vy + 1
+    val xs = scala.collection.mutable.ArrayBuffer.empty[(BigInt, BigInt)]
+    r = 0
+    while (r < rings.length) {
+      val ring = rings(r); val n = ring.length / 2
+      var i = 0; var j = n - 1
+      while (i < n) {
+        val xi = ring(2 * i).toLong; val yi = ring(2 * i + 1).toLong
+        val xj = ring(2 * j).toLong; val yj = ring(2 * j + 1).toLong
+        if ((2 * yi > y2) != (2 * yj > y2)) {
+          // x = xi + (xj-xi)·(y*-yi)/(yj-yi), y* = y2/2
+          var num = BigInt(xi) * (2 * (yj - yi)) + BigInt(xj - xi) * (y2 - 2 * yi)
+          var den = BigInt(2 * (yj - yi))
+          if (den.signum < 0) { num = -num; den = -den }
+          xs += ((num, den))
+        }
+        j = i; i += 1
+      }
+      r += 1
+    }
+    val sorted = xs.sortWith((a, b) => a._1 * b._2 < b._1 * a._2)
+    var k = 0
+    while (k + 1 < sorted.length) {
+      val (n1, d1) = sorted(k); val (n2, d2) = sorted(k + 1)
+      if (n1 * d2 < n2 * d1) // nonempty open interval → interior midpoint
+        return Array(n1 * d2 + n2 * d1, 2 * d1 * d2, BigInt(y2))
+      k += 2
+    }
+    null
+  }
+
+  /** Even-odd membership of the rational point (xn/xd, y2/2) in the
+    * integer-ring region — exact BigInt cross-sign ray cast. The caller
+    * guarantees the point is not on the boundary (y2 odd ⇒ never on a
+    * horizontal edge or vertex level; C == 0 is treated as no-toggle). */
+  private def insideEvenOddRat(rings: Array[Array[Double]],
+                               xn: BigInt, xd: BigInt, y2: BigInt): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r); val n = ring.length / 2
+      var i = 0; var j = n - 1
+      while (i < n) {
+        val xi = ring(2 * i).toLong; val yi = ring(2 * i + 1).toLong
+        val xj = ring(2 * j).toLong; val yj = ring(2 * j + 1).toLong
+        if ((BigInt(2 * yi) > y2) != (BigInt(2 * yj) > y2)) {
+          // cross·(2·xd): (xj−xi)(y2−2yi)·xd − (2xn − 2xi·xd)(yj−yi)
+          val c = BigInt(xj - xi) * (y2 - 2 * yi) * xd -
+            (2 * xn - 2 * xi * xd) * (yj - yi)
+          if (c.signum != 0 && (yj > yi) == (c.signum > 0)) inside = !inside
+        }
+        j = i; i += 1
+      }
+      r += 1
+    }
+    inside
+  }
+
+  private def ringsOverlap(ra: Array[Array[Double]], rb: Array[Array[Double]],
+                           exactInts: Boolean): Boolean = {
     // 1. proper open-interior edge crossing, any ring pair
     var r1 = 0
     while (r1 < ra.length) {
@@ -402,10 +483,24 @@ object Geo {
     if (pa == 1) return true
     val pb = probeBoundary(rb, ra)
     if (pb == 1) return true
-    // 3. no boundary point of either in the other's interior: interiors
-    // overlap iff the boundaries coincide (then they are identical) —
-    // witnessed by every probe of each lying on the other
-    pa == 0 && pb == 0
+    // 3. no boundary point of either strictly inside the other. When one
+    // boundary lies ENTIRELY on the other's (probe result 0), its region
+    // sits inside a single face of the other's arrangement, so interiors
+    // overlap iff ONE INTERIOR POINT of it is interior to the other —
+    // decided exactly with the rational scanline probe. This covers
+    // identical boundaries (true), a hole exactly filled (false), and a
+    // boundary coinciding with a SUBSET of a multipolygon's rings (true —
+    // the case the boundaries-must-be-equal shortcut got wrong). On the
+    // non-integer path (general-position doubles, where total coincidence
+    // only plausibly means identical inputs) the equal-boundaries
+    // shortcut is kept.
+    if (exactInts && pb == 0) {
+      val q = interiorPointRat(rb)
+      q != null && insideEvenOddRat(ra, q(0), q(1), q(2))
+    } else if (exactInts && pa == 0) {
+      val q = interiorPointRat(ra)
+      q != null && insideEvenOddRat(rb, q(0), q(1), q(2))
+    } else pa == 0 && pb == 0
   }
 
   // ------------------------------------------------------------------

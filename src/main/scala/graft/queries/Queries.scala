@@ -758,7 +758,7 @@ object Queries {
     // clamped rect-intersection area over quantized BIGINT bounds
     def area(w: String, s: String, e: String, n: String) =
       s"greatest(0, $e - $w) * greatest(0, $n - $s)"
-    s"""WITH cf AS (${custFeaturesSql}),
+    s"""WITH cf AS MATERIALIZED (${custFeaturesSql}),
        |ff AS MATERIALIZED (
        |  SELECT feature_id * 2 AS feature_id,
        |         west - 1.5 AS west, south - 1.5 AS south,
@@ -4094,29 +4094,41 @@ object Queries {
     "CASE WHEN len2 = 0 THEN CAST(d2a AS DOUBLE) " +
       "ELSE CAST(cr AS DOUBLE) * CAST(cr AS DOUBLE) / CAST(len2 AS DOUBLE) END"
 
-  def dpSimplify(spark: SparkSession, sfDir: String): DataFrame = {
-    // Tracks are BOUNDED by design (day-segmented first at 10^12-event
-    // scale — the block comment above), so the scale-correct shape is the
-    // per-track LOCAL kernel: ONE groupBy exchange collects each track
-    // rn-sorted, F.dpKeepIds replays the whole refinement tree in-row
-    // (identical argmax arithmetic + tiebreak as the recursive-CTE
-    // oracle), and explode emits the kept ids. The r4 round-driven
-    // DataFrame loop paid |rounds| × (exchange + localCheckpoint + driver
-    // latency) ≈ 7.7 s at sf0.1 — and its per-round candidate join was
-    // segments × points besides; this is one job, no iteration, and the
-    // same rows bit-exactly. The sort key (us, id) in the collected
-    // struct reproduces the oracle's row_number ordering.
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id").as("id"), col("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("us"),
-        expr("((event_id * event_id * 7919 + event_id * 104729) % 360000) - 180000").as("x"),
-        expr("((event_id * event_id * 104729 + event_id * 7919) % 160000) - 80000").as("y"))
-      .groupBy(col("user_id"))
+  def dpSimplify(spark: SparkSession, sfDir: String): DataFrame =
+    dpSimplifyOf(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id").as("id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          expr("((event_id * event_id * 7919 + event_id * 104729) % 360000) - 180000").as("x"),
+          expr("((event_id * event_id * 104729 + event_id * 7919) % 160000) - 80000").as("y")),
+      Seq("user_id"))
+
+  /** The per-track LOCAL DP shape over any (id, us, x, y, keyCols...)
+    * point frame: ONE groupBy exchange collects each track rn-sorted,
+    * F.dpKeepIds replays the whole refinement tree in-row (identical
+    * argmax arithmetic + tiebreak as the recursive-CTE oracle), and
+    * explode emits the kept ids. The r4 round-driven DataFrame loop paid
+    * |rounds| × (exchange + localCheckpoint + driver latency) ≈ 7.7 s at
+    * sf0.1 — and its per-round candidate join was segments × points
+    * besides; this is one job, no iteration, and the same rows
+    * bit-exactly (7.7 → 0.33 s). The sort key (us, id) in the collected
+    * struct reproduces the oracle's row_number ordering.
+    *
+    * CONTRACT: each `keyCols` group (track) is collected into one row, so
+    * tracks must be BOUNDED. The driver query keys by user_id — the synth
+    * fixture's per-user tracks are bounded by construction; a 10^12-event
+    * deployment keys by (user_id, day) — standard day-segmentation, which
+    * this entry point takes directly (TrajectorySpec exercises the
+    * two-column key). Unbounded tracks with no natural segment key want
+    * the iterative refinement loop (git history, r4) instead. */
+  def dpSimplifyOf(pts: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    pts.groupBy(keys: _*)
       .agg(sort_array(collect_list(struct(col("us"), col("id"), col("x"), col("y")))).as("ps"))
-      .select(col("user_id"), explode(F.dpKeepIds(
+      .select(keys :+ explode(F.dpKeepIds(
         expr("transform(ps, p -> p.x)"), expr("transform(ps, p -> p.y)"),
         expr("transform(ps, p -> p.id)"),
-        lit(DpTol2.toDouble))).as("event_id"))
+        lit(DpTol2.toDouble))).as("event_id"): _*)
   }
 
   def dpSimplifySql: String =

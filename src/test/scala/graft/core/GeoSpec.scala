@@ -334,6 +334,15 @@ class GeoSpec extends AnyFunSuite {
     val betw = geom(Array(4.0, 0.0, 6.0, 0.0, 6.0, 2.0, 4.0, 2.0, 4.0, 0.0))
     val onPart = geom(Array(1.0, 0.5, 1.5, 0.5, 1.5, 1.5, 1.0, 1.5, 1.0, 0.5))
     assert(!Geo.polysOverlap(multi, betw) && Geo.polysOverlap(multi, onPart))
+    // boundary-COINCIDENT part subset: one polygon IS a part of the multi —
+    // no proper crossing, every probe of the part lies ON the multi's
+    // boundary, yet interiors overlap (decided by the exact rational
+    // interior-point probe; the boundaries-must-be-equal shortcut said no)
+    val part1 = geom(Array(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0, 0.0, 0.0))
+    assert(Geo.polysOverlap(multi, part1) && Geo.polysOverlap(part1, multi))
+    // and a part-sized square coincident with part1's boundary but offset
+    // to cover the GAP keeps reading false (interiors disjoint)
+    assert(!Geo.polysOverlap(multi, betw) && !Geo.polysOverlap(betw, multi))
     // WKB MultiPolygon round-trip feeds the same kernel
     val wkbMulti = {
       val p1 = Geo.writeWkbPolygon(Array(Array(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0, 0.0, 0.0)))

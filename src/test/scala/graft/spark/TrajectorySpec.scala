@@ -100,4 +100,30 @@ class TrajectorySpec extends SparkTestBase {
         r.getLong(3), r.getLong(4))).toSet
     assert(got == want)
   }
+
+  test("dp_simplify day-segmented key: (user, day) grouping ≡ per-day runs") {
+    import org.apache.spark.sql.functions._
+    // 3 users × 4 days × 40 points, scattered coords; the day-keyed entry
+    // point (the 10^12-scale contract) must equal running the kernel on
+    // each day slice independently
+    val pts = spark.range(480).toDF("id")
+      .withColumn("user_id", col("id") % 3)
+      .withColumn("day", (col("id") / 120).cast("long"))
+      .withColumn("us", col("id") * 1000L)
+      .withColumn("x", (col("id") * col("id") * 7919 + col("id") * 104729) % 360000 - 180000)
+      .withColumn("y", (col("id") * col("id") * 104729 + col("id") * 7919) % 160000 - 80000)
+    val keyed = Queries.dpSimplifyOf(pts, Seq("user_id", "day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val perDay = (0L to 3L).flatMap { d =>
+      Queries.dpSimplifyOf(pts.filter(col("day") === d), Seq("user_id"))
+        .collect().map(r => (r.getLong(0), d, r.getLong(1)))
+    }.toSet
+    assert(keyed.nonEmpty && keyed == perDay)
+    // segmentation is REAL (not a relabeling of the global run): the kept
+    // id set differs — each day contributes its own endpoints while
+    // losing the cross-day refinement splits
+    val global = Queries.dpSimplifyOf(pts, Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyed.map(t => (t._1, t._3)) != global)
+  }
 }
