@@ -272,6 +272,10 @@ object SparkEntry {
     // Efraimidis-Spirakis weighted sample per lang (exponential keys)
     "sample_weighted" -> ((s, d) =>
       TextOps.weightedSample(s.read.parquet(s"$d/documents.parquet"))),
+    // DSIR importance resampling: hashed-unigram target/raw models,
+    // quantized log-ratio weights, deterministic Gumbel-top-k
+    "dsir_select" -> ((s, d) =>
+      TextOps.dsirSelect(s.read.parquet(s"$d/documents.parquet"))),
     "lang_id" -> ((s, d) => TextOps.langId(s.read.parquet(s"$d/documents.parquet"))),
     "lang_id_ngram" -> ((s, d) =>
       TextOps.langIdNgram(s.read.parquet(s"$d/documents.parquet"))),
@@ -534,6 +538,7 @@ object SparkEntry {
     "dup_clusters" -> TextOps.dupClustersSql,
     "sample_stratified" -> TextOps.stratifiedSampleSql(),
     "sample_weighted" -> TextOps.weightedSampleSql(),
+    "dsir_select" -> TextOps.dsirSelectSql(),
     // 64-bit sketch hashing IS SQL-expressible after all: HUGEINT limb
     // arithmetic reproduces mix64/FNV-1a/SimHash bit-exactly (SqlHash)
     "doc_fingerprint" -> TextOps.docFingerprintSql,

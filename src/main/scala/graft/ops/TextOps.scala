@@ -527,6 +527,98 @@ object TextOps {
        |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rn AS BIGINT) AS rn
        |FROM ranked WHERE rn <= $perStratum""".stripMargin
 
+  /** DSIR-style data selection (the importance-resampling construction of
+    * Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling" — public): per-doc importance weights
+    * log p_target(x) − log p_raw(x) under hashed bag-of-unigram models
+    * (add-1-smoothed, 64 buckets), then deterministic Gumbel-top-k
+    * resampling. The target distribution is the dim-sized slice
+    * doc_id % evalMod == evalRes ([[decontaminate]]'s eval convention);
+    * raw = the whole corpus.
+    *
+    * Scale shape: the hashed tf frame collapses to ≤64-row bucket models
+    * via two MAP-COMBINED aggregations, broadcast back for the scoring
+    * join; the per-doc weight is an exact BIGINT dot product — each
+    * bucket's log-ratio is quantized to 1e-6 integers BEFORE the sum (the
+    * lm_perplexity trick: order-independent across partial aggregation
+    * and across engines). The Gumbel key w + (−ln(−ln u)) composes
+    * [[weightedSample]]'s deterministic-u machinery and stays an
+    * UNROUNDED ranking double with the doc_id tiebreak (repo invariant);
+    * u ∈ (0,1) strictly (denominator p+1). Buckets are FIXED at 64 — a
+    * power of two, so Spark's signed pmod and the mirror's unsigned
+    * HUGEINT mod agree exactly (the low 6 bits). Top-k plans as a partial
+    * WindowGroupLimit before the single ordering exchange, so ≤ k·splits
+    * rows move. */
+  def dsirSelect(docs: DataFrame, evalMod: Long = 41L, evalRes: Long = 3L,
+                 k: Int = 100): DataFrame = {
+    val B = 64
+    val bt = termFreq(docs)
+      .select(col("doc_id"), pmod(F.fnv1a64(col("term")), lit(B.toLong)).as("b"), col("tf"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("c"))
+      .persist() // raw model, target model and the scoring join all read it
+    val raw = bt.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val tgt = bt.filter(col("doc_id") % evalMod === evalRes)
+      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
+    val model = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val ld = model.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $B AS DOUBLE)) - " +
+          s"ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $B AS DOUBLE))) * 1000000.0) AS BIGINT)")
+        .as("ldq"))
+    val w = Window.orderBy(col("key").desc, col("doc_id").asc)
+    bt.join(broadcast(ld), "b")
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("ldq")).as("w_q"))
+      .withColumn("u",
+        expr("CAST((doc_id * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000008.0"))
+      .withColumn("key", col("w_q").cast("double") / lit(1000000.0) - expr("ln(-ln(u))"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("w_q"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Mirror of [[dsirSelect]]: same tf derivation as the LM gate, FNV-1a
+    * bucket hash per DISTINCT term (SqlHash list_reduce fold, joined back
+    * — identical values, cheaper than per-row folds), token-identical
+    * smoothed-log-ratio arithmetic quantized at 1e-6, and the unrounded
+    * Gumbel ranking key with the doc_id tiebreak. */
+  def dsirSelectSql(evalMod: Long = 41L, evalRes: Long = 3L, k: Int = 100): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, term, count(*) AS tfc
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+       |  GROUP BY 1, 2),
+       |terms AS MATERIALIZED (SELECT DISTINCT term FROM tf),
+       |tb AS MATERIALIZED (
+       |  SELECT term, CAST(${graft.queries.SqlHash.fnv1a64("term")} % 64 AS BIGINT) AS b
+       |  FROM terms),
+       |bt AS MATERIALIZED (
+       |  SELECT tf.doc_id, tb.b, CAST(sum(tfc) AS BIGINT) AS c
+       |  FROM tf JOIN tb ON tf.term = tb.term
+       |  GROUP BY 1, 2),
+       |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM bt GROUP BY 1),
+       |tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM bt
+       |        WHERE doc_id % $evalMod = $evalRes GROUP BY 1),
+       |model AS (SELECT raw.b AS b, cr, COALESCE(ct, 0) AS ct
+       |          FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM model),
+       |ld AS (SELECT b,
+       |         CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE)) -
+       |           ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE))) * 1000000.0) AS BIGINT) AS ldq
+       |       FROM model, tot),
+       |wq AS (SELECT bt.doc_id, CAST(sum(c * ldq) AS BIGINT) AS w_q
+       |       FROM bt JOIN ld ON bt.b = ld.b GROUP BY 1),
+       |ky AS (SELECT doc_id, w_q,
+       |         CAST(w_q AS DOUBLE) / 1000000.0 -
+       |           ln(-ln(CAST((doc_id * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000008.0)) AS key
+       |       FROM wq),
+       |ranked AS (SELECT doc_id, w_q,
+       |             row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+       |           FROM ky)
+       |SELECT doc_id, w_q, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $k""".stripMargin
+
   /** Exact per-stratum quantiles of doc length (p50/p90/p99 of n_chars per
     * language) — corpus-profile stats with INTEGER-EXACT rank selection:
     * rank_p = ceil(p·n/100) computed as `(n*p + 99) div 100`, value picked

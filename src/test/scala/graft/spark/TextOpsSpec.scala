@@ -597,4 +597,25 @@ class TextOpsSpec extends SparkTestBase {
     // α = 1/2 flattens the raw 0.9 share toward the rare host
     assert(wBig > wSmall && wBig < 0.8)
   }
+
+  test("dsir_select enriches target-distribution docs under Gumbel resampling") {
+    import spark.implicits._
+    // target slice (id % 10 == 3) and half the corpus (even ids) draw from
+    // vocabulary A; the rest from disjoint vocabulary B — importance
+    // weights must rank A-docs above B-docs decisively (the planted gap
+    // of ~20 tokens x ln-ratio dwarfs the Gumbel noise)
+    def isA(i: Long): Boolean = i % 10 == 3 || i % 2 == 0
+    val docs = (0L until 200L).map { i =>
+      val vocab = if (isA(i)) Seq("alpha", "beta", "gamma", "delta", "epsln", "zeta", "eta", "theta")
+                  else Seq("omega", "psi", "chi", "phi", "upsil", "tau", "sigma", "rho")
+      (i, (0 until 20).map(j => vocab(((i + j) % 8).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sel = TextOps.dsirSelect(docs, evalMod = 10L, evalRes = 3L, k = 50).collect()
+    assert(sel.length == 50)
+    val (aRows, bRows) = sel.partition(r => isA(r.getLong(0)))
+    assert(aRows.length >= 45, s"only ${aRows.length}/50 selected docs are target-like")
+    // the weight populations separate completely
+    if (bRows.nonEmpty)
+      assert(aRows.map(_.getLong(1)).min > bRows.map(_.getLong(1)).max)
+  }
 }
