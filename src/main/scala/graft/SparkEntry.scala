@@ -371,6 +371,10 @@ object SparkEntry {
       Ann.kmeansAssign(s.read.parquet(s"$d/embeddings.parquet"), rounds = 3, nList0 = 16)),
     "semantic_dedup" -> ((s, d) =>
       Ann.semanticDedup(s.read.parquet(s"$d/embeddings.parquet"), rounds = 3, nList0 = 16)),
+    // SSL-prototypes pruning: keep the least prototypical examples per
+    // trained cluster (cosine-to-centroid rank, hardest-first)
+    "proto_prune" -> ((s, d) =>
+      Ann.protoPrune(s.read.parquet(s"$d/embeddings.parquet"), rounds = 3, nList0 = 16)),
     // REAL media decode (JDK ImageIO): deterministic PNG synthesis is the
     // ground truth; decode/resize/frame-parse must recover it (oracles are
     // closed forms over the synthesis parameters / pixel formula)
@@ -575,6 +579,7 @@ object SparkEntry {
     "ann_ivf_trained" -> Ann.ivfTopKTrainedSql(50, 5),
     "dedup_embed" -> Ann.dedupEmbedSql(),
     "embed_kmeans" -> Ann.kmeansAssignSql(rounds = 3, nList = 16),
+    "proto_prune" -> Ann.protoPruneSql(rounds = 3, nList = 16),
     "semantic_dedup" -> Ann.semanticDedupSql(rounds = 3, nList = 16),
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,

@@ -533,6 +533,54 @@ object Ann {
       .select(col("vec_id"), col("cid"), col("csize"))
   }
 
+  /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws" — public): rank every vector by PROTOTYPICALITY —
+    * cosine to its own trained-cluster centroid — and keep the
+    * `keepPerCluster` LEAST prototypical (hardest) examples per cluster,
+    * the abundant-data pruning rule of the paper. Training and assignment
+    * reuse the Lloyd machinery ([[kmeansAssign]]). The ranking key is
+    * dot(q, centroid) / sqrt(dot(q, q)) — |centroid| is CONSTANT within a
+    * cluster partition so true cosine order is preserved without it; the
+    * dots are exact BIGINT, sqrt is IEEE-correctly-rounded and the one
+    * division is deterministic, so the UNROUNDED key + vec_id tiebreak is
+    * bit-stable across engines (repo ranking invariant). Scale shape: one
+    * broadcast of ≤nList centroids, per-row dots, and the per-cluster
+    * top-m plans as WindowGroupLimit — no self-join at all (pruning is
+    * embarrassingly parallel once assignment exists). */
+  def protoPrune(emb: DataFrame, keepPerCluster: Int = 10,
+                 rounds: Int = 3, nList0: Int = 0): DataFrame = {
+    val base = quantBase(emb).persist()
+    val nList = if (nList0 > 0) nList0 else derivedNListDedup(base.count())
+    var cent = seedFrame(emb.sparkSession, nList)
+    for (_ <- 1 to rounds)
+      cent = lloydRound(base, cent).localCheckpoint()
+    centroidRanksTrained(base, cent).filter(col("crn") === 1)
+      .withColumn("qq", dot(col("q"), col("q")))
+      .withColumn("key",
+        col("cdp").cast("double") / sqrt(col("qq").cast("double")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("key").asc, col("vec_id").asc)))
+      .filter(col("rn") <= keepPerCluster)
+      .select(col("vec_id"), col("cid"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Full DuckDB mirror of [[protoPrune]] (training replayed in SQL; the
+    * ranking key written token-identically). */
+  def protoPruneSql(keepPerCluster: Int = 10, rounds: Int = 3,
+                    nList: Int = 16): String =
+    s"""WITH ${kmeansCtes(rounds, nList, "embeddings")},
+       |scored AS (
+       |  SELECT a.vec_id, a.cid,
+       |         CAST(list_inner_product(a.q, c.cv) AS DOUBLE) /
+       |           sqrt(CAST(list_inner_product(a.q, a.q) AS DOUBLE)) AS key
+       |  FROM assign a JOIN cent$rounds c ON c.cid = a.cid),
+       |ranked AS (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY cid ORDER BY key ASC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT vec_id, cid, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $keepPerCluster""".stripMargin
+
   /** The k-means CTE chain shared by [[kmeansAssignSql]] and
     * [[semanticDedupSql]]: seeds → `rounds`× (rank/comp/means/cent) →
     * `assign`(vec_id, cid). Each centN is MATERIALIZED — it is referenced

@@ -618,4 +618,31 @@ class TextOpsSpec extends SparkTestBase {
     if (bRows.nonEmpty)
       assert(aRows.map(_.getLong(1)).min > bRows.map(_.getLong(1)).max)
   }
+
+  test("proto_prune keeps the least prototypical members (planted outlier ranks first)") {
+    import spark.implicits._
+    // two populated directions (dims 0 and 1) + one orthogonal outlier
+    // (dim 2): whichever trained cluster the outlier joins, its cosine to
+    // that centroid is near 0 while on-direction members sit near 1, so
+    // hardest-first ranking must put it at rn = 1
+    def vec(dir: Int, mag: Float): Seq[Float] =
+      (0 until 64).map(d => if (d == dir) mag else 0.0f)
+    val rows = (0L until 20L).map(i => (i, vec(0, 0.5f + 0.01f * i))) ++
+      (20L until 39L).map(i => (i, vec(1, 0.5f + 0.01f * (i - 20)))) :+
+      (39L, vec(2, 0.7f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val kept = Ann.protoPrune(emb, keepPerCluster = 5, rounds = 2, nList0 = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(kept.length > 0)
+    val outlier = kept.find(_._1 == 39L)
+    assert(outlier.nonEmpty && outlier.get._3 == 1L,
+      s"orthogonal outlier must rank 1 in its cluster, got $outlier")
+    // keepPerCluster large enough keeps everything with dense ranks
+    val all = Ann.protoPrune(emb, keepPerCluster = 100, rounds = 2, nList0 = 2)
+      .collect()
+    assert(all.length == 40)
+    all.groupBy(_.getInt(1)).values.foreach { g =>
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to g.length).toSeq)
+    }
+  }
 }
